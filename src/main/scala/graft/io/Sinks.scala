@@ -1,0 +1,36 @@
+package graft.io
+
+import org.apache.spark.sql.DataFrame
+
+/** Writers (reference: S6-S9 in SURVEY §2.1). The reference's chunked
+  * INSERT batching (src/load.py:239-263) maps to the JDBC writer's
+  * `batchsize`; its per-batch error isolation is replaced by Spark task
+  * retries. For the lake path, partitioning by symbol reproduces the
+  * reference's (symbol, date) composite index as partition pruning.
+  */
+object Sinks {
+
+  /** S8: CSV sink with header (reference: src/transform.py:447-448). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** S9: JSON sink (reference: src/extract.py:450-452). */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Lake sink: parquet partitioned by symbol — the scale analog of the
+    * reference's symbol/(symbol,date) indexes (src/load.py:87-89): per-symbol
+    * queries prune partitions instead of probing a B-tree. */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String] = Seq("symbol")): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** S6: JDBC append sink (reference: src/load.py:176-288). `batchsize`
+    * reproduces the 1000-row INSERT chunking. Untested here (no DB in the
+    * harness); compiled surface only. */
+  def appendJdbc(df: DataFrame, url: String, table: String,
+                 props: java.util.Properties, batchSize: Int = 1000): Unit = {
+    props.setProperty("batchsize", batchSize.toString)
+    df.write.mode("append").jdbc(url, table, props)
+  }
+}

@@ -1,0 +1,90 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Schemas
+
+/** Readers for the test corpus plus the Alpha-Vantage-shaped JSON parser
+  * (reference: src/extract.py S1-S5). All readers go through
+  * `spark.read.parquet` so Catalyst gets predicate pushdown + column pruning
+  * for free; at cluster scale the same code reads a partitioned table.
+  */
+object Sources {
+
+  /** Scan one corpus table. Parquet scan => column pruning + filter pushdown. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def nation(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "region")
+  def events(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** `lineitem` mapped onto the canonical OHLCV shape (P1 rename + P2 cast +
+    * deterministic derivation). `l_partkey` plays `symbol`, `l_shipdate` plays
+    * `date` (FIXTURES.md role mapping). `rid` is a unique row id used as the
+    * deterministic keep-last tiebreak for dedup (SURVEY §7.4 trap #2).
+    *
+    * high >= max(open, close) and low <= min(open, close) by construction
+    * (tax/discount are >= 0), so the OHLC-consistency filter is an identity on
+    * undoctored rows; queries that exercise F1-F3 inject dirt explicitly.
+    */
+  def stockFromLineitem(spark: SparkSession, dir: String): DataFrame = {
+    val open  = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val close = col("l_extendedprice")
+    lineitem(spark, dir).select(
+      col("l_partkey").cast("string").as("symbol"),
+      col("l_shipdate").cast("date").as("date"),
+      open.as("open"),
+      (greatest(close, open) * (lit(1.0) + col("l_tax"))).as("high"),
+      (least(close, open) * (lit(1.0) - col("l_tax"))).as("low"),
+      close.as("close"),
+      floor(col("l_quantity")).cast("long").as("volume"),
+      (col("l_orderkey") * lit(10L) + col("l_linenumber")).as("rid")
+    )
+  }
+
+  /** Parse Alpha-Vantage-shaped JSON payload strings into flat OHLCV rows
+    * (reference: src/extract.py:102-125 + src/transform.py:110-142).
+    * One input row = one symbol envelope; output = one row per trading day.
+    * String -> double/long casts reproduce to_numeric(errors='coerce')
+    * (invalid -> null). Runs fully inside codegen (from_json + explode),
+    * so it distributes over any number of payload rows.
+    */
+  def parseAlphaVantage(payloads: DataFrame, jsonCol: String): DataFrame =
+    payloads
+      .withColumn("__p", from_json(col(jsonCol), Schemas.rawPayload))
+      .select(
+        col("__p").getField("Meta Data").getItem("2. Symbol").as("symbol"),
+        explode(col("__p").getField("Time Series (Daily)")).as(Seq("date_str", "bar")))
+      .select(
+        col("symbol"),
+        to_date(col("date_str")).as("date"),
+        col("bar").getItem("1. open").cast("double").as("open"),
+        col("bar").getItem("2. high").cast("double").as("high"),
+        col("bar").getItem("3. low").cast("double").as("low"),
+        col("bar").getItem("4. close").cast("double").as("close"),
+        col("bar").getItem("5. volume").cast("long").as("volume"))
+
+  /** Synthetic OHLCV generator (reference: dashboard/app.py:45-92 S5) —
+    * `spark.range` + seeded rand, fully distributed, no driver-side loops. */
+  def syntheticStock(spark: SparkSession, symbols: Seq[String], days: Int,
+                     seed: Long = 42L): DataFrame = {
+    val syms = spark.createDataFrame(symbols.zipWithIndex.map { case (s, i) => (s, i) })
+      .toDF("symbol", "sym_idx")
+    spark.range(days).withColumnRenamed("id", "day_idx")
+      .crossJoin(syms)
+      .withColumn("date", date_add(to_date(lit("2024-01-01")), col("day_idx").cast("int")))
+      .withColumn("base", lit(100.0) + col("sym_idx") * 50.0)
+      .withColumn("close", col("base") * (lit(1.0) + (rand(seed) - 0.5) * 0.1))
+      .withColumn("open", col("close") * (lit(1.0) + (rand(seed + 1) - 0.5) * 0.02))
+      .withColumn("high", greatest(col("open"), col("close")) * (lit(1.0) + rand(seed + 2) * 0.01))
+      .withColumn("low", least(col("open"), col("close")) * (lit(1.0) - rand(seed + 3) * 0.01))
+      .withColumn("volume", (rand(seed + 4) * 1e7).cast("long"))
+      .select("symbol", "date", "open", "high", "low", "close", "volume")
+  }
+}

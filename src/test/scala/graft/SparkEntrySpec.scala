@@ -1,0 +1,27 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract invariants: every query has matching oracle aliases and
+  * the flagship entry produces rows. */
+class SparkEntrySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("every oracle key has a query (and vice versa where SQL-expressible)") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracle keys without query impl: ${o.diff(q)}")
+  }
+
+  test("entry() returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).limit(5).count() > 0)
+  }
+
+  test("all queries run on sf0.001 and return rows") {
+    val dir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, dir).count()
+      assert(n > 0, s"query $name returned no rows")
+    }
+  }
+}
