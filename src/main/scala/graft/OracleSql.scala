@@ -1,8 +1,15 @@
 package graft
 
+import graft.ops.Num.{croundSql => R}
+
 /** DuckDB oracle SQL, one entry per Queries key. Each statement is the ANSI
   * equivalent of the Spark query, with identical column aliases, identical
-  * ROUND(.., 6) on floating-point outputs, and the same total ORDER BY.
+  * tie-safe rounding (graft.ops.Num — plain ROUND tie-breaks differently
+  * across engines on exact-decimal data), and the same total ORDER BY.
+  *
+  * Rounding scales: 6 for per-row arithmetic (bit-identical across engines),
+  * 2 for anything built from multi-term floating aggregation (group/window
+  * avg, stddev, sum) where summation order differs across engines by ~1e-9.
   *
   * Dialect notes (SURVEY §7.4): pandas/Spark weekday() 0=Monday ->
   * DuckDB isodow()-1; Spark weekofyear() ISO -> DuckDB weekofyear();
@@ -131,20 +138,20 @@ object OracleSql {
 
   val pipelineFeatures: String = withCtes(pipelineCtes: _*)(
     s"""SELECT f.symbol, f."date",
-       |  ROUND(f.open, 6) AS open, ROUND(f.high, 6) AS high,
-       |  ROUND(f.low, 6) AS low, ROUND(f.close, 6) AS close, f.volume,
-       |  ROUND(f.daily_change, 6) AS daily_change,
-       |  ROUND(f.daily_change_percent, 6) AS daily_change_percent,
-       |  ROUND(f.price_range, 6) AS price_range,
-       |  ROUND(f.price_range_percent, 6) AS price_range_percent,
+       |  ${R("f.open", 6)} AS open, ${R("f.high", 6)} AS high,
+       |  ${R("f.low", 6)} AS low, ${R("f.close", 6)} AS close, f.volume,
+       |  ${R("f.daily_change", 6)} AS daily_change,
+       |  ${R("f.daily_change_percent", 6)} AS daily_change_percent,
+       |  ${R("f.price_range", 6)} AS price_range,
+       |  ${R("f.price_range_percent", 6)} AS price_range_percent,
        |  f.year, f.month, f.quarter, f.day_of_week, f.week_of_year,
        |  f.is_positive_day, f.is_negative_day,
        |  $volumeCategoryCase AS volume_category,
-       |  ROUND(f.volatility_indicator, 6) AS volatility_indicator,
+       |  ${R("f.volatility_indicator", 2)} AS volatility_indicator,
        |  $volatilityCategoryCase AS volatility_category,
-       |  ROUND(f.ma_5, 6) AS ma_5, ROUND(f.ma_20, 6) AS ma_20,
-       |  ROUND(f.price_vs_ma5, 6) AS price_vs_ma5,
-       |  ROUND(f.price_vs_ma20, 6) AS price_vs_ma20,
+       |  ${R("f.ma_5", 2)} AS ma_5, ${R("f.ma_20", 2)} AS ma_20,
+       |  ${R("f.price_vs_ma5", 2)} AS price_vs_ma5,
+       |  ${R("f.price_vs_ma20", 2)} AS price_vs_ma20,
        |  'graft' AS data_source
        |FROM feat2 f JOIN vq ON f.symbol = vq.symbol
        |ORDER BY f.symbol, f."date"""".stripMargin)
@@ -153,27 +160,27 @@ object OracleSql {
     "pipeline_features" -> pipelineFeatures,
 
     "f1_null_drop" -> withCtes(dirtyCte)(
-      s"""SELECT rid, symbol, ROUND(open, 6) AS open, ROUND(close, 6) AS close
+      s"""SELECT rid, symbol, ${R("open", 6)} AS open, ${R("close", 6)} AS close
          |FROM dirty d
          |WHERE ${notNullPred("d")}
          |ORDER BY rid""".stripMargin),
 
     "f2_ohlc_consistency" -> withCtes(dirtyCte)(
-      s"""SELECT rid, ROUND(high, 6) AS high, ROUND(low, 6) AS low, ROUND(close, 6) AS close
+      s"""SELECT rid, ${R("high", 6)} AS high, ${R("low", 6)} AS low, ${R("close", 6)} AS close
          |FROM dirty d
          |WHERE ${notNullPred("d")} AND $consistentPred
          |ORDER BY rid""".stripMargin),
 
     "f3_non_positive" -> withCtes(dirtyCte)(
-      s"""SELECT rid, ROUND(open, 6) AS open, ROUND(low, 6) AS low
+      s"""SELECT rid, ${R("open", 6)} AS open, ${R("low", 6)} AS low
          |FROM dirty d
          |WHERE ${notNullPred("d")} AND $consistentPred AND $positivePred
          |ORDER BY rid""".stripMargin),
 
     "f4_dedup_keep_last" -> withCtes(stockCte, cleanCte, dedupCte)(
-      """SELECT symbol, "date", rid, ROUND(close, 6) AS close
-        |FROM dedup
-        |ORDER BY symbol, "date"""".stripMargin),
+      s"""SELECT symbol, "date", rid, ${R("close", 6)} AS close
+         |FROM dedup
+         |ORDER BY symbol, "date"""".stripMargin),
 
     "u1_union_all" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'O'
@@ -185,40 +192,39 @@ object OracleSql {
       "SELECT DISTINCT symbol FROM stock ORDER BY symbol"),
 
     "w1_lag_diff" -> withCtes(stockCte, cleanCte, dedupCte)(
-      """SELECT symbol, "date",
-        |  ROUND(close - LAG(close) OVER w, 6) AS daily_change
-        |FROM dedup WINDOW w AS (PARTITION BY symbol ORDER BY "date")
-        |ORDER BY symbol, "date"""".stripMargin),
+      s"""SELECT symbol, "date",
+         |  ${R("close - LAG(close) OVER w", 6)} AS daily_change
+         |FROM dedup WINDOW w AS (PARTITION BY symbol ORDER BY "date")
+         |ORDER BY symbol, "date"""".stripMargin),
 
     "w2_pct_change" -> withCtes(stockCte, cleanCte, dedupCte)(
-      """SELECT symbol, "date",
-        |  ROUND((close / LAG(close) OVER w - 1) * 100, 6) AS daily_change_percent
-        |FROM dedup WINDOW w AS (PARTITION BY symbol ORDER BY "date")
-        |ORDER BY symbol, "date"""".stripMargin),
+      s"""SELECT symbol, "date",
+         |  ${R("(close / LAG(close) OVER w - 1) * 100", 6)} AS daily_change_percent
+         |FROM dedup WINDOW w AS (PARTITION BY symbol ORDER BY "date")
+         |ORDER BY symbol, "date"""".stripMargin),
 
     "w3_ma5" -> withCtes(stockCte, cleanCte, dedupCte)(
-      """SELECT symbol, "date",
-        |  ROUND(AVG(close) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS ma_5
-        |FROM dedup WINDOW w AS (PARTITION BY symbol ORDER BY "date")
-        |ORDER BY symbol, "date"""".stripMargin),
+      s"""SELECT symbol, "date",
+         |  ${R("AVG(close) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)", 2)} AS ma_5
+         |FROM dedup WINDOW w AS (PARTITION BY symbol ORDER BY "date")
+         |ORDER BY symbol, "date"""".stripMargin),
 
     "w4_ma20" -> withCtes(stockCte, cleanCte, dedupCte)(
-      """SELECT symbol, "date",
-        |  ROUND(AVG(close) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) AS ma_20
-        |FROM dedup WINDOW w AS (PARTITION BY symbol ORDER BY "date")
-        |ORDER BY symbol, "date"""".stripMargin),
+      s"""SELECT symbol, "date",
+         |  ${R("AVG(close) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)", 2)} AS ma_20
+         |FROM dedup WINDOW w AS (PARTITION BY symbol ORDER BY "date")
+         |ORDER BY symbol, "date"""".stripMargin),
 
     "w5_volatility" -> withCtes(stockCte, cleanCte, dedupCte,
       """dcp AS (
         |  SELECT symbol, "date",
         |    (close / LAG(close) OVER (PARTITION BY symbol ORDER BY "date") - 1) * 100 AS dcp
         |  FROM dedup)""".stripMargin)(
-      """SELECT symbol, "date",
-        |  ROUND(STDDEV_SAMP(dcp) OVER
-        |    (PARTITION BY symbol ORDER BY "date" ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6)
-        |    AS volatility_indicator
-        |FROM dcp
-        |ORDER BY symbol, "date"""".stripMargin),
+      s"""SELECT symbol, "date",
+         |  ${R("STDDEV_SAMP(dcp) OVER (PARTITION BY symbol ORDER BY \"date\" ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)", 2)}
+         |    AS volatility_indicator
+         |FROM dcp
+         |ORDER BY symbol, "date"""".stripMargin),
 
     "a1_count" -> "SELECT COUNT(*) AS total_records FROM lineitem",
 
@@ -236,24 +242,264 @@ object OracleSql {
         |    (close / LAG(close) OVER (PARTITION BY symbol ORDER BY "date") - 1) * 100
         |      AS daily_change_percent
         |  FROM dedup)""".stripMargin)(
-      """SELECT ROUND(AVG(close), 6) AS avg_close,
-        |       ROUND(AVG(volume), 6) AS avg_volume,
-        |       ROUND(AVG(daily_change_percent), 6) AS avg_daily_change_percent
-        |FROM dcp""".stripMargin),
+      s"""SELECT ${R("AVG(close)", 2)} AS avg_close,
+         |       ${R("AVG(volume)", 2)} AS avg_volume,
+         |       ${R("AVG(daily_change_percent)", 2)} AS avg_daily_change_percent
+         |FROM dcp""".stripMargin),
 
     "a5_quantiles" -> withCtes(stockCte, cleanCte, dedupCte)(
-      """SELECT symbol,
-        |  ROUND(quantile_cont(volume, 0.25), 6) AS vol_q1,
-        |  ROUND(quantile_cont(volume, 0.50), 6) AS vol_q2,
-        |  ROUND(quantile_cont(volume, 0.75), 6) AS vol_q3
-        |FROM dedup GROUP BY symbol ORDER BY symbol""".stripMargin),
+      s"""SELECT symbol,
+         |  ${R("quantile_cont(volume, 0.25)", 6)} AS vol_q1,
+         |  ${R("quantile_cont(volume, 0.50)", 6)} AS vol_q2,
+         |  ${R("quantile_cont(volume, 0.75)", 6)} AS vol_q3
+         |FROM dedup GROUP BY symbol ORDER BY symbol""".stripMargin),
 
     "a7_stddev" -> withCtes(stockCte, cleanCte, dedupCte,
       """dcp AS (
         |  SELECT symbol,
         |    (close / LAG(close) OVER (PARTITION BY symbol ORDER BY "date") - 1) * 100 AS dcp
         |  FROM dedup)""".stripMargin)(
-      """SELECT symbol, ROUND(STDDEV_SAMP(dcp), 6) AS stddev_dcp
-        |FROM dcp GROUP BY symbol ORDER BY symbol""".stripMargin)
+      s"""SELECT symbol, ${R("STDDEV_SAMP(dcp)", 2)} AS stddev_dcp
+         |FROM dcp GROUP BY symbol ORDER BY symbol""".stripMargin)
+  ) ++ analyticsSql ++ scalarSql ++ joinSql
+
+  // ===== analytics / limits / quality =====================================
+
+  private lazy val feat1Ctes = Seq(stockCte, cleanCte, dedupCte, feat1Cte)
+  private lazy val feat2Ctes = feat1Ctes :+ feat2Cte
+
+  /** Per-symbol performance aggregate (rounded; mirrored by
+    * Performance.performanceTable + Queries.rounded). */
+  private lazy val perfCte: String =
+    s"""perf AS (
+       |  SELECT symbol,
+       |    ${R("arg_max(close, \"date\")", 2)} AS latest_close,
+       |    ${R("arg_min(close, \"date\")", 2)} AS first_close,
+       |    ${R("MIN(close)", 2)} AS min_close,
+       |    ${R("MAX(close)", 2)} AS max_close,
+       |    ${R("AVG(close)", 2)} AS avg_close,
+       |    ${R("AVG(daily_change_percent)", 2)} AS avg_daily_change_percent,
+       |    CAST(SUM(volume) AS BIGINT) AS total_volume,
+       |    ${R("(arg_max(close, \"date\") / arg_min(close, \"date\") - 1) * 100", 2)}
+       |      AS overall_change_percent
+       |  FROM feat1 GROUP BY symbol)""".stripMargin
+
+  private lazy val analyticsSql: Map[String, String] = Map(
+    "a6_performance" -> withCtes(feat1Ctes :+ perfCte: _*)(
+      "SELECT * FROM perf ORDER BY symbol"),
+
+    "o4_top_k" -> withCtes(feat1Ctes :+ perfCte: _*)(
+      "SELECT * FROM perf ORDER BY overall_change_percent DESC, symbol LIMIT 5"),
+
+    "a9_up_days" -> withCtes(feat2Ctes: _*)(
+      s"""SELECT CAST(SUM(CASE WHEN is_positive_day THEN 1 ELSE 0 END) AS BIGINT) AS positive_days,
+         |       ${R("AVG(CASE WHEN is_positive_day THEN 1 ELSE 0 END)", 6)} AS positive_day_ratio
+         |FROM feat2""".stripMargin),
+
+    "a10_value_counts" -> withCtes(feat2Ctes: _*)(
+      s"""SELECT $volatilityCategoryCase AS volatility_category, COUNT(*) AS "count"
+         |FROM feat2 GROUP BY 1
+         |ORDER BY "count" DESC, volatility_category""".stripMargin),
+
+    "a11_quality_report" -> withCtes(feat2Ctes :+
+      """qagg AS (
+        |  SELECT
+        |    AVG(CASE WHEN symbol IS NOT NULL THEN 1.0 ELSE 0.0 END) AS r_nn_symbol,
+        |    AVG(CASE WHEN "date" IS NOT NULL THEN 1.0 ELSE 0.0 END) AS r_nn_date,
+        |    AVG(CASE WHEN close IS NOT NULL THEN 1.0 ELSE 0.0 END) AS r_nn_close,
+        |    AVG(CASE WHEN open IS NULL THEN NULL WHEN open >= 0 AND open <= 10000 THEN 1.0 ELSE 0.0 END) AS r_bt_open,
+        |    AVG(CASE WHEN high IS NULL THEN NULL WHEN high >= 0 AND high <= 10000 THEN 1.0 ELSE 0.0 END) AS r_bt_high,
+        |    AVG(CASE WHEN low IS NULL THEN NULL WHEN low >= 0 AND low <= 10000 THEN 1.0 ELSE 0.0 END) AS r_bt_low,
+        |    AVG(CASE WHEN close IS NULL THEN NULL WHEN close >= 0 AND close <= 10000 THEN 1.0 ELSE 0.0 END) AS r_bt_close,
+        |    AVG(CASE WHEN volume IS NULL THEN NULL WHEN volume >= 0 THEN 1.0 ELSE 0.0 END) AS r_bt_volume,
+        |    AVG(CASE WHEN daily_change_percent IS NULL THEN NULL WHEN daily_change_percent >= -50 AND daily_change_percent <= 50 THEN 1.0 ELSE 0.0 END) AS r_bt_dcp,
+        |    AVG(CASE WHEN high IS NULL OR low IS NULL THEN NULL WHEN high > low THEN 1.0 ELSE 0.0 END) AS r_pair,
+        |    CAST(COUNT(DISTINCT (symbol, "date")) AS DOUBLE) / COUNT(*) AS r_unique
+        |  FROM feat2)""".stripMargin: _*)(
+      s"""SELECT check_name, ${R("observed_ratio", 6)} AS observed_ratio, threshold,
+         |       observed_ratio >= threshold AS passed
+         |FROM (
+         |  SELECT 'exists:symbol' AS check_name, 1.0 AS observed_ratio, 1.0 AS threshold FROM qagg
+         |  UNION ALL SELECT 'exists:date', 1.0, 1.0 FROM qagg
+         |  UNION ALL SELECT 'exists:close', 1.0, 1.0 FROM qagg
+         |  UNION ALL SELECT 'exists:volume', 1.0, 1.0 FROM qagg
+         |  UNION ALL SELECT 'not_null:symbol', r_nn_symbol, 1.0 FROM qagg
+         |  UNION ALL SELECT 'not_null:date', r_nn_date, 1.0 FROM qagg
+         |  UNION ALL SELECT 'not_null:close', r_nn_close, 1.0 FROM qagg
+         |  UNION ALL SELECT 'between:open:0:10000', r_bt_open, 1.0 FROM qagg
+         |  UNION ALL SELECT 'between:high:0:10000', r_bt_high, 1.0 FROM qagg
+         |  UNION ALL SELECT 'between:low:0:10000', r_bt_low, 1.0 FROM qagg
+         |  UNION ALL SELECT 'between:close:0:10000', r_bt_close, 1.0 FROM qagg
+         |  UNION ALL SELECT 'between:volume:0:inf', r_bt_volume, 1.0 FROM qagg
+         |  UNION ALL SELECT 'between:daily_change_percent:-50:50', r_bt_dcp, 0.95 FROM qagg
+         |  UNION ALL SELECT 'pair:high_gt_low', r_pair, 1.0 FROM qagg
+         |  UNION ALL SELECT 'compound_unique:symbol_date', r_unique, 1.0 FROM qagg)
+         |ORDER BY check_name""".stripMargin),
+
+    "x7_predictions" -> withCtes(feat1Ctes ++ Seq(
+      """ranked AS (
+        |  SELECT symbol, "date", close, ma_5, ma_20, daily_change_percent,
+        |         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY "date" DESC) AS rn
+        |  FROM feat1)""".stripMargin,
+      """per AS (
+        |  SELECT symbol,
+        |         COUNT(*) AS n_days,
+        |         arg_max(close, "date") AS ma_current_price,
+        |         arg_max(ma_5, "date") AS ma5,
+        |         arg_max(ma_20, "date") AS ma20,
+        |         MAX("date") AS cur_date,
+        |         STDDEV_SAMP(CASE WHEN rn <= 5 THEN daily_change_percent END) AS recent_volatility,
+        |         AVG(CASE WHEN rn <= 5 THEN daily_change_percent END) AS avg_daily_change
+        |  FROM ranked GROUP BY symbol)""".stripMargin,
+      """pred AS (
+        |  SELECT *,
+        |    CASE WHEN ma5 > ma20 THEN 'BULLISH' ELSE 'BEARISH' END AS trend,
+        |    CASE WHEN ma5 > ma20 THEN (ma5 - ma20) / ma20 * 100
+        |         ELSE (ma20 - ma5) / ma20 * 100 END AS ts_raw
+        |  FROM per WHERE n_days >= 20)""".stripMargin,
+      """pred2 AS (
+        |  SELECT *,
+        |    CASE WHEN trend = 'BULLISH' THEN LEAST(ts_raw * 0.3 + avg_daily_change * 0.7, 5.0)
+        |         ELSE GREATEST(-ts_raw * 0.3 + avg_daily_change * 0.7, -5.0) END AS pcp_raw
+        |  FROM pred)""".stripMargin): _*)(
+      s"""SELECT symbol,
+         |  ${R("ma_current_price", 2)} AS current_price,
+         |  ${R("ma_current_price * (pcp_raw / 100 + 1)", 2)} AS predicted_price,
+         |  ${R("ma_current_price * (pcp_raw / 100 + 1) - ma_current_price", 2)} AS predicted_change,
+         |  ${R("pcp_raw", 2)} AS predicted_change_percent,
+         |  trend,
+         |  ${R("ts_raw", 2)} AS trend_strength,
+         |  CASE WHEN ts_raw > 5 AND recent_volatility < 2 THEN 'HIGH'
+         |       WHEN ts_raw > 2 AND recent_volatility < 4 THEN 'MEDIUM'
+         |       ELSE 'LOW' END AS confidence,
+         |  ${R("ma5", 2)} AS ma_5,
+         |  ${R("ma20", 2)} AS ma_20,
+         |  ${R("recent_volatility", 2)} AS recent_volatility,
+         |  strftime(cur_date + INTERVAL 1 DAY, '%Y-%m-%d') AS prediction_date,
+         |  strftime(cur_date, '%Y-%m-%d') AS "current_date"
+         |FROM pred2
+         |ORDER BY predicted_change_percent DESC, symbol""".stripMargin),
+
+    "w6_signals" -> withCtes(feat1Ctes ++ Seq(
+      """last10 AS (
+        |  SELECT * FROM (
+        |    SELECT symbol, "date", close, ma_5, ma_20,
+        |           ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY "date" DESC) AS rn
+        |    FROM feat1) WHERE rn <= 10)""".stripMargin,
+      """lagged AS (
+        |  SELECT *, LAG(ma_5) OVER w AS prev5, LAG(ma_20) OVER w AS prev20
+        |  FROM last10 WINDOW w AS (PARTITION BY symbol ORDER BY "date"))""".stripMargin,
+      """sig AS (
+        |  SELECT *, CASE WHEN prev5 <= prev20 AND ma_5 > ma_20 THEN 'BUY'
+        |                 WHEN prev5 >= prev20 AND ma_5 < ma_20 THEN 'SELL' END AS signal
+        |  FROM lagged WHERE prev5 IS NOT NULL)""".stripMargin,
+      """maxd AS (SELECT MAX("date") AS md FROM feat1)""") : _*)(
+      s"""SELECT symbol, signal,
+         |  CASE WHEN signal = 'BUY' THEN 'Golden Cross' ELSE 'Death Cross' END AS signal_type,
+         |  "date", ${R("close", 6)} AS price, ${R("ma_5", 2)} AS ma_5, ${R("ma_20", 2)} AS ma_20,
+         |  CAST(datediff('day', "date", md) AS INTEGER) AS days_ago
+         |FROM sig, maxd WHERE signal IS NOT NULL
+         |ORDER BY "date" DESC, symbol""".stripMargin),
+
+    "o3_sort_limit" -> withCtes(stockCte)(
+      s"""SELECT symbol, "date", rid, ${R("close", 6)} AS close
+         |FROM stock ORDER BY "date" DESC, rid LIMIT 2000""".stripMargin),
+
+    "o6_stride_sample" -> withCtes(stockCte)(
+      s"""SELECT rid, symbol, ${R("close", 6)} AS close
+         |FROM stock WHERE rid % 13 = 0 ORDER BY rid""".stripMargin),
+
+    "s4_scan_limit" -> withCtes(feat1Ctes: _*)(
+      s"""SELECT symbol, "date", ${R("close", 6)} AS close,
+         |       ${R("ma_5", 2)} AS ma_5, ${R("ma_20", 2)} AS ma_20
+         |FROM feat1 ORDER BY "date" DESC, symbol LIMIT 2000""".stripMargin),
+
+    "st1_tumbling_window" ->
+      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+         |       event_type, COUNT(*) AS n_events,
+         |       ${R("AVG(value)", 2)} AS avg_value,
+         |       ${R("SUM(value)", 2)} AS sum_value
+         |FROM events GROUP BY 1, 2
+         |ORDER BY window_start, event_type""".stripMargin
+  )
+
+  // ===== scalar functions ==================================================
+
+  private lazy val scalarSql: Map[String, String] = Map(
+    "x2_calendar" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS d,
+        |  CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS year,
+        |  CAST(month(CAST(o_orderdate AS DATE)) AS INTEGER) AS month,
+        |  CAST(quarter(CAST(o_orderdate AS DATE)) AS INTEGER) AS quarter,
+        |  CAST(isodow(CAST(o_orderdate AS DATE)) - 1 AS INTEGER) AS day_of_week,
+        |  CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INTEGER) AS week_of_year
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "x3_date_arith" ->
+      """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders),
+        |m AS (SELECT MAX(d) AS max_d FROM o)
+        |SELECT o_orderkey,
+        |  strftime(d + INTERVAL 1 DAY, '%Y-%m-%d') AS next_date,
+        |  strftime(d, '%Y-%m-%d') AS formatted_date,
+        |  CAST(datediff('day', d, max_d) AS INTEGER) AS days_from_max
+        |FROM o, m ORDER BY o_orderkey""".stripMargin,
+
+    "x8_round_format" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  ${R("l_extendedprice", 2)} AS price_rounded,
+         |  '$$' || CAST(${R("l_extendedprice", 2)} AS VARCHAR) AS price_label
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "x9_string_ops" ->
+      """SELECT p_partkey,
+        |  UPPER(p_brand) AS brand_upper,
+        |  TRIM('  ' || p_name || '  ') AS name_trimmed,
+        |  string_split(p_type, ' ')[1] AS type_first_word,
+        |  CAST(len(string_split(p_type, ' ')) AS INTEGER) AS type_word_count
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "x10_null_handling" -> withCtes(dirtyCte)(
+      s"""SELECT rid,
+         |  CASE WHEN open IS NULL THEN 'N/A' ELSE CAST(${R("open", 2)} AS VARCHAR) END AS open_display,
+         |  ${R("COALESCE(open, 0.0)", 6)} AS open_filled
+         |FROM dirty ORDER BY rid""".stripMargin),
+
+    "x11_json_access" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value,
+        |  event_type
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+
+  // ===== joins =============================================================
+
+  private lazy val joinSql: Map[String, String] = Map(
+    "j1_join_dims" ->
+      s"""SELECT r_name, n_name, COUNT(*) AS n_orders,
+         |       ${R("SUM(o_totalprice)", 2)} AS revenue
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "j2_semi_anti" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM customer c
+        |     WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+        |    AS customers_with_orders,
+        |  (SELECT COUNT(*) FROM customer c
+        |     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+        |    AS customers_without_orders""".stripMargin,
+
+    "j3_left_join_agg" ->
+      s"""SELECT c_mktsegment,
+         |  COUNT(DISTINCT c_custkey) AS n_customers,
+         |  COUNT(o_orderkey) AS n_orders,
+         |  ${R("COALESCE(SUM(o_totalprice), 0)", 2)} AS total_revenue,
+         |  ${R("AVG(o_totalprice)", 2)} AS avg_order_value
+         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   )
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.io.Sources
 import graft.model.Schemas
-import graft.ops.{Cleaning, Derive}
+import graft.ops.{Cleaning, Derive, Num}
 import graft.analytics.{Performance, Predictions, Summary}
 
 /** Named correctness queries over the driver test corpus, one per operator in
@@ -16,11 +16,13 @@ import graft.analytics.{Performance, Predictions, Summary}
   */
 object Queries {
 
-  /** Round the named double columns to `scale` decimals for engine-agnostic
-    * hash comparison (window/agg summation order differs across engines by
-    * ULPs). */
+  /** Tie-safe rounding of the named double columns for engine-agnostic hash
+    * comparison (graft.ops.Num). Scale 6 for per-row arithmetic
+    * (bit-identical across engines); scale 2 for values built from
+    * multi-term floating aggregation, where summation order differs across
+    * engines by ~1e-9. */
   def rounded(df: DataFrame, cols: Seq[String], scale: Int = 6): DataFrame =
-    cols.foldLeft(df)((d, c) => d.withColumn(c, round(col(c), scale)))
+    cols.foldLeft(df)((d, c) => d.withColumn(c, Num.cround(col(c), scale)))
 
   private val ohlcDoubles = Seq("open", "high", "low", "close")
 
@@ -56,10 +58,10 @@ object Queries {
   def pipelineFeatures(s: SparkSession, dir: String): DataFrame = {
     val feats = features(s, dir).withColumn("data_source", lit("graft"))
     val ordered = Cleaning.reorderColumns(feats, Schemas.featureColumns)
-    rounded(ordered, ohlcDoubles ++ Seq(
-      "daily_change", "daily_change_percent", "price_range",
-      "price_range_percent", "volatility_indicator", "ma_5", "ma_20",
-      "price_vs_ma5", "price_vs_ma20"))
+    val rowExact = rounded(ordered, ohlcDoubles ++ Seq(
+      "daily_change", "daily_change_percent", "price_range", "price_range_percent"))
+    rounded(rowExact, Seq("volatility_indicator", "ma_5", "ma_20",
+      "price_vs_ma5", "price_vs_ma20"), 2)
       .orderBy("symbol", "date")
   }
 
@@ -115,18 +117,18 @@ object Queries {
 
   def w3Ma5(s: SparkSession, dir: String): DataFrame =
     windowQuery(s, dir)(df => rounded(df.select(col("symbol"), col("date"),
-      avg("close").over(w.rowsBetween(-4, 0)).as("ma_5")), Seq("ma_5")))
+      avg("close").over(w.rowsBetween(-4, 0)).as("ma_5")), Seq("ma_5"), 2))
 
   def w4Ma20(s: SparkSession, dir: String): DataFrame =
     windowQuery(s, dir)(df => rounded(df.select(col("symbol"), col("date"),
-      avg("close").over(w.rowsBetween(-19, 0)).as("ma_20")), Seq("ma_20")))
+      avg("close").over(w.rowsBetween(-19, 0)).as("ma_20")), Seq("ma_20"), 2))
 
   def w5Volatility(s: SparkSession, dir: String): DataFrame =
     windowQuery(s, dir)(df => rounded(df
       .withColumn("dcp", (col("close") / lag("close", 1).over(w) - 1) * 100)
       .select(col("symbol"), col("date"),
         stddev_samp("dcp").over(w.rowsBetween(-19, 0)).as("volatility_indicator")),
-      Seq("volatility_indicator")))
+      Seq("volatility_indicator"), 2))
 
   // ===== aggregates (A1-A5, A7) ============================================
 
@@ -148,7 +150,7 @@ object Queries {
       avg(col("close")).as("avg_close"),
       avg(col("volume")).as("avg_volume"),
       avg(col("daily_change_percent")).as("avg_daily_change_percent")),
-      Seq("avg_close", "avg_volume", "avg_daily_change_percent"))
+      Seq("avg_close", "avg_volume", "avg_daily_change_percent"), 2)
   }
 
   def a5Quantiles(s: SparkSession, dir: String): DataFrame =
@@ -159,8 +161,171 @@ object Queries {
     val f = cleanedStock(s, dir).drop("rid")
       .withColumn("dcp", (col("close") / lag("close", 1).over(w) - 1) * 100)
     rounded(f.groupBy("symbol").agg(stddev_samp(col("dcp")).as("stddev_dcp")),
-      Seq("stddev_dcp")).orderBy("symbol")
+      Seq("stddev_dcp"), 2).orderBy("symbol")
   }
+
+  // ===== analytics (A6, A9, A10, X7, W6) ===================================
+
+  def a6Performance(s: SparkSession, dir: String): DataFrame =
+    rounded(Performance.performanceTable(features(s, dir)),
+      Seq("latest_close", "first_close", "min_close", "max_close", "avg_close",
+        "avg_daily_change_percent", "overall_change_percent"), 2)
+      .orderBy("symbol")
+
+  def a9UpDays(s: SparkSession, dir: String): DataFrame =
+    rounded(Summary.upDayStats(features(s, dir)), Seq("positive_day_ratio"))
+
+  def a10ValueCounts(s: SparkSession, dir: String): DataFrame =
+    Summary.valueCounts(features(s, dir), "volatility_category")
+
+  def x7Predictions(s: SparkSession, dir: String): DataFrame =
+    Predictions.nextDayForecast(features(s, dir))
+
+  def w6Signals(s: SparkSession, dir: String): DataFrame =
+    rounded(rounded(Predictions.tradingSignals(features(s, dir)),
+      Seq("price")), Seq("ma_5", "ma_20"), 2)
+      .orderBy(desc("date"), col("symbol"))
+
+  def a11QualityReport(s: SparkSession, dir: String): DataFrame =
+    graft.quality.Expectations.qualityReport(features(s, dir))
+
+  // ===== sorts / limits (O3, O4, O6, S4) ===================================
+
+  def o3SortLimit(s: SparkSession, dir: String): DataFrame =
+    rounded(Sources.stockFromLineitem(s, dir)
+      .select(col("symbol"), col("date"), col("rid"), col("close")),
+      Seq("close"))
+      .orderBy(desc("date"), col("rid")).limit(2000)
+
+  def o4TopK(s: SparkSession, dir: String): DataFrame = {
+    val perf = rounded(Performance.performanceTable(features(s, dir)),
+      Seq("latest_close", "first_close", "min_close", "max_close", "avg_close",
+        "avg_daily_change_percent", "overall_change_percent"), 2)
+    Performance.topK(perf, "overall_change_percent", 5)
+  }
+
+  def o6StrideSample(s: SparkSession, dir: String): DataFrame =
+    rounded(Sources.stockFromLineitem(s, dir), Seq("close"))
+      .filter(col("rid") % 13 === 0)
+      .select("rid", "symbol", "close")
+      .orderBy("rid")
+
+  def s4ScanLimit(s: SparkSession, dir: String): DataFrame = {
+    val f = features(s, dir).select("symbol", "date", "close", "ma_5", "ma_20")
+    rounded(rounded(f, Seq("close")), Seq("ma_5", "ma_20"), 2)
+      .orderBy(desc("date"), col("symbol")).limit(2000)
+  }
+
+  // ===== scalar functions (X2, X3, X8, X9, X10, X11) =======================
+
+  def x2Calendar(s: SparkSession, dir: String): DataFrame =
+    Sources.orders(s, dir).select(
+      col("o_orderkey"),
+      col("o_orderdate").cast("date").as("d"),
+      year(col("o_orderdate").cast("date")).as("year"),
+      month(col("o_orderdate").cast("date")).as("month"),
+      quarter(col("o_orderdate").cast("date")).as("quarter"),
+      weekday(col("o_orderdate").cast("date")).as("day_of_week"),
+      weekofyear(col("o_orderdate").cast("date")).as("week_of_year"))
+      .orderBy("o_orderkey")
+
+  def x3DateArith(s: SparkSession, dir: String): DataFrame = {
+    val o = Sources.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("d"))
+    val maxd = o.agg(max(col("d")).as("max_d"))
+    o.crossJoin(broadcast(maxd)).select(
+      col("o_orderkey"),
+      date_format(date_add(col("d"), 1), "yyyy-MM-dd").as("next_date"),
+      date_format(col("d"), "yyyy-MM-dd").as("formatted_date"),
+      datediff(col("max_d"), col("d")).as("days_from_max"))
+      .orderBy("o_orderkey")
+  }
+
+  def x8RoundFormat(s: SparkSession, dir: String): DataFrame =
+    Sources.lineitem(s, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      Num.cround(col("l_extendedprice"), 2).as("price_rounded"),
+      concat(lit("$"), Num.cround(col("l_extendedprice"), 2).cast("string")).as("price_label"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  def x9StringOps(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "part").select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_upper"),
+      trim(concat(lit("  "), col("p_name"), lit("  "))).as("name_trimmed"),
+      element_at(split(col("p_type"), " "), 1).as("type_first_word"),
+      size(split(col("p_type"), " ")).as("type_word_count"))
+      .orderBy("p_partkey")
+
+  def x10NullHandling(s: SparkSession, dir: String): DataFrame =
+    dirtyStock(s, dir).select(
+      col("rid"),
+      when(col("open").isNull, "N/A")
+        .otherwise(Num.cround(col("open"), 2).cast("string")).as("open_display"),
+      Num.cround(coalesce(col("open"), lit(0.0)), 6).as("open_filled"))
+      .orderBy("rid")
+
+  def x11JsonAccess(s: SparkSession, dir: String): DataFrame =
+    Sources.events(s, dir).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("int").as("k_value"),
+      col("event_type"))
+      .orderBy("event_id")
+
+  // ===== joins (beyond-reference; engine must support them) ================
+
+  def j1JoinDims(s: SparkSession, dir: String): DataFrame = {
+    val o = Sources.orders(s, dir)
+    val c = Sources.customer(s, dir)
+    val n = Sources.nation(s, dir)
+    val r = Sources.region(s, dir)
+    rounded(o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice")).as("revenue")),
+      Seq("revenue"), 2)
+      .orderBy("r_name", "n_name")
+  }
+
+  def j2SemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = Sources.customer(s, dir)
+    val o = Sources.orders(s, dir)
+    val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("customers_with_orders"))
+    val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("customers_without_orders"))
+    semi.crossJoin(anti)
+  }
+
+  def j3LeftJoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val c = Sources.customer(s, dir)
+    val o = Sources.orders(s, dir)
+    rounded(c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_mktsegment")
+      .agg(
+        countDistinct(col("c_custkey")).as("n_customers"),
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(sum(col("o_totalprice")), lit(0.0)).as("total_revenue"),
+        avg(col("o_totalprice")).as("avg_order_value")),
+      Seq("total_revenue", "avg_order_value"), 2)
+      .orderBy("c_mktsegment")
+  }
+
+  // ===== streaming-shaped (tumbling window over events) ====================
+
+  def st1TumblingWindow(s: SparkSession, dir: String): DataFrame =
+    rounded(Sources.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        avg(col("value")).as("avg_value"),
+        sum(col("value")).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("avg_value"), col("sum_value")),
+      Seq("avg_value", "sum_value"), 2)
+      .orderBy("window_start", "event_type")
 
   // ===== registry ==========================================================
 
@@ -182,6 +347,26 @@ object Queries {
     "a3_minmax_date" -> (a3MinMaxDate _),
     "a4_avg_table" -> (a4AvgTable _),
     "a5_quantiles" -> (a5Quantiles _),
-    "a7_stddev" -> (a7Stddev _)
+    "a7_stddev" -> (a7Stddev _),
+    "a6_performance" -> (a6Performance _),
+    "a9_up_days" -> (a9UpDays _),
+    "a10_value_counts" -> (a10ValueCounts _),
+    "a11_quality_report" -> (a11QualityReport _),
+    "x7_predictions" -> (x7Predictions _),
+    "w6_signals" -> (w6Signals _),
+    "o3_sort_limit" -> (o3SortLimit _),
+    "o4_top_k" -> (o4TopK _),
+    "o6_stride_sample" -> (o6StrideSample _),
+    "s4_scan_limit" -> (s4ScanLimit _),
+    "x2_calendar" -> (x2Calendar _),
+    "x3_date_arith" -> (x3DateArith _),
+    "x8_round_format" -> (x8RoundFormat _),
+    "x9_string_ops" -> (x9StringOps _),
+    "x10_null_handling" -> (x10NullHandling _),
+    "x11_json_access" -> (x11JsonAccess _),
+    "j1_join_dims" -> (j1JoinDims _),
+    "j2_semi_anti" -> (j2SemiAnti _),
+    "j3_left_join_agg" -> (j3LeftJoinAgg _),
+    "st1_tumbling_window" -> (st1TumblingWindow _)
   )
 }

@@ -3,6 +3,7 @@ package graft.analytics
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Num.cround
 
 /** MA-crossover trading signals and rule-based next-day forecasts
   * (reference: src/predictions.py, operators W6-W8 / X7 / A7-A8).
@@ -61,16 +62,16 @@ object Predictions {
         date_format(date_add(col("current_date"), 1), "yyyy-MM-dd"))
       .select(
         col("symbol"),
-        round(col("current_price"), 2).as("current_price"),
-        round(col("predicted_price"), 2).as("predicted_price"),
-        round(col("predicted_price") - col("current_price"), 2).as("predicted_change"),
-        round(col("predicted_change_percent"), 2).as("predicted_change_percent"),
+        cround(col("current_price"), 2).as("current_price"),
+        cround(col("predicted_price"), 2).as("predicted_price"),
+        cround(col("predicted_price") - col("current_price"), 2).as("predicted_change"),
+        cround(col("predicted_change_percent"), 2).as("predicted_change_percent"),
         col("trend"),
-        round(col("trend_strength"), 2).as("trend_strength"),
+        cround(col("trend_strength"), 2).as("trend_strength"),
         col("confidence"),
-        round(col("ma5"), 2).as("ma_5"),
-        round(col("ma20"), 2).as("ma_20"),
-        round(col("recent_volatility"), 2).as("recent_volatility"),
+        cround(col("ma5"), 2).as("ma_5"),
+        cround(col("ma20"), 2).as("ma_20"),
+        cround(col("recent_volatility"), 2).as("recent_volatility"),
         col("prediction_date"),
         date_format(col("current_date"), "yyyy-MM-dd").as("current_date"))
       .orderBy(desc("predicted_change_percent"), col("symbol"))

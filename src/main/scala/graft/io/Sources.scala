@@ -20,7 +20,18 @@ object Sources {
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
   def nation(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "events")
+  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark only reads as
+    * LongType (spark.sql.legacy.parquet.nanosAsLong=true — set in Verify/
+    * Bench/test sessions). Normalize to a microsecond timestamp with integer
+    * division (ns magnitudes exceed double precision). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => df
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 

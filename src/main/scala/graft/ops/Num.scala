@@ -1,0 +1,23 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Tie-safe rounding for cross-engine value comparison.
+  *
+  * Plain ROUND(x, s) is NOT portable: for a value whose shortest decimal
+  * representation ends in 5 at scale s+1 (common when inputs have fixed
+  * decimal precision), Spark rounds the exact binary expansion of the double
+  * (e.g. 0.605 -> 0.60499999... -> 0.60) while DuckDB rounds the decimal
+  * rendering (0.605 -> 0.61). Nudging the value down by a hair
+  * (|x|*1e-12 + 1e-9 — far below any comparison scale, far above double ulp
+  * at price magnitudes) moves it off the tie so every engine agrees.
+  */
+object Num {
+  def cround(c: Column, scale: Int): Column =
+    round(c - (abs(c) * lit(1e-12) + lit(1e-9)), scale)
+
+  /** SQL rendering of the same expression (DuckDB oracle side). */
+  def croundSql(expr: String, scale: Int): String =
+    s"ROUND($expr - (ABS($expr) * 1e-12 + 1e-9), $scale)"
+}
