@@ -261,7 +261,7 @@ object OracleSql {
         |  FROM dedup)""".stripMargin)(
       s"""SELECT symbol, ${R("STDDEV_SAMP(dcp)", 2)} AS stddev_dcp
          |FROM dcp GROUP BY symbol ORDER BY symbol""".stripMargin)
-  ) ++ analyticsSql ++ scalarSql ++ joinSql
+  ) ++ analyticsSql ++ scalarSql ++ joinSql ++ extSql
 
   // ===== analytics / limits / quality =====================================
 
@@ -501,5 +501,200 @@ object OracleSql {
          |  ${R("AVG(o_totalprice)", 2)} AS avg_order_value
          |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  )
+
+  // ===== training-data extensions ==========================================
+
+  /** Tokenize + trigram-shingle the documents table (1-based lists in
+    * DuckDB vs 0-based arrays in Spark — same trigram content). */
+  private lazy val toksCte =
+    "toks AS (SELECT doc_id, lang, text, string_split(text, ' ') AS tok FROM documents)"
+  private lazy val shCte =
+    """sh AS (
+      |  SELECT doc_id, text,
+      |    list_transform(range(1, greatest(len(tok) - 1, 1)),
+      |                   i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]) AS shingles
+      |  FROM toks)""".stripMargin
+  private lazy val shxCte =
+    "shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh)"
+
+  /** 16 seeded-md5 minhash mins, as in Dedup.minhashSignatures. */
+  private lazy val sigCte: String = {
+    val mins = (0 until 16).map(b =>
+      s"MIN(substr(md5('$b:' || shingle), 1, 16)) AS mh_$b").mkString(",\n         ")
+    s"sig AS (\n  SELECT doc_id,\n         $mins\n  FROM shx GROUP BY doc_id)"
+  }
+
+  private lazy val bandsCte: String = {
+    val rows = (0 until 8).map(b =>
+      s"SELECT doc_id, $b AS band, mh_${2 * b} || mh_${2 * b + 1} AS band_value FROM sig")
+    "bands AS (\n  " + rows.mkString("\n  UNION ALL ") + ")"
+  }
+
+  /** Embedding unnest (double-cast element math mirrors Spark's
+    * zip_with/aggregate fold; DuckDB's list_dot_product is float-precision
+    * and would NOT hash-match). */
+  private def embUnnestCte(pred: String): String =
+    s"""u AS (
+       |  SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings$pred)""".stripMargin
+  private lazy val normCte =
+    """nrm AS (
+      |  SELECT vec_id, SQRT(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nv
+      |  FROM u GROUP BY vec_id)""".stripMargin
+
+  private lazy val enList = "'the', 'a', 'of', 'and', 'to', 'in', 'is'"
+
+  private lazy val extSql: Map[String, String] = Map(
+    "d1_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
+
+    "d2_minhash_lsh" -> withCtes(toksCte, shCte, shxCte, sigCte, bandsCte)(
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.band_value = b.band_value AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin),
+
+    "d3_simhash" -> {
+      val votes = (0 until 16).map(i =>
+        s"SUM(CASE WHEN (h // ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END) AS s_$i")
+        .mkString(",\n         ")
+      val assembled = (0 until 16)
+        .map(i => s"CASE WHEN s_$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+      withCtes(toksCte,
+        "tokx AS (SELECT doc_id, unnest(tok) AS t FROM toks)",
+        "hs AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS h FROM tokx)",
+        s"votes AS (\n  SELECT doc_id,\n         $votes\n  FROM hs GROUP BY doc_id)")(
+        s"SELECT doc_id, CAST($assembled AS BIGINT) AS simhash FROM votes ORDER BY doc_id")
+    },
+
+    "d4_ngram_jaccard" -> withCtes(toksCte, shCte, shxCte,
+      "shd AS (SELECT DISTINCT doc_id, shingle FROM shx WHERE doc_id % 10 = 0)",
+      "sz AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY 1)",
+      """it AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_common
+        |  FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)""".stripMargin)(
+      s"""SELECT da AS doc_a, db AS doc_b, n_common, sa.n AS n_a, sb.n AS n_b,
+         |  ${R("CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)", 6)} AS jaccard
+         |FROM it JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+         |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.2
+         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    "d5_embedding_neardup" -> withCtes(
+      embUnnestCte(" WHERE vec_id % 10 = 0"), normCte,
+      """dt AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb,
+        |         SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dp
+        |  FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2)""".stripMargin)(
+      s"""SELECT va AS vec_a, vb AS vec_b,
+         |  ${R("dp / (na.nv * nb.nv)", 6)} AS cosine
+         |FROM dt JOIN nrm na ON na.vec_id = va JOIN nrm nb ON nb.vec_id = vb
+         |WHERE dp / (na.nv * nb.nv) >= 0.3
+         |ORDER BY vec_a, vec_b""".stripMargin),
+
+    "sim1_cosine_topk" -> withCtes(
+      embUnnestCte(""), normCte,
+      """qd AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |         SUM(CAST(q.v AS DOUBLE) * CAST(c.v AS DOUBLE)) AS dp
+        |  FROM u q JOIN u c ON q.i = c.i AND q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id
+        |  GROUP BY 1, 2)""".stripMargin,
+      s"""sc AS (
+         |  SELECT query_id, qd.vec_id,
+         |         ${R("dp / (nq.nv * nc.nv)", 6)} AS cosine
+         |  FROM qd JOIN nrm nq ON nq.vec_id = query_id
+         |           JOIN nrm nc ON nc.vec_id = qd.vec_id)""".stripMargin)(
+      """SELECT query_id, rank, vec_id, cosine FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM sc)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    "sim2_lsh_topk" -> withCtes(
+      embUnnestCte(""), normCte,
+      """pl AS (
+        |  SELECT p, d,
+        |    (CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 8)) AS BIGINT)
+        |     % 2001 - 1000) / 1000.0 AS w
+        |  FROM range(0, 8) t1(p), range(1, 65) t2(d))""".stripMargin,
+      """pd AS (
+        |  SELECT u.vec_id, pl.p, SUM(CAST(u.v AS DOUBLE) * pl.w) AS pdot
+        |  FROM u JOIN pl ON pl.d = u.i GROUP BY 1, 2)""".stripMargin,
+      """bu AS (
+        |  SELECT vec_id,
+        |         CAST(SUM(CASE WHEN pdot > 0 THEN CAST(POWER(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM pd GROUP BY 1)""".stripMargin,
+      "qs AS (SELECT vec_id AS query_id, bucket FROM bu WHERE vec_id % 100 = 0)",
+      """cand AS (
+        |  SELECT qs.query_id, bu.vec_id, qs.bucket
+        |  FROM qs JOIN bu ON bu.bucket = qs.bucket AND bu.vec_id <> qs.query_id)""".stripMargin,
+      """cd AS (
+        |  SELECT c.query_id, c.vec_id, c.bucket,
+        |         SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dp
+        |  FROM cand c JOIN u a ON a.vec_id = c.query_id
+        |              JOIN u b ON b.vec_id = c.vec_id AND b.i = a.i
+        |  GROUP BY 1, 2, 3)""".stripMargin,
+      s"""sc AS (
+         |  SELECT query_id, cd.vec_id, bucket,
+         |         ${R("dp / (nq.nv * nc.nv)", 6)} AS cosine
+         |  FROM cd JOIN nrm nq ON nq.vec_id = query_id
+         |           JOIN nrm nc ON nc.vec_id = cd.vec_id)""".stripMargin)(
+      """SELECT query_id, rank, vec_id, bucket, cosine FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM sc)
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+
+    "t1_lang_id" -> withCtes(toksCte,
+      s"""scs AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(list_filter(tok, t -> t IN ($enList))) AS INTEGER) AS score_en,
+         |    CAST(len(list_filter(tok, t -> t IN ('der', 'die', 'das', 'und', 'nicht', 'ist'))) AS INTEGER) AS score_de,
+         |    CAST(len(list_filter(tok, t -> t IN ('el', 'la', 'que', 'y', 'en', 'los'))) AS INTEGER) AS score_es,
+         |    CAST(len(list_filter(tok, t -> t IN ('le', 'les', 'des', 'et', 'une', 'dans'))) AS INTEGER) AS score_fr
+         |  FROM toks)""".stripMargin)(
+      """SELECT doc_id, lang, score_en, score_de, score_es, score_fr,
+        |  CASE WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr AND score_en > 0 THEN 'en'
+        |       WHEN score_de >= score_es AND score_de >= score_fr AND score_de > 0 THEN 'de'
+        |       WHEN score_es >= score_fr AND score_es > 0 THEN 'es'
+        |       WHEN score_fr > 0 THEN 'fr'
+        |       ELSE 'und' END AS detected_lang
+        |FROM scs ORDER BY doc_id""".stripMargin),
+
+    "t2_quality_score" -> {
+      val punct = "CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)"
+      val stop = s"CAST(len(list_filter(tok, t -> t IN ($enList))) AS DOUBLE) / len(tok)"
+      withCtes(toksCte)(
+        s"""SELECT doc_id,
+           |  CAST(len(tok) AS INTEGER) AS n_tokens,
+           |  CAST(length(text) AS INTEGER) AS text_len,
+           |  ${R(punct, 6)} AS punct_ratio,
+           |  ${R(stop, 6)} AS stopword_ratio,
+           |  ${R(s"0.4 * LEAST(CAST(len(tok) AS DOUBLE) / 100, 1.0) + 0.3 * (1.0 - $punct) + 0.3 * LEAST($stop * 5, 1.0)", 6)} AS quality_score
+           |FROM toks ORDER BY doc_id""".stripMargin)
+    },
+
+    "t3_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER) AS word_tokens,
+        |  CAST(CEIL(length(text) / 4.0) AS BIGINT) AS bpe_estimate
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t4_fingerprint" -> withCtes(toksCte, shCte)(
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS md5_fingerprint,
+        |  list_min(list_transform(shingles, s -> substr(md5(s), 1, 16))) AS min_shingle_fingerprint
+        |FROM sh ORDER BY doc_id""".stripMargin),
+
+    "m1_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        |  CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+        |  CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
+        |  octet_length(encode(text)) > 0 AS ok
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

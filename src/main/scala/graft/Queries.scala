@@ -327,6 +327,63 @@ object Queries {
       Seq("avg_value", "sum_value"), 2)
       .orderBy("window_start", "event_type")
 
+  // ===== training-data extensions (documents / embeddings) ================
+
+  def d1DedupExact(s: SparkSession, dir: String): DataFrame =
+    ext.Dedup.exactDuplicates(Sources.documents(s, dir)).orderBy("text_hash")
+
+  def d2MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    ext.Dedup.lshCandidatePairs(
+      ext.Dedup.minhashSignatures(Sources.documents(s, dir)))
+      .orderBy("doc_a", "doc_b")
+
+  def d3Simhash(s: SparkSession, dir: String): DataFrame =
+    ext.Dedup.simhash(Sources.documents(s, dir)).orderBy("doc_id")
+
+  def d4NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    rounded(ext.Dedup.ngramJaccardPairs(Sources.documents(s, dir)),
+      Seq("jaccard")).orderBy("doc_a", "doc_b")
+
+  def d5EmbeddingNeardup(s: SparkSession, dir: String): DataFrame =
+    rounded(ext.Dedup.embeddingNearDupPairs(Sources.embeddings(s, dir)),
+      Seq("cosine")).orderBy("vec_a", "vec_b")
+
+  def sim1CosineTopk(s: SparkSession, dir: String): DataFrame =
+    ext.Similarity.bruteForceTopK(Sources.embeddings(s, dir))
+      .orderBy("query_id", "rank")
+
+  def sim2LshTopk(s: SparkSession, dir: String): DataFrame =
+    ext.Similarity.lshTopK(Sources.embeddings(s, dir), ext.Similarity.planes(s))
+      .orderBy("query_id", "rank")
+
+  def t1LangId(s: SparkSession, dir: String): DataFrame =
+    ext.TextOps.withLangId(Sources.documents(s, dir))
+      .select("doc_id", "lang", "score_en", "score_de", "score_es", "score_fr",
+        "detected_lang")
+      .orderBy("doc_id")
+
+  def t2QualityScore(s: SparkSession, dir: String): DataFrame =
+    rounded(ext.TextOps.withQualityScore(Sources.documents(s, dir))
+      .select("doc_id", "n_tokens", "text_len", "punct_ratio",
+        "stopword_ratio", "quality_score"),
+      Seq("punct_ratio", "stopword_ratio", "quality_score"))
+      .orderBy("doc_id")
+
+  def t3TokenCount(s: SparkSession, dir: String): DataFrame =
+    ext.TextOps.withTokenCounts(Sources.documents(s, dir))
+      .select("doc_id", "ws_tokens", "word_tokens", "bpe_estimate")
+      .orderBy("doc_id")
+
+  def t4Fingerprint(s: SparkSession, dir: String): DataFrame =
+    ext.TextOps.withFingerprints(Sources.documents(s, dir))
+      .select("doc_id", "md5_fingerprint", "min_shingle_fingerprint")
+      .orderBy("doc_id")
+
+  def m1MultimodalMeta(s: SparkSession, dir: String): DataFrame =
+    ext.Multimodal.decodeMeta(s,
+      ext.Multimodal.asMediaTable(Sources.documents(s, dir)))
+      .toDF.orderBy("doc_id")
+
   // ===== registry ==========================================================
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -367,6 +424,18 @@ object Queries {
     "j1_join_dims" -> (j1JoinDims _),
     "j2_semi_anti" -> (j2SemiAnti _),
     "j3_left_join_agg" -> (j3LeftJoinAgg _),
-    "st1_tumbling_window" -> (st1TumblingWindow _)
+    "st1_tumbling_window" -> (st1TumblingWindow _),
+    "d1_dedup_exact" -> (d1DedupExact _),
+    "d2_minhash_lsh" -> (d2MinhashLsh _),
+    "d3_simhash" -> (d3Simhash _),
+    "d4_ngram_jaccard" -> (d4NgramJaccard _),
+    "d5_embedding_neardup" -> (d5EmbeddingNeardup _),
+    "sim1_cosine_topk" -> (sim1CosineTopk _),
+    "sim2_lsh_topk" -> (sim2LshTopk _),
+    "t1_lang_id" -> (t1LangId _),
+    "t2_quality_score" -> (t2QualityScore _),
+    "t3_token_count" -> (t3TokenCount _),
+    "t4_fingerprint" -> (t4Fingerprint _),
+    "m1_multimodal_meta" -> (m1MultimodalMeta _)
   )
 }

@@ -1,0 +1,120 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design (100 TB corpus):
+  * - Exact dedup is one hash-shuffle on a 16-byte digest — the fact rows
+  *   never move, only (digest, doc_id).
+  * - MinHash signatures are a single map-side pass (explode + 16 partial
+  *   mins); the only shuffle is the band-bucket self-join, whose size is
+  *   controlled by band count/width. Hot buckets (boilerplate text) are the
+  *   skew risk: cap candidates per bucket before the pairwise step.
+  * - Exact pairwise Jaccard is quadratic and exists here as the
+  *   verification/oracle path over a deterministic sample; at scale it runs
+  *   only on LSH candidates.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content digest. Keeps the smallest doc_id as
+    * the canonical representative (deterministic). */
+  def exactDuplicates(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("n_docs"))
+
+  /** MinHash signatures: `nHashes` permutations approximated by seeded md5
+    * (hash b of shingle s = md5("b:" || s)); the signature entry is the
+    * minimum over the document's shingles. One exploded pass, partial-min
+    * map-side combine, single shuffle on doc_id. Documents with < 3 tokens
+    * have no shingles and drop out (nothing to near-dup on). */
+  def minhashSignatures(docs: DataFrame, nHashes: Int = 16): DataFrame = {
+    val sh = TextOps.withShingles(docs)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val mins = (0 until nHashes).map { b =>
+      min(substring(md5(concat(lit(s"$b:"), col("shingle"))), 1, 16)).as(s"mh_$b")
+    }
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding over the signatures: band b = concat of 2 consecutive
+    * minhashes (collision probability j^2 per band — kills the j~0.03
+    * background, keeps j>0.5 near-dups). Returns candidate pairs with the
+    * number of colliding bands. */
+  def lshCandidatePairs(signatures: DataFrame, nBands: Int = 8): DataFrame = {
+    val stackArgs = (0 until nBands)
+      .map(b => s"$b, concat(mh_${2 * b}, mh_${2 * b + 1})").mkString(", ")
+    val bands = signatures.selectExpr(
+      "doc_id", s"stack($nBands, $stackArgs) as (band, band_value)")
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.band_value") === col("b.band_value") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** SimHash over unigram tokens: 32-bit token hash (hex prefix of md5),
+    * per-bit +1/-1 majority vote, assembled into a `bits`-bit fingerprint.
+    * One exploded pass + one aggregate; near-dups share the fingerprint. */
+  def simhash(docs: DataFrame, bits: Int = 16): DataFrame = {
+    val toks = docs
+      .withColumn("tok", explode(TextOps.tokens(col("text"))))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+    val votes = (0 until bits).map { i =>
+      sum(expr(s"CASE WHEN (h div ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END")).as(s"s_$i")
+    }
+    val assembled = (0 until bits)
+      .map(i => s"CASE WHEN s_$i > 0 THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .withColumn("simhash", expr(assembled).cast("long"))
+      .select("doc_id", "simhash")
+  }
+
+  /** Exact n-gram (trigram) Jaccard over a deterministic sample
+    * (doc_id % sampleMod == 0): distinct shingles, shingle-equality
+    * self-join, |A∩B| / |A∪B| >= threshold. Quadratic — the oracle /
+    * verification path; at scale run it on LSH candidates only. */
+  def ngramJaccardPairs(docs: DataFrame, sampleMod: Int = 10,
+                        threshold: Double = 0.2): DataFrame = {
+    val sample = docs.filter(col("doc_id") % sampleMod === 0)
+    val sh = TextOps.withShingles(sample)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle")).distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_shingles", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_shingles", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+  }
+
+  /** Embedding-cosine near-dup pairs over a deterministic sample. Brute
+    * force within the sample; at scale this runs per LSH bucket
+    * (Similarity.lshBuckets). */
+  def embeddingNearDupPairs(emb: DataFrame, sampleMod: Int = 10,
+                            threshold: Double = 0.3): DataFrame = {
+    val sample = emb.filter(col("vec_id") % sampleMod === 0)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"))
+    sample.as("a").join(sample.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (Similarity.dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,49 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video payloads ride as opaque
+  * `binary` columns next to a typed metadata struct; decode / feature
+  * extraction runs batch-wise inside mapPartitions.
+  *
+  * The decode itself is a STUB (no image/audio libraries in this
+  * container): `stubDecode` derives deterministic fake dimensions from the
+  * byte payload. The Spark-side plumbing — schema, case classes, batched
+  * partition processing, partition sizing — is real and tested. At cluster
+  * scale, binary payloads dominate row size: keep
+  * spark.sql.files.maxPartitionBytes at its default 128 MB so a partition
+  * holds a bounded number of blobs, and never collect() a binary column.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, payload: Array[Byte], format: String)
+  case class DecodedMeta(doc_id: Long, format: String, byte_len: Int,
+                         width: Int, height: Int, ok: Boolean)
+
+  /** documents.text re-cast as a binary payload column with a format tag —
+    * the shape a real image/audio table has. */
+  def asMediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      element_at(array(lit("jpeg"), lit("png"), lit("webp")),
+        (col("doc_id") % 3 + 1).cast("int")).as("format"))
+
+  /** STUB decoder — stands in for an image library. Deterministic fake:
+    * dimensions derived from payload length. A real deployment swaps ONLY
+    * this function; the partition-batched plumbing stays. */
+  def stubDecode(row: MediaRow): DecodedMeta = {
+    val n = row.payload.length
+    DecodedMeta(row.doc_id, row.format, n,
+      width = (n % 640) + 1, height = (n % 480) + 1, ok = n > 0)
+  }
+
+  /** Batched decode over partitions: the real-decoder integration point
+    * (mapPartitions so a JNI/native decoder initializes once per partition,
+    * not once per row). */
+  def decodeMeta(spark: SparkSession, media: DataFrame): Dataset[DecodedMeta] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows => rows.map(stubDecode) }
+  }
+}

@@ -1,0 +1,103 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (array<float>).
+  *
+  * - Brute-force cosine top-k is the correctness baseline: broadcast the
+  *   (small) query set against the full corpus — one scan, no shuffle of
+  *   the corpus, per-partition top-k before the final merge.
+  * - The scale path is random-hyperplane LSH: 8 deterministic pseudo-random
+  *   hyperplanes -> 256 buckets; candidates share the query's bucket, so
+  *   the pairwise work drops ~256x. Buckets are computed in one pass
+  *   (posexplode + broadcast plane join + two partial aggregates).
+  *
+  * All vector math uses higher-order functions (zip_with + aggregate) over
+  * double-cast elements — no UDFs, stays in codegen, and the sequential
+  * fold order makes results reproducible across engines.
+  */
+object Similarity {
+
+  /** Double-precision dot product of two float-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Euclidean norm of a float-array column (double precision). */
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Brute-force cosine top-k: deterministic query subset
+    * (vec_id % queryMod == 0) against the full corpus. Ranking uses the
+    * comparison-rounded cosine (ties broken by vec_id) so results are
+    * engine-reproducible. */
+  def bruteForceTopK(emb: DataFrame, queryMod: Int = 100, k: Int = 5): DataFrame = {
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val queries = withNorm.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val scored = withNorm.join(broadcast(queries),
+        col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", graft.ops.Num.cround(
+        dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cosine")
+  }
+
+  /** Deterministic pseudo-random hyperplanes: weight(plane p, dim d) =
+    * (md5-derived integer in [-1000, 1000]) / 1000. Reproducible from public
+    * md5 alone — no RNG state to ship to executors. */
+  def planes(spark: SparkSession, nPlanes: Int = 8, dims: Int = 64): DataFrame =
+    spark.range(nPlanes).withColumnRenamed("id", "p")
+      .crossJoin(spark.range(1, dims + 1).withColumnRenamed("id", "d"))
+      .withColumn("w",
+        (conv(substring(md5(concat(col("p"), lit("_"), col("d"))), 1, 8), 16, 10)
+          .cast("long") % 2001 - 1000).cast("double") / 1000.0)
+
+  /** Sign-bucket per vector: bit p = (v . plane_p > 0); bucket in
+    * [0, 2^nPlanes). One posexplode + broadcast join + aggregate. */
+  def lshBuckets(emb: DataFrame, planesDf: DataFrame, nPlanes: Int = 8): DataFrame = {
+    val exploded = emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("d", col("pos") + 1)
+    val dots = exploded.join(broadcast(planesDf), "d")
+      .groupBy("vec_id", "p")
+      .agg(sum(col("v").cast("double") * col("w")).as("pdot"))
+    dots.groupBy("vec_id")
+      .agg(sum(when(col("pdot") > 0,
+        pow(lit(2.0), col("p")).cast("long")).otherwise(0L)).as("bucket"))
+  }
+
+  /** LSH-bucketed cosine top-k: only candidates in the query's bucket are
+    * scored. The 2^nPlanes buckets bound the self-join; per-bucket top-k
+    * keeps the shuffle payload at k rows per query. */
+  def lshTopK(emb: DataFrame, planesDf: DataFrame, queryMod: Int = 100,
+              k: Int = 3, nPlanes: Int = 8): DataFrame = {
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val buckets = lshBuckets(emb, planesDf, nPlanes)
+    val vecs = withNorm.join(buckets, "vec_id")
+    val queries = vecs.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("bucket"))
+    val scored = vecs.join(broadcast(queries),
+        Seq("bucket"), "inner")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", graft.ops.Num.cround(
+        dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "bucket", "cosine")
+  }
+}

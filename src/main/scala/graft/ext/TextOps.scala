@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the `documents`
+  * table: tokenization, shingling, language ID, quality scoring, token
+  * counting, fingerprinting.
+  *
+  * Everything is built from codegen'd builtins and higher-order array
+  * functions (transform/filter/aggregate) — no UDFs — so the whole stage
+  * stays inside whole-stage codegen and scales linearly with document count;
+  * there is no shuffle at all until an operator aggregates.
+  */
+object TextOps {
+
+  /** Whitespace tokens (documents are single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word trigram shingles from a `toks` array column; empty below 3 tokens.
+    * Higher-order transform — no explode, no UDF. */
+  val shingleSql: String =
+    "CASE WHEN size(toks) >= 3 THEN " +
+      "transform(sequence(0, size(toks) - 3), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) " +
+      "ELSE CAST(array() AS ARRAY<STRING>) END"
+
+  /** doc_id, text, toks, shingles. */
+  def withShingles(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", tokens(col("text")))
+      .withColumn("shingles", expr(shingleSql))
+
+  /** Language-ID by stopword hits (n-gram-free heuristic): count tokens in
+    * each language's small stopword list, argmax with deterministic priority
+    * en > de > es > fr, 'und' (undetermined) when all scores are 0. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist"),
+    "es" -> Seq("el", "la", "que", "y", "en", "los"),
+    "fr" -> Seq("le", "les", "des", "et", "une", "dans"))
+
+  private def score(lang: String): Column = {
+    val list = stopwords(lang).map(w => s"'$w'").mkString(", ")
+    expr(s"size(filter(toks, t -> t IN ($list)))")
+  }
+
+  /** Adds score_<lang> columns and detected_lang. */
+  def withLangId(docs: DataFrame): DataFrame = {
+    val scored = Seq("en", "de", "es", "fr").foldLeft(
+      docs.withColumn("toks", tokens(col("text")))) {
+      (d, l) => d.withColumn(s"score_$l", score(l))
+    }
+    val Seq(en, de, es, fr) =
+      Seq("en", "de", "es", "fr").map(l => col(s"score_$l"))
+    scored.withColumn("detected_lang",
+      when(en >= de && en >= es && en >= fr && en > 0, "en")
+        .when(de >= es && de >= fr && de > 0, "de")
+        .when(es >= fr && es > 0, "es")
+        .when(fr > 0, "fr")
+        .otherwise("und"))
+  }
+
+  /** Heuristic quality score: length, punctuation ratio, stopword ratio —
+    * the filters a pre-training corpus pipeline applies before dedup. */
+  def withQualityScore(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("text_len", length(col("text")))
+      .withColumn("punct_ratio",
+        length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double") /
+          col("text_len"))
+      .withColumn("stopword_ratio",
+        expr("size(filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')))")
+          .cast("double") / col("n_tokens"))
+      .withColumn("quality_score",
+        lit(0.4) * least(col("n_tokens").cast("double") / 100, lit(1.0)) +
+          lit(0.3) * (lit(1.0) - col("punct_ratio")) +
+          lit(0.3) * least(col("stopword_ratio") * 5, lit(1.0)))
+
+  /** Token counting: whitespace tokens, a regex word count, and a BPE-ish
+    * chars/4 estimate (the standard quick subword-count heuristic). */
+  def withTokenCounts(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ws_tokens", size(split(trim(col("text")), "\\s+")))
+      .withColumn("word_tokens", regexp_count(col("text"), lit("[a-z]+")))
+      .withColumn("bpe_estimate", ceil(length(col("text")) / 4.0).cast("long"))
+
+  /** Document fingerprints: md5 of whitespace-normalized text (exact-dup
+    * key) and the minimum shingle hash (a 1-permutation MinHash — stable
+    * under small edits, the winnowing-style near-dup key). */
+  def withFingerprints(docs: DataFrame): DataFrame =
+    withShingles(docs)
+      .withColumn("md5_fingerprint",
+        md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .withColumn("min_shingle_fingerprint",
+        expr("array_min(transform(shingles, s -> substring(md5(s), 1, 16)))"))
+}

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming shape of the engine (SURVEY §2.8): the reference's
+  * daily re-run batch is a degenerate micro-batch, so the streaming pipeline
+  * is the same declarative plan on readStream:
+  *   file source -> watermark -> dedup-within-watermark -> windowed agg.
+  *
+  * At scale the file source is a landing directory written by the
+  * (rate-limited) fetcher; `Trigger.AvailableNow` reproduces the
+  * reference's scheduler cadence, `ProcessingTime` runs it continuously.
+  * State stays bounded by the watermark: dropDuplicatesWithinWatermark
+  * evicts seen-keys older than the watermark, and window state is dropped
+  * once the watermark passes the window end.
+  */
+object StreamPipeline {
+
+  /** events-table schema as stored (streaming sources must declare their
+    * schema). The corpus stores ts as TIMESTAMP(NANOS), which Spark reads
+    * as INT64 (nanosAsLong); readEvents normalizes to a microsecond
+    * timestamp. A production landing dir with µs timestamps would declare
+    * TimestampType directly. */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming read of a parquet events directory (ns -> µs timestamp via
+    * integer division; ns magnitudes exceed double precision). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventsSchema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** Watermarked, deduplicated, tumbling-window aggregate — the streaming
+    * twin of Queries.st1TumblingWindow (batch-checkable against DuckDB). */
+  def hourlyStats(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        avg(col("value")).as("avg_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("avg_value"))
+
+  /** One-shot run (process everything available, then stop) into an
+    * in-memory table — the reference scheduler's daily batch as a stream. */
+  def runAvailableNow(spark: SparkSession, dir: String,
+                      sinkTable: String = "hourly_stats"): Unit = {
+    val q = hourlyStats(readEvents(spark, dir))
+      .writeStream
+      .format("memory")
+      .queryName(sinkTable)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

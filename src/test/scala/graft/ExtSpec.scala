@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Semantics of the training-data extension operators on crafted inputs. */
+class ExtSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "en"),
+    (1L, "the quick brown fox jumps over the lazy dog", "en"),  // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat", "en"),  // near dup of 0
+    (3L, "der hund ist nicht der beste und das ist gut", "de"),
+    (4L, "completely different words entirely unrelated tokens", "en"),
+    (5L, "ab", "en") // < 3 tokens -> no shingles
+  ).toDF("doc_id", "text", "lang")
+
+  test("exact dedup groups identical texts, keeps smallest doc_id") {
+    val groups = Dedup.exactDuplicates(docs).collect()
+    assert(groups.length == 5) // 6 docs, one pair collapsed
+    val dupGroup = groups.find(_.getAs[Long]("n_docs") == 2).get
+    assert(dupGroup.getAs[Long]("keep_doc_id") == 0L)
+  }
+
+  test("minhash signatures are identical for identical docs, and differ for unrelated ones") {
+    val sigs = Dedup.minhashSignatures(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.toSeq.tail).toMap
+    assert(sigs(0L) == sigs(1L))
+    assert(sigs(0L) != sigs(4L))
+    assert(!sigs.contains(5L)) // no shingles below 3 tokens
+  }
+
+  test("LSH banding surfaces exact and near dup pairs") {
+    val pairs = Dedup.lshCandidatePairs(Dedup.minhashSignatures(docs))
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("n_bands"))).toSeq
+    val exact = pairs.find(p => p._1 == 0L && p._2 == 1L).get
+    assert(exact._3 == 8) // identical docs collide in every band
+    assert(pairs.exists(p => p._2 == 2L || p._1 == 2L)) // near dup found
+  }
+
+  test("ngram jaccard: identical docs = 1.0") {
+    val pairs = Dedup.ngramJaccardPairs(docs, sampleMod = 1, threshold = 0.1)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSeq
+    val exact = pairs.find(p => p._1 == 0L && p._2 == 1L).get
+    assert(math.abs(exact._3 - 1.0) < 1e-9)
+    val near = pairs.find(p => p._1 == 0L && p._2 == 2L).get
+    assert(near._3 > 0.5 && near._3 < 1.0)
+  }
+
+  test("simhash: identical docs share the fingerprint") {
+    val sh = Dedup.simhash(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sh(0L) == sh(1L))
+    assert(sh.values.forall(v => v >= 0 && v < (1L << 16)))
+  }
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(1.0f, 0.0f, 0.0f)),   // identical to 0
+    (2L, Array(0.9f, 0.1f, 0.0f)),   // close to 0
+    (3L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal
+    (4L, Array(-1.0f, 0.0f, 0.0f))   // opposite
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: identical = 1, orthogonal = 0, opposite = -1") {
+    val d = vecs.select(
+      Similarity.dot(col("embedding"), col("embedding")).as("self"),
+      Similarity.norm(col("embedding")).as("n")).collect()
+    assert(d.forall(r => math.abs(math.sqrt(r.getAs[Double]("self")) - r.getAs[Double]("n")) < 1e-9))
+
+    val top = Similarity.bruteForceTopK(vecs, queryMod = 5, k = 4).collect()
+    // query 0: expect 1 (cos 1.0) first, then 2, then 3 (0), then 4 (-1)
+    val q0 = top.filter(_.getAs[Long]("query_id") == 0L)
+      .sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("vec_id")).toSeq
+    assert(q0 == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("LSH bucketing puts identical vectors in the same bucket") {
+    val planes = Similarity.planes(spark, 8, 3)
+    val buckets = Similarity.lshBuckets(vecs, planes).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bucket")).toMap
+    assert(buckets(0L) == buckets(1L))
+    assert(buckets(0L) != buckets(4L)) // opposite vector: all plane signs flip
+  }
+
+  test("language id picks the stopword-dominant language") {
+    val out = TextOps.withLangId(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("detected_lang")).toMap
+    assert(out(0L) == "en")
+    assert(out(3L) == "de")
+    assert(out(4L) == "und")
+  }
+
+  test("quality score components are in [0, 1]") {
+    val rows = TextOps.withQualityScore(docs).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("punct_ratio") >= 0 && r.getAs[Double]("punct_ratio") <= 1)
+      assert(r.getAs[Double]("quality_score") >= 0 && r.getAs[Double]("quality_score") <= 1.001)
+    }
+  }
+
+  test("token counts: whitespace and bpe estimate") {
+    val r = TextOps.withTokenCounts(docs).filter(col("doc_id") === 0).head()
+    assert(r.getAs[Int]("ws_tokens") == 9)
+    assert(r.getAs[Long]("bpe_estimate") == math.ceil(43 / 4.0).toLong)
+  }
+
+  test("fingerprints: exact dups share md5, near dups share min-shingle more often than not") {
+    val fp = TextOps.withFingerprints(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("md5_fingerprint"), r.getAs[String]("min_shingle_fingerprint"))).toMap
+    assert(fp(0L) == fp(1L))
+    assert(fp(5L)._2 == null) // no shingles
+  }
+
+  test("multimodal: stub decode is deterministic over the binary payload") {
+    val meta = Multimodal.decodeMeta(spark, Multimodal.asMediaTable(docs)).collect()
+    val m0 = meta.find(_.doc_id == 0L).get
+    assert(m0.byte_len == 43 && m0.ok)
+    assert(m0.width == 43 % 640 + 1 && m0.height == 43 % 480 + 1)
+    assert(Set("jpeg", "png", "webp").contains(m0.format))
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.Sources
+import graft.streaming.StreamPipeline
+
+/** The streaming pipeline must agree with its batch twin: same windowed
+  * aggregate over the same events, one AvailableNow micro-batch run. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("availableNow streaming hourly stats match the batch aggregate") {
+    val dir = "/root/testdata/sf0.001"
+    // file-stream sources need a landing DIRECTORY; stage the events file
+    val landing = java.nio.file.Files.createTempDirectory("graft-events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      landing.resolve("part-0.parquet"))
+    StreamPipeline.runAvailableNow(spark, landing.toString, "hourly_stats_test")
+    val streamed = spark.table("hourly_stats_test")
+
+    val batch = Sources.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
+
+    assert(streamed.count() == batch.count())
+    val joined = streamed.alias("s").join(batch.alias("b"),
+      Seq("window_start", "event_type"))
+      .filter(col("s.n_events") =!= col("b.n_events"))
+    assert(joined.count() == 0, "streamed counts diverge from batch")
+  }
+
+  test("dropDuplicatesWithinWatermark removes re-delivered events") {
+    val dir = "/root/testdata/sf0.001"
+    import spark.implicits._
+    val events = Sources.events(spark, dir).limit(100).cache()
+    val doubled = events.union(events) // simulate at-least-once redelivery
+    val deduped = doubled
+      .dropDuplicates("event_id")
+    assert(deduped.count() == events.count())
+  }
+}
