@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: dump formatted physical plans for the structurally interesting
+  * queries, to audit shuffle/codegen structure (`sbt "runMain graft.Explain
+  * [sfDir] [out.md]"`). Not part of the driver contract. */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val out = if (args.length > 1) args(1) else "/tmp/plans.md"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val interesting = Seq("pipeline_features", "j1_join_dims", "s4_scan_limit",
+      "d2_minhash_lsh", "sim1_cosine_topk", "x7_predictions")
+    val sb = new StringBuilder("# Physical plans (formatted)\n")
+    interesting.foreach { name =>
+      val plan = Queries.all(name)(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      sb.append(s"\n## $name\n```\n$plan\n```\n")
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), sb.toString)
+    println(s"wrote $out")
+    spark.stop()
+  }
+}

@@ -261,7 +261,105 @@ object OracleSql {
         |  FROM dedup)""".stripMargin)(
       s"""SELECT symbol, ${R("STDDEV_SAMP(dcp)", 2)} AS stddev_dcp
          |FROM dcp GROUP BY symbol ORDER BY symbol""".stripMargin)
-  ) ++ analyticsSql ++ scalarSql ++ joinSql ++ extSql
+  ) ++ analyticsSql ++ scalarSql ++ joinSql ++ extSql ++ smallOpsSql
+
+  // ===== projections, small filters, remaining scalars/sorts ===============
+
+  private lazy val smallOpsSql: Map[String, String] = Map(
+    "p1_rename" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  ${R("l_extendedprice", 6)} AS open, ${R("l_quantity", 6)} AS volume
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "p2_cast" ->
+      """SELECT p_partkey,
+        |  TRY_CAST(p_brand AS DOUBLE) AS brand_as_double,
+        |  TRY_CAST(CAST(p_size AS VARCHAR) AS DOUBLE) AS size_as_double
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "p3_literals" ->
+      """SELECT o_orderkey,
+        |  'Alpha Vantage' AS data_source,
+        |  1 AS schema_version,
+        |  '2026-01-01 00:00:00' AS extracted_at
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "p4_reorder" ->
+      """SELECT c_mktsegment, c_custkey, c_name, c_nationkey, c_acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "f5_isin" -> withCtes(stockCte)(
+      s"""SELECT rid, symbol, ${R("close", 6)} AS close
+         |FROM stock WHERE symbol IN ('1', '10', '100', '42', '7')
+         |ORDER BY rid""".stripMargin),
+
+    "f6_date_range" -> withCtes(stockCte)(
+      s"""SELECT rid, "date", ${R("close", 6)} AS close
+         |FROM stock
+         |WHERE "date" BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+         |ORDER BY rid""".stripMargin),
+
+    "f7_symbol_eq" -> withCtes(stockCte)(
+      s"""SELECT rid, symbol, ${R("close", 6)} AS close
+         |FROM stock WHERE symbol = '42' ORDER BY rid""".stripMargin),
+
+    "f8_null_envelope" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 10 = 3 THEN NULL ELSE o_orderstatus END AS payload
+        |FROM orders
+        |WHERE CASE WHEN o_orderkey % 10 = 3 THEN NULL ELSE o_orderstatus END IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "x1_arithmetic" -> withCtes(stockCte)(
+      s"""SELECT rid,
+         |  ${R("high - low", 6)} AS price_range,
+         |  ${R("(high - low) / close * 100", 6)} AS price_range_percent,
+         |  ${R("(close - open) / open * 100", 6)} AS intraday_percent
+         |FROM stock ORDER BY rid""".stripMargin),
+
+    "x4_updown_flags" -> withCtes(stockCte, cleanCte, dedupCte)(
+      """SELECT symbol, "date",
+        |  COALESCE(close - LAG(close) OVER w > 0, FALSE) AS is_positive_day,
+        |  COALESCE(close - LAG(close) OVER w < 0, FALSE) AS is_negative_day
+        |FROM dedup WINDOW w AS (PARTITION BY symbol ORDER BY "date")
+        |ORDER BY symbol, "date"""".stripMargin),
+
+    "x5_vol_category" -> withCtes(stockCte,
+      """vp AS (
+        |  SELECT rid,
+        |    CASE WHEN rid % 11 = 0 THEN NULL ELSE (high - low) / close * 10 END AS vol_pct
+        |  FROM stock)""".stripMargin)(
+      """SELECT rid,
+        |  CASE WHEN vol_pct IS NULL THEN 'Unknown'
+        |       WHEN vol_pct < 1.0 THEN 'Very Low'
+        |       WHEN vol_pct < 2.0 THEN 'Low'
+        |       WHEN vol_pct < 3.5 THEN 'Medium'
+        |       WHEN vol_pct < 5.0 THEN 'High'
+        |       ELSE 'Very High' END AS volatility_category
+        |FROM vp ORDER BY rid""".stripMargin),
+
+    "a8_window_mean" -> withCtes(stockCte, cleanCte, dedupCte,
+      """dcp AS (
+        |  SELECT symbol, "date",
+        |    (close / LAG(close) OVER (PARTITION BY symbol ORDER BY "date") - 1) * 100 AS dcp
+        |  FROM dedup)""".stripMargin)(
+      s"""SELECT symbol, "date",
+         |  ${R("AVG(dcp) OVER (PARTITION BY symbol ORDER BY \"date\" ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)", 2)}
+         |    AS recent_avg_change
+         |FROM dcp ORDER BY symbol, "date"""".stripMargin),
+
+    "o1_sort_date" -> withCtes(stockCte)(
+      s"""SELECT "date", rid, ${R("close", 6)} AS close
+         |FROM stock ORDER BY "date", rid LIMIT 500""".stripMargin),
+
+    "o2_composite_sort" -> withCtes(stockCte)(
+      s"""SELECT symbol, "date", rid, ${R("close", 6)} AS close
+         |FROM stock ORDER BY symbol, "date", rid LIMIT 500""".stripMargin),
+
+    "o5_sort_measure_desc" ->
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+  )
 
   // ===== analytics / limits / quality =====================================
 
@@ -518,16 +616,26 @@ object OracleSql {
   private lazy val shxCte =
     "shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh)"
 
-  /** 16 seeded-md5 minhash mins, as in Dedup.minhashSignatures. */
+  /** 16 double-hashed minhash mins (one md5 per shingle, hash_b = h1 + b*h2)
+    * as in Dedup.minhashSignatures. */
   private lazy val sigCte: String = {
     val mins = (0 until 16).map(b =>
-      s"MIN(substr(md5('$b:' || shingle), 1, 16)) AS mh_$b").mkString(",\n         ")
-    s"sig AS (\n  SELECT doc_id,\n         $mins\n  FROM shx GROUP BY doc_id)"
+      s"list_min(list_transform(range(1, len(h1s) + 1), i -> h1s[i] + $b * h2s[i])) AS mh_$b")
+      .mkString(",\n         ")
+    s"""hsh AS (
+       |  SELECT doc_id,
+       |    list_transform(shingles, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS h1s,
+       |    list_transform(shingles, s -> CAST(('0x' || substr(md5(s), 17, 8)) AS BIGINT)) AS h2s
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |         $mins
+       |  FROM hsh WHERE len(h1s) > 0)""".stripMargin
   }
 
   private lazy val bandsCte: String = {
     val rows = (0 until 8).map(b =>
-      s"SELECT doc_id, $b AS band, mh_${2 * b} || mh_${2 * b + 1} AS band_value FROM sig")
+      s"SELECT doc_id, $b AS band, CAST(mh_${2 * b} AS VARCHAR) || '_' || CAST(mh_${2 * b + 1} AS VARCHAR) AS band_value FROM sig")
     "bands AS (\n  " + rows.mkString("\n  UNION ALL ") + ")"
   }
 

@@ -327,6 +327,118 @@ object Queries {
       Seq("avg_value", "sum_value"), 2)
       .orderBy("window_start", "event_type")
 
+  // ===== projections & small filters (P1-P4, F5-F8) ========================
+
+  def p1Rename(s: SparkSession, dir: String): DataFrame =
+    rounded(Cleaning.renamePresent(
+        Sources.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").as("1. open"),
+          col("l_quantity").as("5. volume")),
+        Map("1. open" -> "open", "5. volume" -> "volume",
+          "2. high" -> "high" /* absent -> ignored */)),
+      Seq("open", "volume")).orderBy("l_orderkey", "l_linenumber")
+
+  def p2Cast(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "part").select(
+      col("p_partkey"),
+      expr("try_cast(p_brand AS DOUBLE)").as("brand_as_double"),
+      expr("try_cast(CAST(p_size AS STRING) AS DOUBLE)").as("size_as_double"))
+      .orderBy("p_partkey")
+
+  def p3Literals(s: SparkSession, dir: String): DataFrame =
+    Sources.orders(s, dir).select(
+      col("o_orderkey"),
+      lit("Alpha Vantage").as("data_source"),
+      lit(1).as("schema_version"),
+      date_format(lit("2026-01-01 00:00:00").cast("timestamp"),
+        "yyyy-MM-dd HH:mm:ss").as("extracted_at"))
+      .orderBy("o_orderkey")
+
+  def p4Reorder(s: SparkSession, dir: String): DataFrame =
+    Cleaning.reorderColumns(
+      Sources.customer(s, dir),
+      Seq("c_mktsegment", "c_custkey", "nonexistent_column"))
+      .orderBy("c_custkey")
+
+  def f5Isin(s: SparkSession, dir: String): DataFrame =
+    rounded(Sources.stockFromLineitem(s, dir)
+      .filter(col("symbol").isin("1", "10", "100", "42", "7"))
+      .select("rid", "symbol", "close"), Seq("close")).orderBy("rid")
+
+  def f6DateRange(s: SparkSession, dir: String): DataFrame =
+    rounded(Sources.stockFromLineitem(s, dir)
+      .filter(col("date").between("1996-01-01", "1996-12-31"))
+      .select("rid", "date", "close"), Seq("close")).orderBy("rid")
+
+  def f7SymbolEq(s: SparkSession, dir: String): DataFrame =
+    rounded(Sources.stockFromLineitem(s, dir)
+      .filter(col("symbol") === "42")
+      .select("rid", "symbol", "close"), Seq("close")).orderBy("rid")
+
+  /** F8: failed fetches arrive as null payload envelopes and are dropped
+    * before parsing (reference src/transform.py:87). */
+  def f8NullEnvelope(s: SparkSession, dir: String): DataFrame =
+    Sources.orders(s, dir).select(
+      col("o_orderkey"),
+      when(col("o_orderkey") % 10 === 3, lit(null))
+        .otherwise(col("o_orderstatus")).as("payload"))
+      .filter(col("payload").isNotNull)
+      .orderBy("o_orderkey")
+
+  // ===== remaining scalars / sorts (X1, X4, X5, A8, O1, O2, O5) ===========
+
+  def x1Arithmetic(s: SparkSession, dir: String): DataFrame =
+    rounded(Sources.stockFromLineitem(s, dir).select(
+      col("rid"),
+      (col("high") - col("low")).as("price_range"),
+      ((col("high") - col("low")) / col("close") * 100).as("price_range_percent"),
+      ((col("close") - col("open")) / col("open") * 100).as("intraday_percent")),
+      Seq("price_range", "price_range_percent", "intraday_percent"))
+      .orderBy("rid")
+
+  def x4UpdownFlags(s: SparkSession, dir: String): DataFrame = {
+    val f = cleanedStock(s, dir).drop("rid")
+      .withColumn("daily_change", col("close") - lag("close", 1).over(w))
+    f.select(col("symbol"), col("date"),
+      coalesce(col("daily_change") > 0, lit(false)).as("is_positive_day"),
+      coalesce(col("daily_change") < 0, lit(false)).as("is_negative_day"))
+      .orderBy("symbol", "date")
+  }
+
+  def x5VolCategory(s: SparkSession, dir: String): DataFrame = {
+    // exercise every branch incl. null -> Unknown on a derived column
+    val f = Sources.stockFromLineitem(s, dir)
+      .withColumn("vol_pct",
+        when(col("rid") % 11 === 0, lit(null))
+          .otherwise((col("high") - col("low")) / col("close") * 10))
+    f.select(col("rid"), Derive.volatilityCategory(col("vol_pct")).as("volatility_category"))
+      .orderBy("rid")
+  }
+
+  def a8WindowMean(s: SparkSession, dir: String): DataFrame = {
+    val f = cleanedStock(s, dir).drop("rid")
+      .withColumn("dcp", (col("close") / lag("close", 1).over(w) - 1) * 100)
+    rounded(f.select(col("symbol"), col("date"),
+      avg("dcp").over(w.rowsBetween(-4, 0)).as("recent_avg_change")),
+      Seq("recent_avg_change"), 2).orderBy("symbol", "date")
+  }
+
+  def o1SortDate(s: SparkSession, dir: String): DataFrame =
+    rounded(Sources.stockFromLineitem(s, dir)
+      .select("date", "rid", "close"), Seq("close"))
+      .orderBy("date", "rid").limit(500)
+
+  def o2CompositeSort(s: SparkSession, dir: String): DataFrame =
+    rounded(Sources.stockFromLineitem(s, dir)
+      .select("symbol", "date", "rid", "close"), Seq("close"))
+      .orderBy("symbol", "date", "rid").limit(500)
+
+  def o5SortMeasureDesc(s: SparkSession, dir: String): DataFrame =
+    rounded(Sources.orders(s, dir)
+      .select("o_orderkey", "o_totalprice"), Nil)
+      .orderBy(desc("o_totalprice"), col("o_orderkey")).limit(100)
+
   // ===== training-data extensions (documents / embeddings) ================
 
   def d1DedupExact(s: SparkSession, dir: String): DataFrame =
@@ -436,6 +548,21 @@ object Queries {
     "t2_quality_score" -> (t2QualityScore _),
     "t3_token_count" -> (t3TokenCount _),
     "t4_fingerprint" -> (t4Fingerprint _),
-    "m1_multimodal_meta" -> (m1MultimodalMeta _)
+    "m1_multimodal_meta" -> (m1MultimodalMeta _),
+    "p1_rename" -> (p1Rename _),
+    "p2_cast" -> (p2Cast _),
+    "p3_literals" -> (p3Literals _),
+    "p4_reorder" -> (p4Reorder _),
+    "f5_isin" -> (f5Isin _),
+    "f6_date_range" -> (f6DateRange _),
+    "f7_symbol_eq" -> (f7SymbolEq _),
+    "f8_null_envelope" -> (f8NullEnvelope _),
+    "x1_arithmetic" -> (x1Arithmetic _),
+    "x4_updown_flags" -> (x4UpdownFlags _),
+    "x5_vol_category" -> (x5VolCategory _),
+    "a8_window_mean" -> (a8WindowMean _),
+    "o1_sort_date" -> (o1SortDate _),
+    "o2_composite_sort" -> (o2CompositeSort _),
+    "o5_sort_measure_desc" -> (o5SortMeasureDesc _)
   )
 }

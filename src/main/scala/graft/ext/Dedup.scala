@@ -32,10 +32,25 @@ object Dedup {
     * map-side combine, single shuffle on doc_id. Documents with < 3 tokens
     * have no shingles and drop out (nothing to near-dup on). */
   def minhashSignatures(docs: DataFrame, nHashes: Int = 16): DataFrame = {
-    val sh = TextOps.withShingles(docs)
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    // ONE md5 per shingle via Kirsch-Mitzenmacher double hashing:
+    // hash_b(s) = h1(s) + b*h2(s), h1 = 60 digest bits, h2 = 32 other bits
+    // (no 64-bit overflow — ANSI mode would throw). The explode + 16-min
+    // hash aggregate stays fully inside whole-stage codegen (higher-order
+    // array lambdas are interpreted and were ~6x slower here); map-side
+    // partial mins mean the shuffle carries 16 longs per doc per partition.
+    // explode an INT index sequence and assemble each shingle scalar-wise:
+    // unlike exploding the interpreted-lambda string array, every step here
+    // (sequence, explode, element_at, concat, md5) is codegen'd
+    val sh = docs
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"), col("toks"), explode(expr(
+        "CASE WHEN size(toks) >= 3 THEN sequence(0, size(toks) - 3) ELSE CAST(array() AS ARRAY<INT>) END")).as("i"))
+      .withColumn("shingle", expr(
+        "concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2), ' ', element_at(toks, i + 3))"))
+      .withColumn("h1", conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(md5(col("shingle")), 17, 8), 16, 10).cast("long"))
     val mins = (0 until nHashes).map { b =>
-      min(substring(md5(concat(lit(s"$b:"), col("shingle"))), 1, 16)).as(s"mh_$b")
+      min(col("h1") + lit(b.toLong) * col("h2")).as(s"mh_$b")
     }
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
@@ -46,9 +61,14 @@ object Dedup {
     * number of colliding bands. */
   def lshCandidatePairs(signatures: DataFrame, nBands: Int = 8): DataFrame = {
     val stackArgs = (0 until nBands)
-      .map(b => s"$b, concat(mh_${2 * b}, mh_${2 * b + 1})").mkString(", ")
+      .map(b => s"$b, concat(CAST(mh_${2 * b} AS STRING), '_', CAST(mh_${2 * b + 1} AS STRING))")
+      .mkString(", ")
+    // persist: the band table is tiny (doc_id + 2 hashes x 8) and is read
+    // by BOTH sides of the self-join — without it the whole signature
+    // subtree (shingle + digest work) runs twice
     val bands = signatures.selectExpr(
       "doc_id", s"stack($nBands, $stackArgs) as (band, band_value)")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b, col("a.band") === col("b.band") &&

@@ -32,20 +32,33 @@ object Similarity {
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
 
+  /** Double-cast copy of the embedding, computed ONCE per side before the
+    * pairwise join so the n_queries x n_vectors dot products don't re-cast
+    * every float element per pair. */
+  private def withDoubles(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("emb_d"))
+      .withColumn("nrm",
+        sqrt(aggregate(col("emb_d"), lit(0.0), (acc, v) => acc + v * v)))
+
+  /** Sequential-fold dot product over pre-cast double arrays (same
+    * summation order as `dot`, minus the per-pair cast work). */
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
   /** Brute-force cosine top-k: deterministic query subset
     * (vec_id % queryMod == 0) against the full corpus. Ranking uses the
     * comparison-rounded cosine (ties broken by vec_id) so results are
     * engine-reproducible. */
   def bruteForceTopK(emb: DataFrame, queryMod: Int = 100, k: Int = 5): DataFrame = {
-    val withNorm = emb.select(col("vec_id"), col("embedding"),
-      norm(col("embedding")).as("nrm"))
+    val withNorm = withDoubles(emb)
     val queries = withNorm.filter(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      .select(col("vec_id").as("query_id"), col("emb_d").as("q_emb"),
         col("nrm").as("q_nrm"))
     val scored = withNorm.join(broadcast(queries),
         col("vec_id") =!= col("query_id"))
       .withColumn("cosine", graft.ops.Num.cround(
-        dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")), 6))
+        dotD(col("emb_d"), col("q_emb")) / (col("nrm") * col("q_nrm")), 6))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -82,18 +95,17 @@ object Similarity {
     * keeps the shuffle payload at k rows per query. */
   def lshTopK(emb: DataFrame, planesDf: DataFrame, queryMod: Int = 100,
               k: Int = 3, nPlanes: Int = 8): DataFrame = {
-    val withNorm = emb.select(col("vec_id"), col("embedding"),
-      norm(col("embedding")).as("nrm"))
+    val withNorm = withDoubles(emb)
     val buckets = lshBuckets(emb, planesDf, nPlanes)
     val vecs = withNorm.join(buckets, "vec_id")
     val queries = vecs.filter(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      .select(col("vec_id").as("query_id"), col("emb_d").as("q_emb"),
         col("nrm").as("q_nrm"), col("bucket"))
     val scored = vecs.join(broadcast(queries),
         Seq("bucket"), "inner")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", graft.ops.Num.cround(
-        dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")), 6))
+        dotD(col("emb_d"), col("q_emb")) / (col("nrm") * col("q_nrm")), 6))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))

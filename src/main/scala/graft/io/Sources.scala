@@ -75,11 +75,14 @@ object Sources {
       .select(
         col("symbol"),
         to_date(col("date_str")).as("date"),
-        col("bar").getItem("1. open").cast("double").as("open"),
-        col("bar").getItem("2. high").cast("double").as("high"),
-        col("bar").getItem("3. low").cast("double").as("low"),
-        col("bar").getItem("4. close").cast("double").as("close"),
-        col("bar").getItem("5. volume").cast("long").as("volume"))
+        // try_cast, not cast: Spark 4 runs ANSI mode by default, where a
+        // plain cast of a malformed string THROWS; pandas
+        // to_numeric(errors='coerce') semantics require null instead
+        expr("try_cast(bar['1. open'] AS DOUBLE)").as("open"),
+        expr("try_cast(bar['2. high'] AS DOUBLE)").as("high"),
+        expr("try_cast(bar['3. low'] AS DOUBLE)").as("low"),
+        expr("try_cast(bar['4. close'] AS DOUBLE)").as("close"),
+        expr("try_cast(bar['5. volume'] AS BIGINT)").as("volume"))
 
   /** Synthetic OHLCV generator (reference: dashboard/app.py:45-92 S5) —
     * `spark.range` + seeded rand, fully distributed, no driver-side loops. */

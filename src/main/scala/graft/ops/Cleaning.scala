@@ -61,9 +61,20 @@ object Cleaning {
       .drop("__rn")
   }
 
-  /** The full cleaning chain in reference order: F1 -> F2 -> F3 -> F4. */
+  /** The full cleaning chain in reference order: F1 -> F2 -> F3 -> F4.
+    *
+    * The explicit repartition by `symbol` is the single exchange of the
+    * whole downstream pipeline: HashPartitioning(symbol) satisfies the
+    * dedup window's ClusteredDistribution(symbol, date) (subset rule) AND
+    * every per-symbol feature window, so Catalyst inserts no further
+    * shuffle and no re-sort (the dedup sort (symbol, date, tiebreak) has
+    * the feature windows' (symbol, date) as a prefix). Without it the plan
+    * exchanges twice: once on (symbol, date), again on symbol. */
   def clean(df: DataFrame, tiebreak: Column): DataFrame =
-    dedupKeepLast(filterPositivePrices(filterOhlcConsistent(dropNullCritical(df))), tiebreak)
+    dedupKeepLast(
+      filterPositivePrices(filterOhlcConsistent(dropNullCritical(df)))
+        .repartition(col("symbol")),
+      tiebreak)
 
   /** P4: project to a fixed column order, passing through unknown trailing
     * columns (reference: src/transform.py:292-321). */

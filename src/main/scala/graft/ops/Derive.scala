@@ -47,13 +47,21 @@ object Derive {
       percentile(col("volume"), lit(0.5)).as("vol_q2"),
       percentile(col("volume"), lit(0.75)).as("vol_q3"))
 
-  /** W9/X6: assign volume_category by joining the tiny per-symbol quartile
-    * table back (broadcast — no shuffle of the fact side). */
-  def withVolumeCategory(df: DataFrame): DataFrame =
-    df.join(broadcast(volumeQuartiles(df)), Seq("symbol"), "left")
+  /** W9/X6: assign volume_category from per-symbol quartiles computed as
+    * unbounded-window aggregates over the SAME symbol partitioning the
+    * feature windows already use — no second pass over the clean+derive
+    * subtree and no join (the groupBy+broadcast-join alternative re-computed
+    * the whole upstream plan for the aggregate side). */
+  def withVolumeCategory(df: DataFrame): DataFrame = {
+    val wSym = Window.partitionBy("symbol")
+    df
+      .withColumn("vol_q1", percentile(col("volume"), lit(0.25)).over(wSym))
+      .withColumn("vol_q2", percentile(col("volume"), lit(0.5)).over(wSym))
+      .withColumn("vol_q3", percentile(col("volume"), lit(0.75)).over(wSym))
       .withColumn("volume_category",
         volumeCategory(col("volume"), col("vol_q1"), col("vol_q2"), col("vol_q3")))
       .drop("vol_q1", "vol_q2", "vol_q3")
+  }
 
   /** All derived columns over a cleaned canonical stock frame
     * (symbol, date, open, high, low, close, volume). Expects (symbol, date)

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.{Sinks, Sources}
+
+/** S8/S9 + lake-sink round trips (reference: src/transform.py:447-448,
+  * src/extract.py:450-452). */
+class SinksSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).resolve("out").toString
+
+  private lazy val df = Sources.stockFromLineitem(spark, "/root/testdata/sf0.001")
+    .limit(200).cache()
+
+  test("CSV sink round-trips with header") {
+    val path = tmp("graft-csv")
+    Sinks.writeCsv(df.select("symbol", "date", "close"), path)
+    val back = spark.read.option("header", "true").csv(path)
+    assert(back.count() == 200)
+    assert(back.columns.toSeq == Seq("symbol", "date", "close"))
+  }
+
+  test("JSON sink round-trips values") {
+    val path = tmp("graft-json")
+    Sinks.writeJson(df.select("rid", "close"), path)
+    val back = spark.read.json(path)
+    assert(back.count() == 200)
+    assert(back.agg(sum("rid")).head.getLong(0) ==
+      df.agg(sum("rid")).head.getLong(0))
+  }
+
+  test("partitioned lake sink prunes by symbol") {
+    val path = tmp("graft-lake")
+    Sinks.writePartitioned(df, path)
+    val symbols = df.select("symbol").distinct().count()
+    val dirs = new java.io.File(path).listFiles().count(_.getName.startsWith("symbol="))
+    assert(dirs == symbols)
+    // a per-symbol read touches one partition directory
+    val one = df.select("symbol").head.getString(0)
+    val pruned = spark.read.parquet(path).filter(col("symbol") === one)
+    assert(pruned.count() == df.filter(col("symbol") === one).count())
+  }
+}

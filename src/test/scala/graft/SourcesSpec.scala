@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.Sources
+import graft.ops.Cleaning
+
+/** S1/S5 source semantics: the Alpha-Vantage-shaped JSON parser against the
+  * reference's fixture shape (FIXTURES.md A1), and the synthetic generator. */
+class SourcesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val payload =
+    """{
+      |  "Meta Data": {"1. Information": "Daily Prices", "2. Symbol": "AAPL",
+      |                "3. Last Refreshed": "2024-01-20", "5. Time Zone": "US/Eastern"},
+      |  "Time Series (Daily)": {
+      |    "2024-01-19": {"1. open": "150.0", "2. high": "155.0", "3. low": "148.0",
+      |                   "4. close": "153.0", "5. volume": "50000000"},
+      |    "2024-01-20": {"1. open": "151.0", "2. high": "156.0", "3. low": "149.0",
+      |                   "4. close": "154.0", "5. volume": "garbage"}
+      |  }
+      |}""".stripMargin
+
+  test("parseAlphaVantage flattens payloads; bad numerics coerce to null") {
+    val out = Sources.parseAlphaVantage(Seq(payload).toDF("json"), "json")
+      .orderBy("date").collect()
+    assert(out.length == 2)
+    val first = out.head
+    assert(first.getAs[String]("symbol") == "AAPL")
+    assert(first.getAs[java.sql.Date]("date").toString == "2024-01-19")
+    assert(first.getAs[Double]("close") == 153.0)
+    assert(first.getAs[Long]("volume") == 50000000L)
+    // to_numeric(errors='coerce') parity: garbage volume -> null
+    assert(out(1).isNullAt(out(1).fieldIndex("volume")))
+  }
+
+  test("malformed payloads yield null rows filterable like failed fetches (F8)") {
+    val out = Sources.parseAlphaVantage(
+      Seq(payload, "not json at all").toDF("json"), "json")
+    assert(out.count() == 2) // explode drops the null time-series envelope
+  }
+
+  test("synthetic generator produces consistent OHLC rows") {
+    val df = Sources.syntheticStock(spark, Seq("AAA", "BBB"), days = 10)
+    assert(df.count() == 20)
+    // generator output survives the quality filters by construction
+    assert(Cleaning.filterPositivePrices(Cleaning.filterOhlcConsistent(df)).count() == 20)
+  }
+}
