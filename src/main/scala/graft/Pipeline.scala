@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{Alerts, Summary}
+import graft.io.{Sinks, Sources}
+import graft.model.Schemas
+import graft.ops.{Cleaning, Derive}
+import graft.quality.Expectations
+
+/** The reference's primary entry point re-expressed as one lazy Spark plan
+  * per stage (reference: src/pipeline.py:119-398, traced in SURVEY §3.1):
+  *
+  *   EXTRACT (payload strings) -> TRANSFORM (parse + clean + derive)
+  *   -> VALIDATE (expectation suite) -> LOAD (partitioned lake sink)
+  *   -> SUMMARY (A1-A4 aggregates) -> ALERT (channel)
+  *
+  * Unlike the reference, stages don't materialize between steps — the
+  * transform is a single Catalyst plan; only VALIDATE/SUMMARY/LOAD are
+  * actions. The scheduler analog is a cron'd spark-submit of this, or the
+  * streaming twin (streaming.StreamPipeline) with a processing-time
+  * trigger.
+  */
+object Pipeline {
+
+  final case class RunResult(recordsLoaded: Long, qualityPassRate: Double,
+                             summary: DataFrame, alert: Option[Alerts.Alert])
+
+  /** payloads: one Alpha-Vantage-shaped JSON string per symbol envelope
+    * (what Throttle.fetchAll + a transport produce). */
+  def runEtl(spark: SparkSession, payloads: DataFrame, jsonCol: String,
+             outPath: String, channel: Alerts.Channel = new Alerts.LogChannel,
+             symbolsRequested: Int = -1): RunResult = {
+    // TRANSFORM: parse (S1) -> quality filters + dedup (F1-F4) -> features
+    val parsed = Sources.parseAlphaVantage(payloads, jsonCol)
+      .withColumn("rid", monotonically_increasing_id())
+    val cleaned = Cleaning.clean(parsed, col("rid")).drop("rid")
+    val features = Derive.addDerived(cleaned)
+      .withColumn("extracted_at", current_timestamp())
+      .withColumn("data_source", lit("Alpha Vantage"))
+    val ordered = Cleaning.reorderColumns(features,
+      Schemas.featureColumns :+ "extracted_at")
+
+    // VALIDATE (A11) — the reference's >= 90% gate
+    val report = Expectations.qualityReport(features)
+    val passRate = report.agg(avg(col("passed").cast("int"))).head.getDouble(0)
+
+    // LOAD: partitioned lake append (S6/S7 analog: partition pruning
+    // replaces the (symbol, date) composite index)
+    Sinks.writePartitioned(ordered, outPath)
+    val loaded = spark.read.parquet(outPath).count()
+
+    // SUMMARY (A1-A4) + ALERT
+    val summary = Summary.databaseSummary(spark.read.parquet(outPath))
+    val requested = if (symbolsRequested >= 0) symbolsRequested
+      else payloads.count().toInt
+    val alert = Alerts.evaluateRun(loaded, requested,
+      symbolsFetched = requested, qualityPassRate = passRate)
+    alert.foreach(channel.send)
+
+    RunResult(loaded, passRate, summary, alert)
+  }
+}

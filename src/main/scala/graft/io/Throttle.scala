@@ -1,0 +1,56 @@
+package graft.io
+
+/** Rate-limited batched fetch (reference: src/extract.py:273-334, S3).
+  *
+  * The reference sleeps 12 s between sequential HTTP calls (5/min free
+  * tier). Here the transport is pluggable (this container has no egress —
+  * tests inject a stub), and the throttle is a token bucket rather than a
+  * fixed sleep so bursts up to the rate limit are allowed. This is
+  * DRIVER-side code by design: the rate limit is per-API-key, i.e. global,
+  * so fetching cannot be distributed without coordinating tokens; the
+  * fetched payloads land in a directory (or Dataset) and all heavy work
+  * happens in Spark from there (Sources.parseAlphaVantage).
+  */
+object Throttle {
+
+  /** Token bucket: `ratePerMinute` tokens, refilled continuously. */
+  final class TokenBucket(ratePerMinute: Int,
+                          nanoTime: () => Long = () => System.nanoTime(),
+                          sleep: Long => Unit = Thread.sleep) {
+    private val intervalNanos = 60e9.toLong / ratePerMinute
+    private var nextFree = 0L
+
+    /** Blocks until a token is available, then consumes it. */
+    def acquire(): Unit = synchronized {
+      val now = nanoTime()
+      val at = math.max(now, nextFree)
+      nextFree = at + intervalNanos
+      val waitMs = (at - now) / 1000000L
+      if (waitMs > 0) sleep(waitMs)
+    }
+  }
+
+  /** Fetch every symbol through `fetchOne`, never exceeding
+    * `ratePerMinute`; failures become None placeholders preserving order
+    * (reference: src/extract.py:315 — filtered downstream as F8). */
+  def fetchAll(symbols: Seq[String], ratePerMinute: Int = 5,
+               retries: Int = 2, backoffMs: Long = 1000,
+               sleep: Long => Unit = Thread.sleep)
+              (fetchOne: String => String): Seq[Option[String]] = {
+    val bucket = new TokenBucket(ratePerMinute, sleep = sleep)
+    symbols.map { sym =>
+      var attempt = 0
+      var result: Option[String] = None
+      while (result.isEmpty && attempt <= retries) {
+        bucket.acquire()
+        try result = Some(fetchOne(sym))
+        catch {
+          case _: Exception =>
+            attempt += 1
+            if (attempt <= retries) sleep(backoffMs * attempt)
+        }
+      }
+      result
+    }
+  }
+}

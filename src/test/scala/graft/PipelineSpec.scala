@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analytics.Alerts
+import graft.io.Throttle
+
+/** End-to-end ETL orchestration (SURVEY §3.1) with stubbed transport —
+  * extract -> transform -> validate -> load -> summary -> alert. */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def payload(symbol: String, days: Int): String = {
+    val series = (1 to days).map { i =>
+      val p = 100.0 + i
+      f"""\"2024-01-$i%02d\": {\"1. open\": \"${p - 1}\", \"2. high\": \"${p + 2}\",
+         |\"3. low\": \"${p - 2}\", \"4. close\": \"$p\", \"5. volume\": \"${1000000 + i}\"}""".stripMargin
+    }.mkString(",")
+    s"""{"Meta Data": {"2. Symbol": "$symbol"}, "Time Series (Daily)": {$series}}"""
+  }
+
+  test("runEtl: fetch-shaped payloads through to loaded lake + summary + no alert") {
+    val channel = new Alerts.LogChannel
+    val out = java.nio.file.Files.createTempDirectory("graft-etl").resolve("lake").toString
+    val payloads = Seq("AAPL", "MSFT").map(s => payload(s, 25)).toDF("json")
+
+    val result = Pipeline.runEtl(spark, payloads, "json", out, channel)
+    assert(result.recordsLoaded == 50)
+    assert(result.qualityPassRate >= 0.9) // clean synthetic data passes the gate
+    assert(result.alert.isEmpty && channel.sent.isEmpty)
+
+    val loaded = spark.read.parquet(out)
+    assert(loaded.columns.contains("ma_20") && loaded.columns.contains("volume_category"))
+    assert(result.summary.head.getAs[Long]("unique_symbols") == 2)
+  }
+
+  test("throttled fetch preserves order, retries, and None-placeholders failures") {
+    var calls = 0
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val out = Throttle.fetchAll(Seq("A", "B", "C"), ratePerMinute = 600,
+      retries = 1, backoffMs = 10, sleep = sleeps += _) {
+      case "B" => calls += 1; throw new RuntimeException("rate limited")
+      case s   => calls += 1; s"payload-$s"
+    }
+    assert(out == Seq(Some("payload-A"), None, Some("payload-C")))
+    assert(calls == 4) // A, B, B-retry, C
+    assert(sleeps.nonEmpty) // backoff happened
+  }
+
+  test("token bucket spaces acquisitions at the configured rate") {
+    var clock = 0L
+    val waits = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val bucket = new Throttle.TokenBucket(5, nanoTime = () => clock, sleep = waits += _)
+    bucket.acquire() // t=0, free
+    bucket.acquire() // must wait 12 s
+    assert(waits.lastOption.contains(12000L))
+  }
+
+  test("alert decisions: zero records / quality miss / partial fetch") {
+    assert(Alerts.evaluateRun(0, 5, 5, 1.0).exists(_.severity == Alerts.Critical))
+    assert(Alerts.evaluateRun(100, 5, 5, 0.5).exists(_.severity == Alerts.Critical))
+    assert(Alerts.evaluateRun(100, 5, 3, 1.0).exists(_.severity == Alerts.Warning))
+    assert(Alerts.evaluateRun(100, 5, 5, 0.95).isEmpty)
+  }
+}
