@@ -7,10 +7,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class SparkEntrySpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
-  test("every oracle key has a query (and vice versa where SQL-expressible)") {
+  test("queries and oracle SQL keys match exactly") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
-    assert(o.subsetOf(q), s"oracle keys without query impl: ${o.diff(q)}")
+    assert(o.diff(q).isEmpty, s"oracle keys without query impl: ${o.diff(q)}")
+    assert(q.diff(o).isEmpty, s"queries missing oracle SQL: ${q.diff(o)}")
   }
 
   test("entry() returns rows on sf0.001") {
