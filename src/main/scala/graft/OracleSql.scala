@@ -348,6 +348,20 @@ object OracleSql {
          |    AS recent_avg_change
          |FROM dcp ORDER BY symbol, "date"""".stripMargin),
 
+    "w7_latest_row" -> withCtes(stockCte, cleanCte, dedupCte)(
+      s"""SELECT symbol, "date", ${R("close", 6)} AS close FROM (
+         |  SELECT symbol, "date", close,
+         |         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY "date" DESC) AS rn
+         |  FROM dedup)
+         |WHERE rn = 1 ORDER BY symbol""".stripMargin),
+
+    "w8_trailing_k" -> withCtes(stockCte, cleanCte, dedupCte)(
+      s"""SELECT symbol, "date", CAST(rn AS INTEGER) AS rn, ${R("close", 6)} AS close FROM (
+         |  SELECT symbol, "date", close,
+         |         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY "date" DESC) AS rn
+         |  FROM dedup)
+         |WHERE rn <= 5 ORDER BY symbol, "date"""".stripMargin),
+
     "o1_sort_date" -> withCtes(stockCte)(
       s"""SELECT "date", rid, ${R("close", 6)} AS close
          |FROM stock ORDER BY "date", rid LIMIT 500""".stripMargin),

@@ -439,6 +439,24 @@ object Queries {
       .select("o_orderkey", "o_totalprice"), Nil)
       .orderBy(desc("o_totalprice"), col("o_orderkey")).limit(100)
 
+  def w7LatestRow(s: SparkSession, dir: String): DataFrame = {
+    val wDesc = Window.partitionBy("symbol").orderBy(col("date").desc)
+    rounded(cleanedStock(s, dir).drop("rid")
+      .withColumn("rn", row_number().over(wDesc))
+      .filter(col("rn") === 1)
+      .select("symbol", "date", "close"), Seq("close"))
+      .orderBy("symbol")
+  }
+
+  def w8TrailingK(s: SparkSession, dir: String): DataFrame = {
+    val wDesc = Window.partitionBy("symbol").orderBy(col("date").desc)
+    rounded(cleanedStock(s, dir).drop("rid")
+      .withColumn("rn", row_number().over(wDesc))
+      .filter(col("rn") <= 5)
+      .select("symbol", "date", "rn", "close"), Seq("close"))
+      .orderBy("symbol", "date")
+  }
+
   // ===== training-data extensions (documents / embeddings) ================
 
   def d1DedupExact(s: SparkSession, dir: String): DataFrame =
@@ -561,6 +579,8 @@ object Queries {
     "x4_updown_flags" -> (x4UpdownFlags _),
     "x5_vol_category" -> (x5VolCategory _),
     "a8_window_mean" -> (a8WindowMean _),
+    "w7_latest_row" -> (w7LatestRow _),
+    "w8_trailing_k" -> (w8TrailingK _),
     "o1_sort_date" -> (o1SortDate _),
     "o2_composite_sort" -> (o2CompositeSort _),
     "o5_sort_measure_desc" -> (o5SortMeasureDesc _)
