@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Similarity
+import graft.functions.GraftFunctions
+
+/** The native codegen expression must agree with the declarative
+  * higher-order-function path on real embeddings, and handle edge cases. */
+class CosineSimilaritySpec extends AnyFunSuite {
+  private lazy val spark = { GraftFunctions.register(SparkTestSession.spark); SparkTestSession.spark }
+
+  test("matches the declarative dot/norm formula on the embeddings table") {
+    val emb = graft.io.Sources.embeddings(spark, "/root/testdata/sf0.001")
+    val a = emb.limit(50).select(col("vec_id").as("ida"), col("embedding").as("va"))
+    val b = emb.limit(50).select(col("vec_id").as("idb"), col("embedding").as("vb"))
+    val pairs = a.crossJoin(b).filter(col("ida") < col("idb"))
+    val checked = pairs.select(
+        expr("cosine_similarity(va, vb)").as("native"),
+        (Similarity.dot(col("va"), col("vb")) /
+          (Similarity.norm(col("va")) * Similarity.norm(col("vb")))).as("declarative"))
+      .withColumn("diff", abs(col("native") - col("declarative")))
+    val maxDiff = checked.agg(max("diff")).head.getDouble(0)
+    assert(maxDiff < 1e-12, s"max diff $maxDiff")
+  }
+
+  test("edge cases: identical, orthogonal, zero-norm, null input") {
+    val row = spark.sql(
+      """SELECT
+        |  cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS same,
+        |  cosine_similarity(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS ortho,
+        |  cosine_similarity(array(0.0D, 0.0D), array(1.0D, 1.0D)) AS zero,
+        |  cosine_similarity(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)) AS nul
+        |""".stripMargin).head
+    assert(math.abs(row.getDouble(0) - 1.0) < 1e-15)
+    assert(math.abs(row.getDouble(1)) < 1e-15)
+    assert(row.isNullAt(2) && row.isNullAt(3))
+  }
+
+  test("survives both codegen and interpreted evaluation") {
+    val emb = graft.io.Sources.embeddings(spark, "/root/testdata/sf0.001").limit(10)
+    val viaSql = emb.selectExpr("cosine_similarity(embedding, embedding) AS c")
+      .agg(min("c"), max("c")).head
+    // self-similarity is exactly 1 for nonzero vectors
+    assert(math.abs(viaSql.getDouble(0) - 1.0) < 1e-9)
+    assert(math.abs(viaSql.getDouble(1) - 1.0) < 1e-9)
+  }
+}
