@@ -768,6 +768,44 @@ object OracleSql {
         |  FROM sc)
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
 
+    "sim3_ivf_topk" -> withCtes(
+      embUnnestCte(""), normCte,
+      """an AS (
+        |  SELECT c, d,
+        |    (CAST(('0x' || substr(md5(CAST(c AS VARCHAR) || '~' || CAST(d AS VARCHAR)), 1, 8)) AS BIGINT)
+        |     % 2001 - 1000) / 1000.0 AS w
+        |  FROM range(0, 16) t1(c), range(1, 65) t2(d))""".stripMargin,
+      "anorm AS (SELECT c, SQRT(SUM(w * w)) AS anorm FROM an GROUP BY c)",
+      """sc0 AS (
+        |  SELECT u.vec_id, an.c, SUM(CAST(u.v AS DOUBLE) * an.w) AS adot
+        |  FROM u JOIN an ON an.d = u.i GROUP BY 1, 2)""".stripMargin,
+      """scr AS (
+        |  SELECT vec_id, c, adot / anorm AS score,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY adot / anorm DESC, c) AS rnk
+        |  FROM sc0 JOIN anorm USING (c))""".stripMargin,
+      "assigned AS (SELECT vec_id, c AS list_id FROM scr WHERE rnk = 1)",
+      """probes AS (
+        |  SELECT vec_id AS query_id, c AS list_id FROM scr
+        |  WHERE vec_id % 100 = 0 AND rnk <= 2)""".stripMargin,
+      """cand AS (
+        |  SELECT p.query_id, a.vec_id, a.list_id
+        |  FROM probes p JOIN assigned a ON a.list_id = p.list_id AND a.vec_id <> p.query_id)""".stripMargin,
+      """cd AS (
+        |  SELECT c.query_id, c.vec_id, c.list_id,
+        |         SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dp
+        |  FROM cand c JOIN u a ON a.vec_id = c.query_id
+        |              JOIN u b ON b.vec_id = c.vec_id AND b.i = a.i
+        |  GROUP BY 1, 2, 3)""".stripMargin,
+      s"""sc AS (
+         |  SELECT query_id, cd.vec_id, list_id,
+         |         ${R("dp / (nq.nv * nc.nv)", 6)} AS cosine
+         |  FROM cd JOIN nrm nq ON nq.vec_id = query_id
+         |           JOIN nrm nc ON nc.vec_id = cd.vec_id)""".stripMargin)(
+      """SELECT query_id, rank, vec_id, list_id, cosine FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM sc)
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+
     "t1_lang_id" -> withCtes(toksCte,
       s"""scs AS (
          |  SELECT doc_id, lang,

@@ -486,6 +486,10 @@ object Queries {
     ext.Similarity.lshTopK(Sources.embeddings(s, dir), ext.Similarity.planes(s))
       .orderBy("query_id", "rank")
 
+  def sim3IvfTopk(s: SparkSession, dir: String): DataFrame =
+    ext.Similarity.ivfTopK(Sources.embeddings(s, dir), ext.Similarity.ivfAnchors(s))
+      .orderBy("query_id", "rank")
+
   def t1LangId(s: SparkSession, dir: String): DataFrame =
     ext.TextOps.withLangId(Sources.documents(s, dir))
       .select("doc_id", "lang", "score_en", "score_de", "score_es", "score_fr",
@@ -562,6 +566,7 @@ object Queries {
     "d5_embedding_neardup" -> (d5EmbeddingNeardup _),
     "sim1_cosine_topk" -> (sim1CosineTopk _),
     "sim2_lsh_topk" -> (sim2LshTopk _),
+    "sim3_ivf_topk" -> (sim3IvfTopk _),
     "t1_lang_id" -> (t1LangId _),
     "t2_quality_score" -> (t2QualityScore _),
     "t3_token_count" -> (t3TokenCount _),

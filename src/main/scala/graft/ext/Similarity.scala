@@ -90,6 +90,64 @@ object Similarity {
         pow(lit(2.0), col("p")).cast("long")).otherwise(0L)).as("bucket"))
   }
 
+  /** IVF coarse quantizer: deterministic anchor vectors (md5-derived, same
+    * recipe as `planes` with a different salt). Real IVF learns centroids
+    * with k-means; a fixed pseudo-random codebook keeps the operator
+    * oracle-checkable while preserving the IVF execution shape: assign
+    * every vector to its nearest list once, then search only the query's
+    * nprobe nearest lists. */
+  def ivfAnchors(spark: SparkSession, nLists: Int = 16, dims: Int = 64): DataFrame =
+    spark.range(nLists).withColumnRenamed("id", "c")
+      .crossJoin(spark.range(1, dims + 1).withColumnRenamed("id", "d"))
+      .withColumn("w",
+        (conv(substring(md5(concat(col("c"), lit("~"), col("d"))), 1, 8), 16, 10)
+          .cast("long") % 2001 - 1000).cast("double") / 1000.0)
+
+  /** Anchor-similarity scores per vector: (vec_id, c, score) where score =
+    * dot(v, anchor_c) / |anchor_c| (|v| constant across lists, dropped). */
+  private def anchorScores(emb: DataFrame, anchors: DataFrame): DataFrame = {
+    val anorm = anchors.groupBy("c").agg(sqrt(sum(col("w") * col("w"))).as("anorm"))
+    emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("d", col("pos") + 1)
+      .join(broadcast(anchors), "d")
+      .groupBy("vec_id", "c")
+      .agg(sum(col("v").cast("double") * col("w")).as("adot"))
+      .join(broadcast(anorm), "c")
+      .withColumn("score", col("adot") / col("anorm"))
+  }
+
+  /** IVF top-k: assign each vector to its single nearest list, search the
+    * query's `nprobe` nearest lists only. Pairwise work drops ~nLists/nprobe
+    * vs brute force; the inverted-list layout is exactly the partition/
+    * bucket layout a 100 TB deployment stores the corpus in. */
+  def ivfTopK(emb: DataFrame, anchors: DataFrame, queryMod: Int = 100,
+              k: Int = 3, nprobe: Int = 2): DataFrame = {
+    val scores = anchorScores(emb, anchors)
+    val wBest = Window.partitionBy("vec_id").orderBy(desc("score"), col("c"))
+    val assigned = scores.withColumn("rnk", row_number().over(wBest))
+      .filter(col("rnk") === 1).select(col("vec_id"), col("c").as("list_id"))
+
+    val vecs = withDoubles(emb).join(assigned, "vec_id")
+    val probes = scores.filter(col("vec_id") % queryMod === 0)
+      .withColumn("rnk", row_number().over(wBest))
+      .filter(col("rnk") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("c").as("list_id"))
+    val queries = withDoubles(emb).filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("emb_d").as("q_emb"),
+        col("nrm").as("q_nrm"))
+      .join(probes, "query_id")
+
+    val scored = vecs.join(broadcast(queries), Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", graft.ops.Num.cround(
+        dotD(col("emb_d"), col("q_emb")) / (col("nrm") * col("q_nrm")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "list_id", "cosine")
+  }
+
   /** LSH-bucketed cosine top-k: only candidates in the query's bucket are
     * scored. The 2^nPlanes buckets bound the self-join; per-bucket top-k
     * keeps the shuffle payload at k rows per query. */
