@@ -23,6 +23,19 @@ object Summary {
       avg(col("volume")).as("avg_volume"),
       avg(col("daily_change_percent")).as("avg_daily_change_percent"))
 
+  /** Monitoring-path twin of databaseSummary for 100 TB scale: sketch-based
+    * distinct count (HLL++) and approximate percentiles — single pass,
+    * constant memory per partition, mergeable sketches instead of exact
+    * shuffled state. NOT oracle-compared (approximate by design); the exact
+    * versions above remain the correctness path. */
+  def approxSummary(df: DataFrame, relativeError: Double = 0.01): DataFrame =
+    df.agg(
+      count(lit(1)).as("total_records"),
+      approx_count_distinct(col("symbol"), relativeError).as("approx_symbols"),
+      percentile_approx(col("close"), lit(0.5), lit(10000)).as("approx_median_close"),
+      percentile_approx(col("volume"), array(lit(0.25), lit(0.75)), lit(10000))
+        .as("approx_volume_iqr"))
+
   /** A10: category frequency table (pandas value_counts). */
   def valueCounts(df: DataFrame, column: String): DataFrame =
     df.groupBy(column).count().orderBy(desc("count"), col(column))

@@ -25,6 +25,20 @@ object Sinks {
                        partitionCols: Seq[String] = Seq("symbol")): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Bucketed lake sink: the shuffle-elimination layout. A table bucketed
+    * (and sorted) by symbol lets every downstream per-symbol groupBy/window/
+    * join run WITHOUT an exchange — the write pays the shuffle once, every
+    * reader skips it (SinksSpec proves the plan has no hashpartitioning).
+    * This is the durable form of the pipeline's single symbol repartition. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    buckets: Int = 32): Unit =
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, "symbol")
+      .sortBy("symbol", "date")
+      .format("parquet")
+      .saveAsTable(table)
+
   /** S6: JDBC append sink (reference: src/load.py:176-288). `batchsize`
     * reproduces the 1000-row INSERT chunking. Untested here (no DB in the
     * harness); compiled surface only. */

@@ -33,6 +33,25 @@ class SinksSpec extends AnyFunSuite {
       df.agg(sum("rid")).head.getLong(0))
   }
 
+  test("bucketed table eliminates the shuffle for per-symbol aggregation") {
+    val path = tmp("graft-bucketed")
+    Sinks.writeBucketed(df, "stock_bucketed", path, buckets = 4)
+    val agg = spark.table("stock_bucketed").groupBy("symbol")
+      .agg(avg("close"), max("volume"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"),
+      s"bucketed read should not exchange:\n$plan")
+    assert(agg.count() == df.select("symbol").distinct().count())
+  }
+
+  test("approx monitoring summary is close to exact at small scale") {
+    val exact = df.select("symbol").distinct().count()
+    val row = graft.analytics.Summary.approxSummary(df).head
+    val approx = row.getAs[Long]("approx_symbols")
+    assert(math.abs(approx - exact) <= math.max(2L, (exact * 0.05).toLong))
+    assert(row.getAs[Long]("total_records") == 200)
+  }
+
   test("partitioned lake sink prunes by symbol") {
     val path = tmp("graft-lake")
     Sinks.writePartitioned(df, path)
