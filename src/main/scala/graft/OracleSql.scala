@@ -526,6 +526,38 @@ object OracleSql {
          |       ${R("ma_5", 2)} AS ma_5, ${R("ma_20", 2)} AS ma_20
          |FROM feat1 ORDER BY "date" DESC, symbol LIMIT 2000""".stripMargin),
 
+    "st2_sessionize" -> withCtes(
+      """ev AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         CAST(FLOOR(epoch(ts)) AS BIGINT) AS tsec,
+        |         CASE WHEN LAG(ts) OVER w IS NULL
+        |                OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+        |                   - CAST(FLOOR(epoch(LAG(ts) OVER w)) AS BIGINT) > 1800
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))""".stripMargin,
+      """sess AS (
+        |  SELECT *, CAST(SUM(new_session) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM ev)""".stripMargin)(
+      s"""SELECT user_id, session_seq,
+         |  COUNT(*) AS n_events,
+         |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         |  CAST(MAX(tsec) - MIN(tsec) AS BIGINT) AS duration_sec,
+         |  ${R("SUM(value)", 2)} AS total_value
+         |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin),
+
+    "j4_rollup" ->
+      s"""SELECT COALESCE(r_name, 'ALL') AS r_name,
+         |       COALESCE(c_mktsegment, 'ALL') AS c_mktsegment,
+         |       COUNT(*) AS n_orders, ${R("SUM(o_totalprice)", 2)} AS revenue
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP (r_name, c_mktsegment)
+         |ORDER BY r_name, c_mktsegment""".stripMargin,
+
     "st1_tumbling_window" ->
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
          |       event_type, COUNT(*) AS n_events,

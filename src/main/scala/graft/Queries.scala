@@ -315,6 +315,58 @@ object Queries {
 
   // ===== streaming-shaped (tumbling window over events) ====================
 
+  /** Sessionization (gaps-and-islands): a new session starts after a
+    * > 30 min silence per user. The batch-declarative twin of
+    * session_window — same semantics, oracle-checkable. */
+  def st2Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sessions = Sources.events(s, dir)
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    rounded(sessions.groupBy("user_id", "session_seq")
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        (max(col("ts").cast("long")) - min(col("ts").cast("long"))).as("duration_sec"),
+        sum("value").as("total_value")),
+      Seq("total_value"), 2)
+      .orderBy("user_id", "session_seq")
+  }
+
+  /** Rollup aggregate beyond the reference surface: revenue by
+    * (region, segment) with subtotals and grand total. */
+  def j4Rollup(s: SparkSession, dir: String): DataFrame = {
+    val o = Sources.orders(s, dir)
+    val c = Sources.customer(s, dir)
+    val n = Sources.nation(s, dir)
+    val r = Sources.region(s, dir)
+    // project to fresh aliases before rollup: rollup's null-extended
+    // grouping columns otherwise clash with the join-side attributes
+    val base = o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("region"), col("c_mktsegment").as("segment"),
+        col("o_totalprice"))
+    // rollup through the SQL path: in Spark 4.1 ANY Dataset.rollup after a
+    // join trips the ambiguous-self-join checker (the Expand duplicates the
+    // dataset-id-tagged grouping attributes); the SQL planner carries no
+    // dataset ids and resolves cleanly
+    base.createOrReplaceTempView("rollup_base")
+    s.sql(
+      s"""SELECT COALESCE(region, 'ALL') AS r_name,
+         |       COALESCE(segment, 'ALL') AS c_mktsegment,
+         |       COUNT(*) AS n_orders,
+         |       ${Num.croundSql("SUM(o_totalprice)", 2)} AS revenue
+         |FROM rollup_base
+         |GROUP BY ROLLUP (region, segment)
+         |ORDER BY r_name, c_mktsegment""".stripMargin)
+  }
+
   def st1TumblingWindow(s: SparkSession, dir: String): DataFrame =
     rounded(Sources.events(s, dir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -559,6 +611,8 @@ object Queries {
     "j2_semi_anti" -> (j2SemiAnti _),
     "j3_left_join_agg" -> (j3LeftJoinAgg _),
     "st1_tumbling_window" -> (st1TumblingWindow _),
+    "st2_sessionize" -> (st2Sessionize _),
+    "j4_rollup" -> (j4Rollup _),
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_minhash_lsh" -> (d2MinhashLsh _),
     "d3_simhash" -> (d3Simhash _),
