@@ -855,7 +855,7 @@ object OracleSql {
         |FROM scs ORDER BY doc_id""".stripMargin),
 
     "t2_quality_score" -> {
-      val punct = "CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)"
+      val punct = "CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / nullif(length(text), 0)"
       val stop = s"CAST(len(list_filter(tok, t -> t IN ($enList))) AS DOUBLE) / len(tok)"
       withCtes(toksCte)(
         s"""SELECT doc_id,

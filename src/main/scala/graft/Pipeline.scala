@@ -47,16 +47,22 @@ object Pipeline {
     val passRate = report.agg(avg(col("passed").cast("int"))).head.getDouble(0)
 
     // LOAD: partitioned lake append (S6/S7 analog: partition pruning
-    // replaces the (symbol, date) composite index)
-    Sinks.writePartitioned(ordered, outPath)
-    val loaded = spark.read.parquet(outPath).count()
+    // replaces the (symbol, date) composite index). Empty runs write
+    // nothing — a zero-row partitioned write leaves an unreadable dir and
+    // must still reach the Critical alert below, not crash on read-back.
+    val records = ordered.count()
+    if (records > 0) Sinks.writePartitioned(ordered, outPath)
+    val lake = if (records > 0) spark.read.parquet(outPath) else ordered
+    val loaded = if (records > 0) lake.count() else 0L
 
-    // SUMMARY (A1-A4) + ALERT
-    val summary = Summary.databaseSummary(spark.read.parquet(outPath))
+    // SUMMARY (A1-A4) + ALERT. symbolsFetched counts non-null envelopes
+    // (failed fetches are null placeholders) so partial fetches Warn.
+    val summary = Summary.databaseSummary(lake)
     val requested = if (symbolsRequested >= 0) symbolsRequested
       else payloads.count().toInt
+    val fetched = payloads.filter(col(jsonCol).isNotNull).count().toInt
     val alert = Alerts.evaluateRun(loaded, requested,
-      symbolsFetched = requested, qualityPassRate = passRate)
+      symbolsFetched = fetched, qualityPassRate = passRate)
     alert.foreach(channel.send)
 
     RunResult(loaded, passRate, summary, alert)

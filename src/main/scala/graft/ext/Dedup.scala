@@ -63,12 +63,13 @@ object Dedup {
     val stackArgs = (0 until nBands)
       .map(b => s"$b, concat(CAST(mh_${2 * b} AS STRING), '_', CAST(mh_${2 * b + 1} AS STRING))")
       .mkString(", ")
-    // persist: the band table is tiny (doc_id + 2 hashes x 8) and is read
-    // by BOTH sides of the self-join — without it the whole signature
-    // subtree (shingle + digest work) runs twice
+    // NOT persisted: both self-join sides recompute the signature subtree,
+    // but that build is a cheap codegen'd single pass (see
+    // minhashSignatures) and a persist here would leak cache for the
+    // session lifetime (this is a library function — the caller owns
+    // caching if the signatures are reused)
     val bands = signatures.selectExpr(
       "doc_id", s"stack($nBands, $stackArgs) as (band, band_value)")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b, col("a.band") === col("b.band") &&

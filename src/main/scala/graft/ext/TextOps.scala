@@ -66,9 +66,11 @@ object TextOps {
       .withColumn("toks", tokens(col("text")))
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("text_len", length(col("text")))
+      // nullif: an empty document must yield null, not 0/0 = NaN (NaN would
+      // poison quality_score and break oracle hash parity)
       .withColumn("punct_ratio",
         length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double") /
-          col("text_len"))
+          expr("nullif(text_len, 0)"))
       .withColumn("stopword_ratio",
         expr("size(filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')))")
           .cast("double") / col("n_tokens"))

@@ -20,10 +20,13 @@ object Sinks {
 
   /** Lake sink: parquet partitioned by symbol — the scale analog of the
     * reference's symbol/(symbol,date) indexes (src/load.py:87-89): per-symbol
-    * queries prune partitions instead of probing a B-tree. */
+    * queries prune partitions instead of probing a B-tree. Default mode is
+    * append, matching the reference's accumulate-daily-batches load
+    * (src/load.py:252 if_exists='append'). */
   def writePartitioned(df: DataFrame, path: String,
-                       partitionCols: Seq[String] = Seq("symbol")): Unit =
-    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+                       partitionCols: Seq[String] = Seq("symbol"),
+                       mode: String = "append"): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
 
   /** Bucketed lake sink: the shuffle-elimination layout. A table bucketed
     * (and sorted) by symbol lets every downstream per-symbol groupBy/window/

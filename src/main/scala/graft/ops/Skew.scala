@@ -24,8 +24,13 @@ object Skew {
     * key. Returns one row per key with sum_<col>/cnt columns. */
   def saltedSumCount(df: DataFrame, key: String, valueCol: String,
                      saltBuckets: Int = 16): DataFrame = {
+    // deterministic salt from row content, NOT monotonically_increasing_id:
+    // a task retry after shuffle-fetch failure can reorder rows, and a
+    // nondeterministic salt would double-count/lose rows across the two
+    // phases (SPARK-23207 class). Identical rows share a salt — acceptable,
+    // they spread across buckets only if the hot key has varied values.
     val salted = df.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+      pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets.toLong)))
     val phase1 = salted.groupBy(col(key), col("__salt")).agg(
       sum(col(valueCol)).as("__psum"),
       count(lit(1)).as("__pcnt"))
@@ -38,9 +43,13 @@ object Skew {
   /** Skew diagnostic: rows per key with share of total — what you run
     * before deciding to salt or to repartition differently. */
   def keyHistogram(df: DataFrame, key: String, topN: Int = 20): DataFrame = {
+    // single scan: the total comes from the per-key aggregate, not a second
+    // full pass over the fact table
     val counts = df.groupBy(col(key)).agg(count(lit(1)).as("rows"))
-    val total = df.count()
-    counts.withColumn("share", col("rows") / lit(total.toDouble))
+    val total = counts.agg(sum(col("rows")).as("__total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share", col("rows") / col("__total"))
+      .drop("__total")
       .orderBy(desc("rows")).limit(topN)
   }
 }

@@ -42,8 +42,11 @@ object Expectations {
         betweenRatio("daily_change_percent", -50, 50), 0.95),
       ("pair:high_gt_low", avg(when(col("high").isNull || col("low").isNull, lit(null))
         .when(col("high") > col("low"), 1.0).otherwise(0.0)), 1.0),
+      // try_divide: ANSI mode throws on /0, and an EMPTY frame (all rows
+      // filtered away) must produce a null ratio, not crash the report
       ("compound_unique:symbol_date",
-        countDistinct(col("symbol"), col("date")).cast("double") / count(lit(1)), 1.0)
+        try_divide(countDistinct(col("symbol"), col("date")).cast("double"),
+          count(lit(1))), 1.0)
     )
   }
 

@@ -51,14 +51,22 @@ object StreamPipeline {
         col("n_events"), col("avg_value"))
 
   /** One-shot run (process everything available, then stop) into an
-    * in-memory table — the reference scheduler's daily batch as a stream. */
+    * in-memory table — the reference scheduler's daily batch as a stream.
+    *
+    * Default output mode is `append`: only watermark-finalized windows emit,
+    * and — critically for an unbounded deployment — Spark EVICTS window
+    * state once the watermark passes a window's end. `complete` mode keeps
+    * every window's state forever (unbounded growth on a continuous
+    * trigger); it is only appropriate for bounded one-shot batches that
+    * need the not-yet-finalized trailing windows in the output too. */
   def runAvailableNow(spark: SparkSession, dir: String,
-                      sinkTable: String = "hourly_stats"): Unit = {
+                      sinkTable: String = "hourly_stats",
+                      outputMode: String = "append"): Unit = {
     val q = hourlyStats(readEvents(spark, dir))
       .writeStream
       .format("memory")
       .queryName(sinkTable)
-      .outputMode("complete")
+      .outputMode(outputMode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

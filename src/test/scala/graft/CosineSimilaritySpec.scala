@@ -31,11 +31,13 @@ class CosineSimilaritySpec extends AnyFunSuite {
         |  cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS same,
         |  cosine_similarity(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS ortho,
         |  cosine_similarity(array(0.0D, 0.0D), array(1.0D, 1.0D)) AS zero,
-        |  cosine_similarity(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)) AS nul
+        |  cosine_similarity(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)) AS nul,
+        |  cosine_similarity(array(1.0D, 2.0D), array(1.0D)) AS mismatched
         |""".stripMargin).head
     assert(math.abs(row.getDouble(0) - 1.0) < 1e-15)
     assert(math.abs(row.getDouble(1)) < 1e-15)
     assert(row.isNullAt(2) && row.isNullAt(3))
+    assert(row.isNullAt(4), "dimension mismatch must be null, not a prefix score")
   }
 
   test("survives both codegen and interpreted evaluation") {

@@ -35,6 +35,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(result.summary.head.getAs[Long]("unique_symbols") == 2)
   }
 
+  test("runEtl: all fetches failed -> Critical alert, no crash on empty lake") {
+    val channel = new Alerts.LogChannel
+    val out = java.nio.file.Files.createTempDirectory("graft-etl-empty").resolve("lake").toString
+    val payloads = Seq[String](null, null).toDF("json")
+    val result = Pipeline.runEtl(spark, payloads, "json", out, channel)
+    assert(result.recordsLoaded == 0)
+    assert(result.alert.exists(_.severity == Alerts.Critical))
+    assert(channel.sent.nonEmpty)
+  }
+
+  test("runEtl: partial fetch (null placeholder among payloads) -> Warning") {
+    val channel = new Alerts.LogChannel
+    val out = java.nio.file.Files.createTempDirectory("graft-etl-partial").resolve("lake").toString
+    val payloads = Seq(payload("AAPL", 25), null).toDF("json")
+    val result = Pipeline.runEtl(spark, payloads, "json", out, channel)
+    assert(result.recordsLoaded == 25)
+    assert(result.alert.exists(_.severity == Alerts.Warning),
+      s"expected partial-fetch warning, got ${result.alert}")
+  }
+
+  test("runEtl appends across runs (reference accumulates daily batches)") {
+    val out = java.nio.file.Files.createTempDirectory("graft-etl-append").resolve("lake").toString
+    val payloads = Seq(payload("AAPL", 25)).toDF("json")
+    val r1 = Pipeline.runEtl(spark, payloads, "json", out)
+    val r2 = Pipeline.runEtl(spark, payloads, "json", out)
+    assert(r1.recordsLoaded == 25 && r2.recordsLoaded == 50)
+  }
+
   test("throttled fetch preserves order, retries, and None-placeholders failures") {
     var calls = 0
     val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]

@@ -18,7 +18,11 @@ class StreamingSpec extends AnyFunSuite {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       landing.resolve("part-0.parquet"))
-    StreamPipeline.runAvailableNow(spark, landing.toString, "hourly_stats_test")
+    // complete mode deliberately: this bounded one-shot batch compares the
+    // FULL window set against the batch aggregate, including trailing
+    // windows the watermark has not finalized (append would hold those back)
+    StreamPipeline.runAvailableNow(spark, landing.toString, "hourly_stats_test",
+      outputMode = "complete")
     val streamed = spark.table("hourly_stats_test")
 
     val batch = Sources.events(spark, dir)
