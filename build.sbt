@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked main's stdout through unprefixed: sbt's default logger
+// decorates every child line with "[info] ", which corrupts the one-line
+// JSON contract of graft.Bench (the driver json-parses the stdout tail).
+run / outputStrategy := Some(StdoutOutput)
+// ... and drop sbt's trailing "[success] Total time: ..." line so the JSON
+// line is the LAST line of stdout even for a strict last-line parser.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -51,9 +51,11 @@ def compare(name, sdf, ddf):
     for c in sc:
         a, b = sdf[c], ddf[c]
         if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+            # BIT-EXACT, like the driver's value hash: a 1-ulp or signed-zero
+            # difference that np.isclose would forgive still breaks the hash.
             av = pd.to_numeric(a, errors="coerce").to_numpy(dtype=float)
             bv = pd.to_numeric(b, errors="coerce").to_numpy(dtype=float)
-            bad = ~(np.isclose(av, bv, rtol=0, atol=1e-9) | (np.isnan(av) & np.isnan(bv)))
+            bad = av.view(np.uint64) != bv.view(np.uint64)  # NaN==NaN, -0!=+0
             if bad.any():
                 i = int(np.argmax(bad))
                 return f"VALUES col={c} row={i} spark={av[i]!r} duck={bv[i]!r} ({int(bad.sum())} diffs)"

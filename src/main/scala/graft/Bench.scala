@@ -2,15 +2,27 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line for the driver.
+  * SPARK_GRAFT_SF_DIR and prints ONE compact JSON line for the driver.
   *
-  * Queries execute into the `noop` sink — unlike count(), that computes
-  * every output column (count() lets Catalyst prune unreferenced window /
-  * projection work, which would understate the real cost). A JVM/codegen
-  * warm-up query runs first so the first measured query doesn't absorb
-  * one-time session cost.
+  * Methodology (round-2 verdict items):
+  *   - Queries execute into the `noop` sink — unlike count(), that computes
+  *     every output column (count() lets Catalyst prune unreferenced window /
+  *     projection work, which would understate the real cost).
+  *   - Each query runs ITERS times in interleaved passes (pass 1 runs every
+  *     query once, then pass 2, ...) and the reported number is the per-query
+  *     MEDIAN: rounds 1/2 proved single-shot numbers on this host swing up to
+  *     54x on identical binaries (noisy-neighbor contention), and
+  *     interleaving keeps one bad host window from poisoning all of a
+  *     query's samples.
+  *   - The JSON line is kept compact (2-decimal seconds) and printed LAST:
+  *     the driver captures only a ~2000-char tail of stdout, and the
+  *     round-1/2 full-precision line was longer than that — its head was
+  *     truncated, so the driver recorded `parsed: null` both rounds.
+  *     Full-precision per-iteration samples go to stderr instead.
   */
 object Bench {
+  private val ITERS = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -38,14 +50,30 @@ object Bench {
 
     run("warmup", (s, d) => Queries.a1Count(s, d))
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> run(name, fn)
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples: Seq[Seq[(String, Double)]] = (1 to ITERS).map { pass =>
+      queries.map { case (name, fn) =>
+        val t = run(name, fn)
+        System.err.println(f"[bench] pass=$pass $name%-24s $t%.3f s")
+        name -> t
+      }
     }
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+
+    def median(xs: Seq[Double]): Double = {
+      val ok = xs.filter(_ >= 0).sorted
+      if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+    }
+
+    val medians = queries.map { case (name, _) =>
+      name -> median(samples.map(_.toMap.apply(name)))
+    }
+    val failed = medians.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    def f2(v: Double): String = f"$v%.2f"
+    val qs = medians.map { case (k, v) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    val total = medians.map(_._2).filter(_ >= 0).sum
+    // ONE compact line, last on stdout (sbt appends ~74 chars of [success]).
+    println(s"""{"metric":"total_of_medians","value":${f2(total)},"unit":"sec","iters":$ITERS,"queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -12,12 +12,19 @@ import org.apache.spark.sql.functions._
   * rendering (0.605 -> 0.61). Nudging the value down by a hair
   * (|x|*1e-12 + 1e-9 — far below any comparison scale, far above double ulp
   * at price magnitudes) moves it off the tie so every engine agrees.
+  *
+  * The trailing `+ 0.0` normalizes signed zero: the nudge maps an exact 0
+  * to -1e-9, which DuckDB's C-style round returns as -0.0 while Spark's
+  * BigDecimal round returns +0.0 — different bit patterns, different hash.
+  * IEEE 754 guarantees (-0.0) + (+0.0) = +0.0 and x + 0.0 = x for every
+  * other x (incl. NaN/Inf), so adding it on BOTH sides is a no-op except
+  * for collapsing the zero signs. Verified unfolded by both optimizers.
   */
 object Num {
   def cround(c: Column, scale: Int): Column =
-    round(c - (abs(c) * lit(1e-12) + lit(1e-9)), scale)
+    round(c - (abs(c) * lit(1e-12) + lit(1e-9)), scale) + lit(0.0)
 
   /** SQL rendering of the same expression (DuckDB oracle side). */
   def croundSql(expr: String, scale: Int): String =
-    s"ROUND($expr - (ABS($expr) * 1e-12 + 1e-9), $scale)"
+    s"(ROUND($expr - (ABS($expr) * 1e-12 + 1e-9), $scale) + 0.0)"
 }
