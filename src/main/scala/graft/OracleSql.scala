@@ -156,8 +156,36 @@ object OracleSql {
        |FROM feat2 f JOIN vq ON f.symbol = vq.symbol
        |ORDER BY f.symbol, f."date"""".stripMargin)
 
+  /** Mirror of Sources.overviewFromPart (deterministic company dimension). */
+  val overviewCte: String =
+    """ov AS (
+      |  SELECT CAST(p_partkey AS VARCHAR) AS symbol, p_name AS name,
+      |         p_brand AS sector, p_type AS industry,
+      |         CAST(p_retailprice * 1000000 AS BIGINT) AS market_cap,
+      |         p_size / 2.0 AS pe_ratio
+      |  FROM part)""".stripMargin
+
   val all: Map[String, String] = Map(
     "pipeline_features" -> pipelineFeatures,
+
+    "w9_volume_bucket" -> withCtes(stockCte, cleanCte, dedupCte, vqCte)(
+      """SELECT d.symbol, d."date", d.volume,
+        |  CASE WHEN d.volume IS NULL THEN 'Unknown'
+        |       WHEN d.volume <= vq.vol_q1 THEN 'Low'
+        |       WHEN d.volume <= vq.vol_q2 THEN 'Medium'
+        |       WHEN d.volume <= vq.vol_q3 THEN 'High'
+        |       ELSE 'Very High' END AS volume_category
+        |FROM dedup d JOIN vq ON d.symbol = vq.symbol
+        |ORDER BY d.symbol, d."date"""".stripMargin),
+
+    "s2_overview_join" -> withCtes(stockCte, overviewCte)(
+      s"""SELECT sector,
+         |  COUNT(DISTINCT s.symbol) AS n_symbols,
+         |  COUNT(*) AS n_days,
+         |  ${R("AVG(close)", 2)} AS avg_close,
+         |  ${R("MAX(pe_ratio)", 2)} AS max_pe
+         |FROM stock s JOIN ov ON s.symbol = ov.symbol
+         |GROUP BY sector ORDER BY sector""".stripMargin),
 
     "f1_null_drop" -> withCtes(dirtyCte)(
       s"""SELECT rid, symbol, ${R("open", 6)} AS open, ${R("close", 6)} AS close
@@ -704,9 +732,16 @@ object OracleSql {
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
 
-    "d2_minhash_lsh" -> withCtes(toksCte, shCte, shxCte, sigCte, bandsCte)(
+    // capped: mirror of Dedup.lshCandidatePairs' hot-bucket cap (128
+    // smallest doc_ids per (band, band_value) survive the pairwise step)
+    "d2_minhash_lsh" -> withCtes(toksCte, shCte, shxCte, sigCte, bandsCte,
+      """capped AS (
+        |  SELECT doc_id, band, band_value FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY band, band_value ORDER BY doc_id) AS __bn
+        |    FROM bands)
+        |  WHERE __bn <= 128)""".stripMargin)(
       """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
-        |FROM bands a JOIN bands b
+        |FROM capped a JOIN capped b
         |  ON a.band = b.band AND a.band_value = b.band_value AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin),
 

@@ -25,16 +25,23 @@ import graft.quality.Expectations
 object Pipeline {
 
   final case class RunResult(recordsLoaded: Long, qualityPassRate: Double,
-                             summary: DataFrame, alert: Option[Alerts.Alert])
+                             summary: DataFrame, alert: Option[Alerts.Alert],
+                             qualityReportPath: String)
 
   /** payloads: one Alpha-Vantage-shaped JSON string per symbol envelope
     * (what Throttle.fetchAll + a transport produce). */
   def runEtl(spark: SparkSession, payloads: DataFrame, jsonCol: String,
              outPath: String, channel: Alerts.Channel = new Alerts.LogChannel,
              symbolsRequested: Int = -1): RunResult = {
-    // TRANSFORM: parse (S1) -> quality filters + dedup (F1-F4) -> features
+    // TRANSFORM: parse (S1) -> quality filters + dedup (F1-F4) -> features.
+    // The keep-last tiebreak is a content hash, NOT
+    // monotonically_increasing_id: this plan is executed by several actions
+    // (validate, count, write, summary), and a nondeterministic row id can
+    // pick a DIFFERENT dedup winner per action under task retry/reorder —
+    // the validated winner must be the written winner.
     val parsed = Sources.parseAlphaVantage(payloads, jsonCol)
-      .withColumn("rid", monotonically_increasing_id())
+      .withColumn("rid", xxhash64(col("symbol"), col("date"), col("open"),
+        col("high"), col("low"), col("close"), col("volume")))
     val cleaned = Cleaning.clean(parsed, col("rid")).drop("rid")
     val features = Derive.addDerived(cleaned)
       .withColumn("extracted_at", current_timestamp())
@@ -42,9 +49,16 @@ object Pipeline {
     val ordered = Cleaning.reorderColumns(features,
       Schemas.featureColumns :+ "extracted_at")
 
-    // VALIDATE (A11) — the reference's >= 90% gate
+    // VALIDATE (A11) — the reference's >= 90% gate. Every validation run is
+    // persisted next to the lake (reference: src/data_quality.py:242-273
+    // writes logs/data_quality_*.txt); the "_" prefix keeps the report dir
+    // invisible to spark.read.parquet(outPath).
     val report = Expectations.qualityReport(features)
     val passRate = report.agg(avg(col("passed").cast("int"))).head.getDouble(0)
+    val reportPath = s"$outPath/_quality_report"
+    Sinks.writeJson(report.withColumn("validated_at", current_timestamp()),
+      reportPath, mode = "append") // one report per run accumulates, like
+                                   // the reference's timestamped log files
 
     // LOAD: partitioned lake append (S6/S7 analog: partition pruning
     // replaces the (symbol, date) composite index). Empty runs write
@@ -65,6 +79,6 @@ object Pipeline {
       symbolsFetched = fetched, qualityPassRate = passRate)
     alert.foreach(channel.send)
 
-    RunResult(loaded, passRate, summary, alert)
+    RunResult(loaded, passRate, summary, alert, reportPath)
   }
 }

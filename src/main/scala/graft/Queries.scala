@@ -509,6 +509,32 @@ object Queries {
       .orderBy("symbol", "date")
   }
 
+  /** W9+X6 standalone: per-symbol volume quartiles (W9) feeding the
+    * data-driven bucket chain (X6) — previously only exercised inside the
+    * flagship. Same single-exchange window path as the pipeline. */
+  def w9VolumeBucket(s: SparkSession, dir: String): DataFrame =
+    Derive.withVolumeCategory(cleanedStock(s, dir).drop("rid"))
+      .select("symbol", "date", "volume", "volume_category")
+      .orderBy("symbol", "date")
+
+  /** S2: company fundamentals (OVERVIEW dimension) joined to prices —
+    * sector-level rollup. The dimension is one row per symbol, so it
+    * broadcasts; the fact side never shuffles for the join. */
+  def s2OverviewJoin(s: SparkSession, dir: String): DataFrame = {
+    val dim = Sources.overviewFromPart(s, dir)
+      .select("symbol", "sector", "pe_ratio")
+    rounded(Sources.stockFromLineitem(s, dir)
+      .join(broadcast(dim), "symbol")
+      .groupBy("sector")
+      .agg(
+        countDistinct(col("symbol")).as("n_symbols"),
+        count(lit(1)).as("n_days"),
+        avg(col("close")).as("avg_close"),
+        max(col("pe_ratio")).as("max_pe")),
+      Seq("avg_close", "max_pe"), 2)
+      .orderBy("sector")
+  }
+
   // ===== training-data extensions (documents / embeddings) ================
 
   def d1DedupExact(s: SparkSession, dir: String): DataFrame =
@@ -638,6 +664,8 @@ object Queries {
     "x4_updown_flags" -> (x4UpdownFlags _),
     "x5_vol_category" -> (x5VolCategory _),
     "a8_window_mean" -> (a8WindowMean _),
+    "w9_volume_bucket" -> (w9VolumeBucket _),
+    "s2_overview_join" -> (s2OverviewJoin _),
     "w7_latest_row" -> (w7LatestRow _),
     "w8_trailing_k" -> (w8TrailingK _),
     "o1_sort_date" -> (o1SortDate _),

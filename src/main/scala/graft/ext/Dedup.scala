@@ -58,8 +58,18 @@ object Dedup {
   /** LSH banding over the signatures: band b = concat of 2 consecutive
     * minhashes (collision probability j^2 per band — kills the j~0.03
     * background, keeps j>0.5 near-dups). Returns candidate pairs with the
-    * number of colliding bands. */
-  def lshCandidatePairs(signatures: DataFrame, nBands: Int = 8): DataFrame = {
+    * number of colliding bands.
+    *
+    * Hot-bucket cap: boilerplate text (headers, license blocks) makes one
+    * band value collect millions of docs, and the self-join is quadratic
+    * PER BUCKET — at 100 TB a single hot bucket would quadratic-bomb its
+    * task. Buckets are truncated to the `maxPerBucket` smallest doc_ids
+    * (deterministic) before the pairwise step, bounding any bucket's pair
+    * count at maxPerBucket*(maxPerBucket-1)/2. A bucket that hot is
+    * near-identical boilerplate anyway — the surviving members still chain
+    * the near-dup cluster for a downstream connected-components pass. */
+  def lshCandidatePairs(signatures: DataFrame, nBands: Int = 8,
+                        maxPerBucket: Int = 128): DataFrame = {
     val stackArgs = (0 until nBands)
       .map(b => s"$b, concat(CAST(mh_${2 * b} AS STRING), '_', CAST(mh_${2 * b + 1} AS STRING))")
       .mkString(", ")
@@ -70,8 +80,14 @@ object Dedup {
     // caching if the signatures are reused)
     val bands = signatures.selectExpr(
       "doc_id", s"stack($nBands, $stackArgs) as (band, band_value)")
-    val a = bands.as("a")
-    val b = bands.as("b")
+    val capped = bands
+      .withColumn("__bn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "band_value").orderBy("doc_id")))
+      .filter(col("__bn") <= maxPerBucket)
+      .drop("__bn")
+    val a = capped.as("a")
+    val b = capped.as("b")
     a.join(b, col("a.band") === col("b.band") &&
         col("a.band_value") === col("b.band_value") &&
         col("a.doc_id") < col("b.doc_id"))

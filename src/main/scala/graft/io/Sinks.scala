@@ -15,8 +15,8 @@ object Sinks {
     df.write.mode("overwrite").option("header", "true").csv(path)
 
   /** S9: JSON sink (reference: src/extract.py:450-452). */
-  def writeJson(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").json(path)
+  def writeJson(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).json(path)
 
   /** Lake sink: parquet partitioned by symbol — the scale analog of the
     * reference's symbol/(symbol,date) indexes (src/load.py:87-89): per-symbol

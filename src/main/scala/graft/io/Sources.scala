@@ -84,6 +84,51 @@ object Sources {
         expr("try_cast(bar['4. close'] AS DOUBLE)").as("close"),
         expr("try_cast(bar['5. volume'] AS BIGINT)").as("volume"))
 
+  /** S2: parse company-OVERVIEW JSON envelopes into a typed company
+    * dimension table (reference: src/extract.py:160-270). Envelope
+    * validation mirrors the reference's checks: a payload carrying
+    * "Error Message" (invalid symbol) or "Note" (rate limit), or missing
+    * "Symbol", is invalid and dropped (the distributed analog of the
+    * reference raising ValueError per symbol). Numeric fields coerce with
+    * try_cast — Alpha Vantage returns "None"/"-" for missing fundamentals,
+    * which must become null, not throw (Spark 4 ANSI mode).
+    *
+    * The result is a small dimension table: broadcast it into fact joins
+    * (one row per symbol — thousands of rows even at 100 TB of bars). */
+  def parseOverview(payloads: DataFrame, jsonCol: String): DataFrame =
+    payloads
+      .withColumn("__o", from_json(col(jsonCol), Schemas.overviewPayload))
+      .filter(col("__o").isNotNull &&
+        col("__o").getItem("Error Message").isNull &&
+        col("__o").getItem("Note").isNull &&
+        col("__o").getItem("Symbol").isNotNull)
+      .select(
+        col("__o").getItem("Symbol").as("symbol"),
+        col("__o").getItem("Name").as("name"),
+        col("__o").getItem("Description").as("description"),
+        col("__o").getItem("Sector").as("sector"),
+        col("__o").getItem("Industry").as("industry"),
+        expr("try_cast(__o['MarketCapitalization'] AS BIGINT)").as("market_cap"),
+        expr("try_cast(__o['PERatio'] AS DOUBLE)").as("pe_ratio"),
+        expr("try_cast(__o['EPS'] AS DOUBLE)").as("eps"),
+        expr("try_cast(__o['DividendYield'] AS DOUBLE)").as("dividend_yield"),
+        expr("try_cast(__o['52WeekHigh'] AS DOUBLE)").as("week52_high"),
+        expr("try_cast(__o['52WeekLow'] AS DOUBLE)").as("week52_low"),
+        expr("try_cast(__o['Beta'] AS DOUBLE)").as("beta"))
+
+  /** Deterministic company dimension derived from `part` (the corpus has no
+    * OVERVIEW payloads; oracle-checkable stand-in): p_partkey plays symbol —
+    * the same role mapping as stockFromLineitem — p_brand sector, p_type
+    * industry. Mirrored in OracleSql's `ov` CTE. */
+  def overviewFromPart(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "part").select(
+      col("p_partkey").cast("string").as("symbol"),
+      col("p_name").as("name"),
+      col("p_brand").as("sector"),
+      col("p_type").as("industry"),
+      (col("p_retailprice") * 1000000).cast("long").as("market_cap"),
+      (col("p_size") / 2.0).as("pe_ratio"))
+
   /** Synthetic OHLCV generator (reference: dashboard/app.py:45-92 S5) —
     * `spark.range` + seeded rand, fully distributed, no driver-side loops. */
   def syntheticStock(spark: SparkSession, symbols: Seq[String], days: Int,

@@ -4,16 +4,21 @@ package graft.io
   *
   * The reference sleeps 12 s between sequential HTTP calls (5/min free
   * tier). Here the transport is pluggable (this container has no egress —
-  * tests inject a stub), and the throttle is a token bucket rather than a
-  * fixed sleep so bursts up to the rate limit are allowed. This is
-  * DRIVER-side code by design: the rate limit is per-API-key, i.e. global,
-  * so fetching cannot be distributed without coordinating tokens; the
-  * fetched payloads land in a directory (or Dataset) and all heavy work
-  * happens in Spark from there (Sources.parseAlphaVantage).
+  * tests inject a stub), and the throttle paces calls at a fixed minimum
+  * interval of 60s/rate — the reference's sleep, but only when actually
+  * needed (a slow fetch already consumed the interval). Unused capacity
+  * does NOT accumulate, so there are no bursts; that is deliberate for a
+  * strict calls-per-minute quota, where a burst after idle would still
+  * trip the provider's rolling window. This is DRIVER-side code by design:
+  * the rate limit is per-API-key, i.e. global, so fetching cannot be
+  * distributed without coordinating tokens; the fetched payloads land in a
+  * directory (or Dataset) and all heavy work happens in Spark from there
+  * (Sources.parseAlphaVantage).
   */
 object Throttle {
 
-  /** Token bucket: `ratePerMinute` tokens, refilled continuously. */
+  /** Fixed-interval pacer: successive acquire()s are spaced at least
+    * 60s/ratePerMinute apart (no token accumulation, no bursts). */
   final class TokenBucket(ratePerMinute: Int,
                           nanoTime: () => Long = () => System.nanoTime(),
                           sleep: Long => Unit = Thread.sleep) {

@@ -43,4 +43,17 @@ object Schemas {
     StructField("Time Series (Daily)",
       MapType(StringType, MapType(StringType, StringType)), nullable = true)
   ))
+
+  /** S2: company-OVERVIEW payload (reference: src/extract.py:160-270) — the
+    * response is one flat JSON object of string fields ("Symbol", "Name",
+    * "Sector", "MarketCapitalization", ...); error envelopes carry
+    * "Error Message" (invalid symbol) or "Note" (rate limit) instead.
+    * Parsed as a map, typed in Sources.parseOverview. */
+  val overviewPayload: MapType = MapType(StringType, StringType)
+
+  /** Typed company dimension produced by Sources.parseOverview. */
+  val overviewColumns: Seq[String] = Seq(
+    "symbol", "name", "description", "sector", "industry",
+    "market_cap", "pe_ratio", "eps", "dividend_yield",
+    "week52_high", "week52_low", "beta")
 }

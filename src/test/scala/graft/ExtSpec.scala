@@ -43,6 +43,21 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs.exists(p => p._2 == 2L || p._1 == 2L)) // near dup found
   }
 
+  test("LSH hot-bucket cap bounds the pairwise blowup on boilerplate text") {
+    // 6 identical "boilerplate" docs collide in every band: uncapped that is
+    // C(6,2)=15 pairs; capped at 4 per bucket only the 4 smallest doc_ids
+    // survive -> C(4,2)=6 pairs, still enough to chain the dup cluster.
+    val boiler = (0L to 5L).map(i => (i, "standard license header text " +
+      "applies to all files in this repository without exception", "en"))
+      .toDF("doc_id", "text", "lang")
+    val pairs = Dedup.lshCandidatePairs(
+      Dedup.minhashSignatures(boiler), maxPerBucket = 4).collect()
+    assert(pairs.length == 6, s"expected C(4,2)=6 capped pairs, got ${pairs.length}")
+    assert(pairs.forall(r => r.getAs[Long]("doc_b") <= 3L),
+      "only the 4 smallest doc_ids may appear in capped pairs")
+    assert(pairs.forall(_.getAs[Long]("n_bands") == 8))
+  }
+
   test("ngram jaccard: identical docs = 1.0") {
     val pairs = Dedup.ngramJaccardPairs(docs, sampleMod = 1, threshold = 0.1)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),

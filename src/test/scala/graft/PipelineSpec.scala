@@ -33,6 +33,13 @@ class PipelineSpec extends AnyFunSuite {
     val loaded = spark.read.parquet(out)
     assert(loaded.columns.contains("ma_20") && loaded.columns.contains("volume_category"))
     assert(result.summary.head.getAs[Long]("unique_symbols") == 2)
+
+    // the validation run is persisted (reference writes logs/data_quality_*.txt)
+    val report = spark.read.json(result.qualityReportPath)
+    assert(report.count() >= 13, "persisted quality report holds the check rows")
+    assert(report.columns.contains("passed") && report.columns.contains("validated_at"))
+    // the "_"-prefixed report dir must stay invisible to the lake reader
+    assert(loaded.count() == result.recordsLoaded)
   }
 
   test("runEtl: all fetches failed -> Critical alert, no crash on empty lake") {
@@ -61,6 +68,10 @@ class PipelineSpec extends AnyFunSuite {
     val r1 = Pipeline.runEtl(spark, payloads, "json", out)
     val r2 = Pipeline.runEtl(spark, payloads, "json", out)
     assert(r1.recordsLoaded == 25 && r2.recordsLoaded == 50)
+    // quality reports accumulate one per run, like the reference's
+    // timestamped log files: run 2's report dir holds BOTH runs' check rows
+    val perRun = spark.read.json(r1.qualityReportPath).count() / 2
+    assert(perRun >= 13, s"each run persists the full check suite, got $perRun")
   }
 
   test("throttled fetch preserves order, retries, and None-placeholders failures") {

@@ -39,4 +39,26 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("sim1_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
+
+  test("sketch scale paths join on band/bucket/list keys — never all-pairs") {
+    // d2/sim2/sim3 are the 100 TB paths: their joins must key on the
+    // band/bucket/list equality, not degenerate into a cartesian or a
+    // nested-loop over the full corpus (the quarantined quadratic paths
+    // d4/d5/sim1 are sample- or broadcast-bounded by design).
+    for (name <- Seq("d2_minhash_lsh", "sim2_lsh_topk", "sim3_ivf_topk")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+      // The only tolerated nested-loop is the deliberate broadcast-cross of
+      // the tiny constant table (8x64 hyperplanes / 16 IVF anchors) against
+      // the corpus — linear, one pass. An Inner/Semi nested loop would mean
+      // the candidate join itself degenerated to all-pairs.
+      val badBnlj = p.linesIterator
+        .filter(_.contains("BroadcastNestedLoopJoin"))
+        .filterNot(_.contains("Cross")).toSeq
+      assert(badBnlj.isEmpty, s"$name plans a non-cross nested-loop join: $badBnlj")
+      assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+        || p.contains("ShuffledHashJoin"),
+        s"$name's candidate join must key on band/bucket/list")
+    }
+  }
 }

@@ -33,6 +33,28 @@ class SinksSpec extends AnyFunSuite {
       df.agg(sum("rid")).head.getLong(0))
   }
 
+  test("JDBC sink appends with batching (embedded Derby round-trip)") {
+    // Derby ships in /opt/spark/jars (the Hive-metastore dependency), so the
+    // S6 surface gets a real in-process database: create-on-first-append,
+    // then append again and expect accumulation (reference: src/load.py:252
+    // if_exists='append').
+    val home = java.nio.file.Files.createTempDirectory("graft-derby")
+    System.setProperty("derby.system.home", home.toString) // keep derby.log out of cwd
+    val url = s"jdbc:derby:${home.resolve("db")};create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+
+    val slim = df.select("rid", "symbol", "close")
+    Sinks.appendJdbc(slim, url, "stock_data", props, batchSize = 50)
+    val once = spark.read.jdbc(url, "stock_data", props)
+    assert(once.count() == 200)
+    assert(once.agg(sum("rid")).head.getLong(0) ==
+      slim.agg(sum("rid")).head.getLong(0))
+
+    Sinks.appendJdbc(slim, url, "stock_data", props, batchSize = 50)
+    assert(spark.read.jdbc(url, "stock_data", props).count() == 400)
+  }
+
   test("bucketed table eliminates the shuffle for per-symbol aggregation") {
     val path = tmp("graft-bucketed")
     Sinks.writeBucketed(df, "stock_bucketed", path, buckets = 4)

@@ -42,6 +42,37 @@ class SourcesSpec extends AnyFunSuite {
     assert(out.count() == 2) // explode drops the null time-series envelope
   }
 
+  test("parseOverview types fields, coerces bad numerics, drops error envelopes") {
+    val valid =
+      """{"Symbol": "AAPL", "Name": "Apple Inc", "Description": "Consumer electronics",
+        |"Sector": "TECHNOLOGY", "Industry": "CONSUMER ELECTRONICS",
+        |"MarketCapitalization": "3000000000000", "PERatio": "31.5", "EPS": "6.42",
+        |"DividendYield": "0.0044", "52WeekHigh": "237.23", "52WeekLow": "164.08",
+        |"Beta": "1.29"}""".stripMargin
+    // the reference's three rejection cases (src/extract.py:214-236):
+    val errorEnv = """{"Error Message": "Invalid API call"}"""
+    val noteEnv = """{"Note": "API rate limit is 5 calls per minute"}"""
+    val missingSymbol = """{"Name": "No Symbol Corp"}"""
+    // missing fundamentals arrive as "None"/"-" and must coerce to null:
+    val badNumbers =
+      """{"Symbol": "MSFT", "Name": "Microsoft", "Sector": "TECHNOLOGY",
+        |"PERatio": "None", "MarketCapitalization": "-"}""".stripMargin
+
+    val out = Sources.parseOverview(
+      Seq(valid, errorEnv, noteEnv, missingSymbol, badNumbers, "not json")
+        .toDF("json"), "json")
+    val rows = out.orderBy("symbol").collect()
+    assert(rows.map(_.getAs[String]("symbol")).toSeq == Seq("AAPL", "MSFT"))
+    val aapl = rows(0)
+    assert(aapl.getAs[String]("sector") == "TECHNOLOGY")
+    assert(aapl.getAs[Long]("market_cap") == 3000000000000L)
+    assert(aapl.getAs[Double]("pe_ratio") == 31.5)
+    assert(aapl.getAs[Double]("week52_high") == 237.23)
+    val msft = rows(1)
+    assert(msft.isNullAt(msft.fieldIndex("pe_ratio")))
+    assert(msft.isNullAt(msft.fieldIndex("market_cap")))
+  }
+
   test("synthetic generator produces consistent OHLC rows") {
     val df = Sources.syntheticStock(spark, Seq("AAA", "BBB"), days = 10)
     assert(df.count() == 20)
