@@ -713,6 +713,15 @@ object OracleSql {
     "bands AS (\n  " + rows.mkString("\n  UNION ALL ") + ")"
   }
 
+  /** Mirror of Dedup.lshCandidatePairs' hot-bucket cap (128 smallest
+    * doc_ids per (band, band_value) survive the pairwise step). */
+  private lazy val cappedCte: String =
+    """capped AS (
+      |  SELECT doc_id, band, band_value FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY band, band_value ORDER BY doc_id) AS __bn
+      |    FROM bands)
+      |  WHERE __bn <= 128)""".stripMargin
+
   /** Embedding unnest (double-cast element math mirrors Spark's
     * zip_with/aggregate fold; DuckDB's list_dot_product is float-precision
     * and would NOT hash-match). */
@@ -732,18 +741,35 @@ object OracleSql {
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
 
-    // capped: mirror of Dedup.lshCandidatePairs' hot-bucket cap (128
-    // smallest doc_ids per (band, band_value) survive the pairwise step)
     "d2_minhash_lsh" -> withCtes(toksCte, shCte, shxCte, sigCte, bandsCte,
-      """capped AS (
-        |  SELECT doc_id, band, band_value FROM (
-        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY band, band_value ORDER BY doc_id) AS __bn
-        |    FROM bands)
-        |  WHERE __bn <= 128)""".stripMargin)(
+      cappedCte)(
       """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
         |FROM capped a JOIN capped b
         |  ON a.band = b.band AND a.band_value = b.band_value AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin),
+
+    // connected components over the LSH candidate pairs: transitive closure
+    // by recursive CTE (the oracle twin of Dedup.duplicateClusters' min-label
+    // propagation); a node's representative is the min reachable doc_id.
+    "d6_dup_clusters" -> ("WITH RECURSIVE " + Seq(toksCte, shCte, shxCte,
+      sigCte, bandsCte, cappedCte,
+      """pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM capped a JOIN capped b
+        |    ON a.band = b.band AND a.band_value = b.band_value AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)""".stripMargin,
+      """edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT doc_b AS src, doc_a AS dst FROM pairs)""".stripMargin,
+      """reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)""".stripMargin)
+      .mkString(",\n") +
+      """
+        |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_rep
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin),
 
     "d3_simhash" -> {
       val votes = (0 until 16).map(i =>

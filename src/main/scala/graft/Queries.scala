@@ -545,6 +545,12 @@ object Queries {
       ext.Dedup.minhashSignatures(Sources.documents(s, dir)))
       .orderBy("doc_a", "doc_b")
 
+  def d6DupClusters(s: SparkSession, dir: String): DataFrame =
+    ext.Dedup.duplicateClusters(
+      ext.Dedup.lshCandidatePairs(
+        ext.Dedup.minhashSignatures(Sources.documents(s, dir))))
+      .orderBy("doc_id")
+
   def d3Simhash(s: SparkSession, dir: String): DataFrame =
     ext.Dedup.simhash(Sources.documents(s, dir)).orderBy("doc_id")
 
@@ -642,6 +648,7 @@ object Queries {
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_minhash_lsh" -> (d2MinhashLsh _),
     "d3_simhash" -> (d3Simhash _),
+    "d6_dup_clusters" -> (d6DupClusters _),
     "d4_ngram_jaccard" -> (d4NgramJaccard _),
     "d5_embedding_neardup" -> (d5EmbeddingNeardup _),
     "sim1_cosine_topk" -> (sim1CosineTopk _),

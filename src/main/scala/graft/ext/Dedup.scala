@@ -95,6 +95,55 @@ object Dedup {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** Connected components over candidate pairs -> duplicate clusters: the
+    * step a corpus dedup pipeline runs AFTER LSH, turning pairwise
+    * candidates into groups with one canonical representative (the minimum
+    * doc_id reachable through the pair graph).
+    *
+    * Distributed min-label propagation: every node starts labeled with its
+    * own id; each round every node takes the min of its label and its
+    * neighbors' labels; converged when nothing changes. Rounds are
+    * O(component diameter) — near-dup clusters are dense (LSH pairs are
+    * near-cliques), so a handful of rounds suffice even at corpus scale.
+    * Each round is one shuffle on doc_id; lineage is truncated per round
+    * with localCheckpoint so the plan does not grow with iterations (the
+    * standard Pregel-style DataFrame loop — driver coordinates, data never
+    * leaves the cluster). */
+  def duplicateClusters(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_rep", col("doc_id"))
+      .localCheckpoint(true)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min("cluster_rep").as("nbr_rep"))
+      val updated = labels
+        .join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_rep"), coalesce(col("nbr_rep"), col("cluster_rep")))
+            .as("cluster_rep"))
+        .localCheckpoint(true)
+      converged = updated.join(labels.withColumnRenamed("cluster_rep", "old_rep"), "doc_id")
+        .filter(col("cluster_rep") =!= col("old_rep")).isEmpty
+      labels = updated
+      round += 1
+    }
+    labels
+  }
+
+  /** Keep-one-per-cluster corpus: drop every doc whose cluster elected a
+    * different representative. Docs with no candidate pair never enter the
+    * label table and survive untouched (left-anti on the losers). */
+  def dedupByClusters(docs: DataFrame, clusters: DataFrame): DataFrame =
+    docs.join(
+      clusters.filter(col("doc_id") =!= col("cluster_rep")).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+
   /** SimHash over unigram tokens: 32-bit token hash (hex prefix of md5),
     * per-bit +1/-1 majority vote, assembled into a `bits`-bit fingerprint.
     * One exploded pass + one aggregate; near-dups share the fingerprint. */

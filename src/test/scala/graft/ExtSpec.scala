@@ -58,6 +58,20 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs.forall(_.getAs[Long]("n_bands") == 8))
   }
 
+  test("duplicate clusters: min-label propagation finds connected components") {
+    // chain 1-2-3 plus pair 5-6: reps collapse transitively to the min id
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val clusters = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_rep")).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+
+    // keep-one-per-cluster: losers 2,3,6 drop; unpaired docs survive
+    val docs = (1L to 7L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val kept = Dedup.dedupByClusters(docs, Dedup.duplicateClusters(pairs))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 4L, 5L, 7L))
+  }
+
   test("ngram jaccard: identical docs = 1.0") {
     val pairs = Dedup.ngramJaccardPairs(docs, sampleMod = 1, threshold = 0.1)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
