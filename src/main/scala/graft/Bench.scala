@@ -51,13 +51,29 @@ object Bench {
     run("warmup", (s, d) => Queries.a1Count(s, d))
 
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
-    val samples: Seq[Seq[(String, Double)]] = (1 to ITERS).map { pass =>
-      queries.map { case (name, fn) =>
+    // Wall-clock budget: under heavy host contention one pass has taken up
+    // to ~900 s; never start a pass that would push the total past the
+    // budget (pass 1 always runs — every query needs >= 1 sample; median
+    // handles variable sample counts).
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1800").toDouble
+    val bench0 = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - bench0) / 1e9
+    val samples = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Double)]]
+    var lastPassSec = 0.0
+    var pass = 1
+    while (pass <= ITERS &&
+           (pass == 1 || elapsedSec + lastPassSec <= budgetSec)) {
+      val p0 = elapsedSec
+      samples += queries.map { case (name, fn) =>
         val t = run(name, fn)
         System.err.println(f"[bench] pass=$pass $name%-24s $t%.3f s")
         name -> t
       }
+      lastPassSec = elapsedSec - p0
+      pass += 1
     }
+    if (samples.size < ITERS)
+      System.err.println(s"[bench] budget ${budgetSec}s: stopped after ${samples.size} pass(es)")
 
     def median(xs: Seq[Double]): Double = {
       val ok = xs.filter(_ >= 0).sorted
@@ -65,7 +81,7 @@ object Bench {
     }
 
     val medians = queries.map { case (name, _) =>
-      name -> median(samples.map(_.toMap.apply(name)))
+      name -> median(samples.toSeq.map(_.toMap.apply(name)))
     }
     val failed = medians.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     def f2(v: Double): String = f"$v%.2f"
