@@ -46,4 +46,42 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows => rows.map(stubDecode) }
   }
+
+  case class ResizedMedia(doc_id: Long, format: String,
+                          width: Int, height: Int, payload: Array[Byte])
+
+  /** STUB resize — stands in for an image scaler. The fake clamps the
+    * payload to width*height/8 bytes so output row size is bounded by the
+    * TARGET dimensions, which is the property that matters at scale: a
+    * resize-to-thumbnail stage must shrink shuffle/write volume no matter
+    * how large the inputs are. Swap only this function for a real scaler. */
+  def stubResize(row: MediaRow, width: Int, height: Int): ResizedMedia = {
+    val target = math.max(1, width * height / 8)
+    ResizedMedia(row.doc_id, row.format, width, height,
+      java.util.Arrays.copyOf(row.payload, math.min(target, math.max(1, row.payload.length))))
+  }
+
+  /** Distributed resize: one scaler init per partition, bounded output rows. */
+  def resize(spark: SparkSession, media: DataFrame,
+             width: Int, height: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.map(stubResize(_, width, height)))
+  }
+
+  case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Frame sampling: treat the payload as a sequence of fixed-size frame
+    * chunks and keep every `stride`-th one — the Spark shape of video
+    * frame-sampling (one input row explodes into a bounded number of frame
+    * rows; the stride is the knob that keeps the exploded volume linear).
+    * A real demuxer replaces the `grouped` chunking only. */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+                   frameBytes: Int = 16, stride: Int = 2): Dataset[Frame] = {
+    import spark.implicits._
+    media.as[MediaRow].flatMap { r =>
+      r.payload.grouped(frameBytes).zipWithIndex.collect {
+        case (chunk, i) if i % stride == 0 => Frame(r.doc_id, i, chunk)
+      }
+    }
+  }
 }

@@ -148,6 +148,20 @@ class ExtSpec extends AnyFunSuite {
     assert(fp(5L)._2 == null) // no shingles
   }
 
+  test("multimodal: resize bounds output size, frame sampling strides the payload") {
+    val media = Multimodal.asMediaTable(docs)
+    val resized = Multimodal.resize(spark, media, 64, 32).collect()
+    assert(resized.forall(_.payload.length <= 64 * 32 / 8),
+      "resized payloads are bounded by the target dimensions")
+    assert(resized.map(_.doc_id).sorted.toSeq == (0L to 5L))
+
+    // doc 0: 43 bytes -> ceil(43/16)=3 chunks -> stride 2 keeps frames 0 and 2
+    val frames = Multimodal.sampleFrames(spark, media, frameBytes = 16, stride = 2)
+      .filter(_.doc_id == 0L).collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2))
+    assert(frames.head.frame.length == 16 && frames.last.frame.length == 11)
+  }
+
   test("multimodal: stub decode is deterministic over the binary payload") {
     val meta = Multimodal.decodeMeta(spark, Multimodal.asMediaTable(docs)).collect()
     val m0 = meta.find(_.doc_id == 0L).get
