@@ -672,7 +672,33 @@ object OracleSql {
          |  ${R("COALESCE(SUM(o_totalprice), 0)", 2)} AS total_revenue,
          |  ${R("AVG(o_totalprice)", 2)} AS avg_order_value
          |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "j5_asof_join" -> withCtes(stockCte, cleanCte, dedupCte,
+      """marks AS (
+        |  SELECT CAST(l_partkey AS VARCHAR) AS symbol,
+        |         CAST(o_orderdate AS DATE) AS mark_date,
+        |         AVG(o_totalprice) AS mark_price
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2)""".stripMargin)(
+      s"""SELECT d.symbol, d."date", ${R("d.close", 6)} AS close,
+         |       m.mark_date, ${R("m.mark_price", 2)} AS mark_price
+         |FROM dedup d ASOF LEFT JOIN marks m
+         |  ON d.symbol = m.symbol AND d."date" >= m.mark_date
+         |ORDER BY d.symbol, d."date"""".stripMargin),
+
+    "j6_range_join" ->
+      s"""WITH rng AS (
+         |  SELECT o_orderkey AS range_key, CAST(o_orderdate AS DATE) AS start_date
+         |  FROM orders
+         |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 300000)
+         |SELECT r.range_key, r.start_date, COUNT(*) AS n_orders,
+         |       ${R("SUM(p.o_totalprice)", 2)} AS window_revenue
+         |FROM rng r JOIN orders p
+         |  ON CAST(p.o_orderdate AS DATE) >= r.start_date
+         | AND CAST(p.o_orderdate AS DATE) < r.start_date + INTERVAL 7 DAY
+         |GROUP BY r.range_key, r.start_date
+         |ORDER BY r.range_key""".stripMargin
   )
 
   // ===== training-data extensions ==========================================

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.io.Sources
 import graft.model.Schemas
-import graft.ops.{Cleaning, Derive, Num}
+import graft.ops.{Cleaning, Derive, Num, TemporalJoins}
 import graft.analytics.{Performance, Predictions, Summary}
 
 /** Named correctness queries over the driver test corpus, one per operator in
@@ -367,6 +367,45 @@ object Queries {
          |ORDER BY r_name, c_mktsegment""".stripMargin)
   }
 
+  /** As-of join (backward): attach to every price bar the most recent
+    * order-book mark at or before the bar date, per symbol. The naive form
+    * is a theta join (BroadcastNestedLoopJoin, quadratic per key);
+    * TemporalJoins.asofBackward plans one hash shuffle + one sort. */
+  def j5AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val bars = cleanedStock(s, dir).select("symbol", "date", "close")
+    val marks = Sources.lineitem(s, dir)
+      .join(Sources.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_partkey").cast("string").as("symbol"),
+        col("o_orderdate").cast("date").as("mark_date"))
+      .agg(avg("o_totalprice").as("mark_price"))
+    val joined = TemporalJoins.asofBackward(
+      bars, marks, Seq("symbol"), "date", "mark_date")
+    rounded(rounded(joined, Seq("close")), Seq("mark_price"), 2)
+      .orderBy("symbol", "date")
+  }
+
+  /** Range join via time-bucketed equi-join: all orders landing inside the
+    * 7-day aftermath window of each big urgent order. Bucket width = max
+    * range length, so each range replicates to at most 2 buckets and the
+    * join is a plain equi-join — never a cartesian. */
+  def j6RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = Sources.orders(s, dir)
+    val pts = o.select(col("o_orderdate").cast("date").as("p_date"),
+      col("o_totalprice").as("p_price"))
+    val rng = o
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 300000)
+      .select(col("o_orderkey").as("range_key"),
+        col("o_orderdate").cast("date").as("start_date"))
+    val joined = TemporalJoins.rangeJoinBucketed(
+      pts, unix_date(col("p_date")),
+      rng, unix_date(col("start_date")), unix_date(col("start_date")) + 7,
+      bucketWidth = 7)
+    rounded(joined.groupBy("range_key", "start_date")
+      .agg(count(lit(1)).as("n_orders"), sum("p_price").as("window_revenue")),
+      Seq("window_revenue"), 2)
+      .orderBy("range_key")
+  }
+
   def st1TumblingWindow(s: SparkSession, dir: String): DataFrame =
     rounded(Sources.events(s, dir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -642,6 +681,8 @@ object Queries {
     "j1_join_dims" -> (j1JoinDims _),
     "j2_semi_anti" -> (j2SemiAnti _),
     "j3_left_join_agg" -> (j3LeftJoinAgg _),
+    "j5_asof_join" -> (j5AsofJoin _),
+    "j6_range_join" -> (j6RangeJoin _),
     "st1_tumbling_window" -> (st1TumblingWindow _),
     "st2_sessionize" -> (st2Sessionize _),
     "j4_rollup" -> (j4Rollup _),

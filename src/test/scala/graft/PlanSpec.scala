@@ -61,4 +61,23 @@ class PlanSpec extends AnyFunSuite {
         s"$name's candidate join must key on band/bucket/list")
     }
   }
+
+  test("temporal joins never plan a nested loop or cartesian") {
+    // j5 (as-of) must be window-only — the whole point of the union-and-
+    // window form is that NO join node touches the bar/mark timelines.
+    val asof = plan("j5_asof_join")
+    assert(!asof.contains("CartesianProduct") &&
+      !asof.contains("BroadcastNestedLoopJoin"),
+      "as-of join degenerated into a theta join")
+    assert(asof.contains("RunningWindowFunction") || asof.contains("Window"),
+      "as-of join should be planned as a window over the union")
+    // j6 (range) must equi-join on the time bucket.
+    val rng = plan("j6_range_join")
+    assert(!rng.contains("CartesianProduct") &&
+      !rng.contains("BroadcastNestedLoopJoin"),
+      "range join degenerated into a cartesian")
+    assert(rng.contains("BroadcastHashJoin") || rng.contains("SortMergeJoin")
+      || rng.contains("ShuffledHashJoin"),
+      "range join must key on the time bucket")
+  }
 }
