@@ -687,6 +687,11 @@ object OracleSql {
          |  ON d.symbol = m.symbol AND d."date" >= m.mark_date
          |ORDER BY d.symbol, d."date"""".stripMargin),
 
+    "a12_heavy_hitters" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
     "j6_range_join" ->
       s"""WITH rng AS (
          |  SELECT o_orderkey AS range_key, CAST(o_orderdate AS DATE) AS start_date

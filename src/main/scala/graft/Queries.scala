@@ -406,6 +406,20 @@ object Queries {
       .orderBy("range_key")
   }
 
+  /** Heavy hitters via the native Misra-Gries sketch aggregate. Capacity 8
+    * >= the 5 distinct priorities, so the sketch is exact here and the
+    * DuckDB groupBy-count oracle applies; at cluster scale the same call
+    * bounds aggregation state to `capacity` counters per partition. */
+  def a12HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Sources.orders(s, dir)
+      .agg(expr("heavy_hitters(o_orderpriority, 8)").as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.item").as("o_orderpriority"),
+        col("h.min_count").as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
   def st1TumblingWindow(s: SparkSession, dir: String): DataFrame =
     rounded(Sources.events(s, dir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -683,6 +697,7 @@ object Queries {
     "j3_left_join_agg" -> (j3LeftJoinAgg _),
     "j5_asof_join" -> (j5AsofJoin _),
     "j6_range_join" -> (j6RangeJoin _),
+    "a12_heavy_hitters" -> (a12HeavyHitters _),
     "st1_tumbling_window" -> (st1TumblingWindow _),
     "st2_sessionize" -> (st2Sessionize _),
     "j4_rollup" -> (j4Rollup _),

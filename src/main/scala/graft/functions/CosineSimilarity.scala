@@ -87,9 +87,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
 /** Session-level registration (the SparkSessionExtensions-style injection
   * point for the engine's custom functions). */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_similarity",
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "heavy_hitters",
+      (children: Seq[Expression]) => HeavyHitters(children(0), children(1)),
+      "built-in")
+  }
 }
