@@ -19,7 +19,8 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
 
     val interesting = Seq("pipeline_features", "j1_join_dims", "s4_scan_limit",
-      "d2_minhash_lsh", "sim1_cosine_topk", "x7_predictions")
+      "d2_minhash_lsh", "sim1_cosine_topk", "x7_predictions",
+      "j5_asof_join", "j6_range_join", "a12_heavy_hitters")
     val sb = new StringBuilder("# Physical plans (formatted)\n")
     interesting.foreach { name =>
       val plan = Queries.all(name)(spark, sfDir).queryExecution.explainString(
