@@ -50,6 +50,16 @@ object StreamPipeline {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("avg_value"))
 
+  /** Stream-static enrichment: broadcast-join a static dimension into the
+    * stream (left join — events with no dimension row pass through with
+    * nulls, they are facts either way). Stateless: no streaming state is
+    * kept, every micro-batch joins against the dimension snapshot, and the
+    * broadcast keeps the stream side un-shuffled — the standard shape for
+    * attaching a slowly-changing dimension at ingest. */
+  def enrich(events: DataFrame, dim: DataFrame,
+             eventKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+
   /** One-shot run (process everything available, then stop) into an
     * in-memory table — the reference scheduler's daily batch as a stream.
     *

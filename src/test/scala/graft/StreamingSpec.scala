@@ -46,4 +46,33 @@ class StreamingSpec extends AnyFunSuite {
       .dropDuplicates("event_id")
     assert(deduped.count() == events.count())
   }
+
+  test("stream-static enrichment broadcast-joins the dimension per micro-batch") {
+    val dir = "/root/testdata/sf0.001"
+    val landing = java.nio.file.Files.createTempDirectory("graft-events-enrich")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      landing.resolve("part-0.parquet"))
+    val dim = Sources.customer(spark, dir).select("c_custkey", "c_mktsegment")
+    val q = StreamPipeline.enrich(
+        StreamPipeline.readEvents(spark, landing.toString), dim,
+        "user_id", "c_custkey")
+      .writeStream.format("memory").queryName("enriched_events_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("enriched_events_test")
+
+    val batchEvents = Sources.events(spark, dir)
+    // left join: every event survives, matched ones carry their segment
+    assert(streamed.count() == batchEvents.count())
+    val batch = batchEvents.join(broadcast(dim),
+      col("user_id") === col("c_custkey"), "left")
+    assert(streamed.filter(col("c_mktsegment").isNull).count() ==
+      batch.filter(col("c_mktsegment").isNull).count())
+    val diverging = streamed.select("event_id", "c_mktsegment")
+      .exceptAll(batch.select("event_id", "c_mktsegment"))
+    assert(diverging.count() == 0, "streamed enrichment diverges from batch join")
+  }
 }
