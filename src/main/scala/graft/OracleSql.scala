@@ -946,6 +946,23 @@ object OracleSql {
         |       ELSE 'und' END AS detected_lang
         |FROM scs ORDER BY doc_id""".stripMargin),
 
+    "t5_lang_ngram" -> {
+      def sc(lang: String): String = graft.ext.TextOps.ngramProfiles(lang)
+        .map(t => s"(length(text) - length(regexp_replace(text, '$t', '', 'g')))")
+        .mkString(" + ")
+      s"""SELECT doc_id,
+         |  CAST(${sc("en")} AS BIGINT) AS ngram_score_en,
+         |  CAST(${sc("de")} AS BIGINT) AS ngram_score_de,
+         |  CAST(${sc("es")} AS BIGINT) AS ngram_score_es,
+         |  CAST(${sc("fr")} AS BIGINT) AS ngram_score_fr,
+         |  CASE WHEN ${sc("en")} >= ${sc("de")} AND ${sc("en")} >= ${sc("es")} AND ${sc("en")} >= ${sc("fr")} AND ${sc("en")} > 0 THEN 'en'
+         |       WHEN ${sc("de")} >= ${sc("es")} AND ${sc("de")} >= ${sc("fr")} AND ${sc("de")} > 0 THEN 'de'
+         |       WHEN ${sc("es")} >= ${sc("fr")} AND ${sc("es")} > 0 THEN 'es'
+         |       WHEN ${sc("fr")} > 0 THEN 'fr'
+         |       ELSE 'und' END AS detected_lang_ngram
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
     "t2_quality_score" -> {
       val punct = "CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / nullif(length(text), 0)"
       val stop = s"CAST(len(list_filter(tok, t -> t IN ($enList))) AS DOUBLE) / len(tok)"

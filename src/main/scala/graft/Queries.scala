@@ -633,6 +633,12 @@ object Queries {
         "detected_lang")
       .orderBy("doc_id")
 
+  def t5LangNgram(s: SparkSession, dir: String): DataFrame =
+    ext.TextOps.withLangIdNgram(Sources.documents(s, dir))
+      .select("doc_id", "ngram_score_en", "ngram_score_de", "ngram_score_es",
+        "ngram_score_fr", "detected_lang_ngram")
+      .orderBy("doc_id")
+
   def t2QualityScore(s: SparkSession, dir: String): DataFrame =
     rounded(ext.TextOps.withQualityScore(Sources.documents(s, dir))
       .select("doc_id", "n_tokens", "text_len", "punct_ratio",
@@ -711,6 +717,7 @@ object Queries {
     "sim2_lsh_topk" -> (sim2LshTopk _),
     "sim3_ivf_topk" -> (sim3IvfTopk _),
     "t1_lang_id" -> (t1LangId _),
+    "t5_lang_ngram" -> (t5LangNgram _),
     "t2_quality_score" -> (t2QualityScore _),
     "t3_token_count" -> (t3TokenCount _),
     "t4_fingerprint" -> (t4Fingerprint _),

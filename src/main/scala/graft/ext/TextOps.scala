@@ -59,6 +59,40 @@ object TextOps {
         .otherwise("und"))
   }
 
+  /** Character-n-gram language-ID profiles: a few distinctive trigrams per
+    * language. Scores count MATCHED CHARACTERS via non-overlapping regexp
+    * elimination (length minus length-after-removal) — left-to-right
+    * non-overlap is identical in every regex engine, which keeps the DuckDB
+    * oracle bit-exact, unlike substring-position counting. */
+  val ngramProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "ing", "and"),
+    "de" -> Seq("sch", "der", "ung"),
+    "es" -> Seq("que", "los", "nes"),
+    "fr" -> Seq("les", "ent", "une"))
+
+  private def ngramScore(lang: String): Column =
+    ngramProfiles(lang)
+      .map(t => length(col("text")) - length(regexp_replace(col("text"), t, "")))
+      .reduce(_ + _).cast("long")
+
+  /** The n-gram twin of withLangId: adds ngram_score_<lang> columns and
+    * detected_lang_ngram with the same deterministic argmax priority
+    * (en > de > es > fr) and 'und' when nothing matches. Pure codegen'd
+    * string expressions — a linear scan per document, no explode. */
+  def withLangIdNgram(docs: DataFrame): DataFrame = {
+    val scored = Seq("en", "de", "es", "fr").foldLeft(docs) {
+      (d, l) => d.withColumn(s"ngram_score_$l", ngramScore(l))
+    }
+    val Seq(en, de, es, fr) =
+      Seq("en", "de", "es", "fr").map(l => col(s"ngram_score_$l"))
+    scored.withColumn("detected_lang_ngram",
+      when(en >= de && en >= es && en >= fr && en > 0, "en")
+        .when(de >= es && de >= fr && de > 0, "de")
+        .when(es >= fr && es > 0, "es")
+        .when(fr > 0, "fr")
+        .otherwise("und"))
+  }
+
   /** Heuristic quality score: length, punctuation ratio, stopword ratio —
     * the filters a pre-training corpus pipeline applies before dedup. */
   def withQualityScore(docs: DataFrame): DataFrame =

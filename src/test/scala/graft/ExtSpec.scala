@@ -126,6 +126,24 @@ class ExtSpec extends AnyFunSuite {
     assert(out(4L) == "und")
   }
 
+  test("n-gram language id scores matched characters and argmaxes deterministically") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "der schnellste zug der ungarn"), // der x2 + sch + ung = 12 chars de
+      (2L, "the thing and the sand"),        // the x2, and x2, *ing nested in thing
+      (3L, "zzzz")                           // nothing -> und
+    ).toDF("doc_id", "text")
+    val out = TextOps.withLangIdNgram(fixture).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("ngram_score_de"), r.getAs[Long]("ngram_score_en"),
+          r.getAs[String]("detected_lang_ngram"))).toMap
+    assert(out(1L) == ((12L, 0L, "de")))
+    // each trigram counts independently on the original text:
+    // the=2, ing=1 (thing), and=2 (incl. sand) -> 15 matched chars
+    assert(out(2L) == ((0L, 15L, "en")))
+    assert(out(3L)._3 == "und")
+  }
+
   test("quality score components are in [0, 1]") {
     val rows = TextOps.withQualityScore(docs).collect()
     rows.foreach { r =>
