@@ -963,6 +963,20 @@ object OracleSql {
          |FROM documents ORDER BY doc_id""".stripMargin
     },
 
+    "t6_pack_sequences" ->
+      """WITH toked AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |packed AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM toked)
+        |SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+        |       CAST((cum_tokens - n_tokens) // 256 AS BIGINT) AS pack_id
+        |FROM packed ORDER BY doc_id""".stripMargin,
+
     "t2_quality_score" -> {
       val punct = "CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / nullif(length(text), 0)"
       val stop = s"CAST(len(list_filter(tok, t -> t IN ($enList))) AS DOUBLE) / len(tok)"

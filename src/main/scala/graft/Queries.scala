@@ -639,6 +639,11 @@ object Queries {
         "ngram_score_fr", "detected_lang_ngram")
       .orderBy("doc_id")
 
+  def t6PackSequences(s: SparkSession, dir: String): DataFrame =
+    ext.TextOps.packSequences(Sources.documents(s, dir), budgetTokens = 256)
+      .select("doc_id", "source", "n_tokens", "cum_tokens", "pack_id")
+      .orderBy("doc_id")
+
   def t2QualityScore(s: SparkSession, dir: String): DataFrame =
     rounded(ext.TextOps.withQualityScore(Sources.documents(s, dir))
       .select("doc_id", "n_tokens", "text_len", "punct_ratio",
@@ -718,6 +723,7 @@ object Queries {
     "sim3_ivf_topk" -> (sim3IvfTopk _),
     "t1_lang_id" -> (t1LangId _),
     "t5_lang_ngram" -> (t5LangNgram _),
+    "t6_pack_sequences" -> (t6PackSequences _),
     "t2_quality_score" -> (t2QualityScore _),
     "t3_token_count" -> (t3TokenCount _),
     "t4_fingerprint" -> (t4Fingerprint _),

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline over the `documents`
@@ -120,6 +121,25 @@ object TextOps {
       .withColumn("ws_tokens", size(split(trim(col("text")), "\\s+")))
       .withColumn("word_tokens", regexp_count(col("text"), lit("[a-z]+")))
       .withColumn("bpe_estimate", ceil(length(col("text")) / 4.0).cast("long"))
+
+  /** Sequence packing, concat-then-chunk style: documents are laid out in a
+    * deterministic order (doc_id) within each source stream and assigned to
+    * the fixed-token-budget pack their first token falls in — the standard
+    * LLM pretraining shape (concatenate the stream, slice every
+    * `budgetTokens`). A doc straddling a boundary belongs to the pack it
+    * starts in. Pure prefix-sum window per source: one shuffle on source,
+    * streaming cumsum, no sequential driver loop — unlike true first-fit
+    * packing, which is an inherently sequential recurrence. */
+  def packSequences(docs: DataFrame, budgetTokens: Int): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_tokens",
+        size(split(trim(col("text")), "\\s+")).cast("long"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("pack_id",
+        expr(s"(cum_tokens - n_tokens) div ${budgetTokens.toLong}"))
+  }
 
   /** Document fingerprints: md5 of whitespace-normalized text (exact-dup
     * key) and the minimum shingle hash (a 1-permutation MinHash — stable

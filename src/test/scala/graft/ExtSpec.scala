@@ -144,6 +144,20 @@ class ExtSpec extends AnyFunSuite {
     assert(out(3L)._3 == "und")
   }
 
+  test("sequence packing assigns docs to the budget chunk their first token starts in") {
+    import spark.implicits._
+    // source s1: token counts 3, 3, 3 with budget 4 -> starts at 0, 3, 6
+    //   -> packs 0, 0, 1 (doc 2 straddles the boundary, starts in pack 0)
+    val fixture = Seq(
+      (1L, "s1", "a b c"), (2L, "s1", "d e f"), (3L, "s1", "g h i"),
+      (4L, "s2", "lone")
+    ).toDF("doc_id", "source", "text")
+    val out = TextOps.packSequences(fixture, budgetTokens = 4)
+      .select("doc_id", "cum_tokens", "pack_id")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 3L, 0L), (2L, 6L, 0L), (3L, 9L, 1L), (4L, 1L, 0L)))
+  }
+
   test("quality score components are in [0, 1]") {
     val rows = TextOps.withQualityScore(docs).collect()
     rows.foreach { r =>
