@@ -977,6 +977,15 @@ object OracleSql {
         |       CAST((cum_tokens - n_tokens) // 256 AS BIGINT) AS pack_id
         |FROM packed ORDER BY doc_id""".stripMargin,
 
+    "t7_source_mix" ->
+      """WITH rn AS (
+        |  SELECT doc_id, source,
+        |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS __rn
+        |  FROM documents)
+        |SELECT doc_id, source FROM rn
+        |WHERE (__rn - 1) % (CASE source WHEN 'src0' THEN 4 WHEN 'src1' THEN 2 ELSE 1 END) = 0
+        |ORDER BY doc_id""".stripMargin,
+
     "t2_quality_score" -> {
       val punct = "CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / nullif(length(text), 0)"
       val stop = s"CAST(len(list_filter(tok, t -> t IN ($enList))) AS DOUBLE) / len(tok)"

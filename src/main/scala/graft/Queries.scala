@@ -644,6 +644,14 @@ object Queries {
       .select("doc_id", "source", "n_tokens", "cum_tokens", "pack_id")
       .orderBy("doc_id")
 
+  /** Downsample src0 4:1 and src1 2:1, keep the rest — the "re-weight a
+    * noisy source" curation move. */
+  def t7SourceMix(s: SparkSession, dir: String): DataFrame =
+    ext.TextOps.sourceMix(Sources.documents(s, dir),
+      Map("src0" -> 4, "src1" -> 2))
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+
   def t2QualityScore(s: SparkSession, dir: String): DataFrame =
     rounded(ext.TextOps.withQualityScore(Sources.documents(s, dir))
       .select("doc_id", "n_tokens", "text_len", "punct_ratio",
@@ -724,6 +732,7 @@ object Queries {
     "t1_lang_id" -> (t1LangId _),
     "t5_lang_ngram" -> (t5LangNgram _),
     "t6_pack_sequences" -> (t6PackSequences _),
+    "t7_source_mix" -> (t7SourceMix _),
     "t2_quality_score" -> (t2QualityScore _),
     "t3_token_count" -> (t3TokenCount _),
     "t4_fingerprint" -> (t4Fingerprint _),

@@ -141,6 +141,25 @@ object TextOps {
         expr(s"(cum_tokens - n_tokens) div ${budgetTokens.toLong}"))
   }
 
+  /** Source-mix downsampling: keep every `stride`-th document of each
+    * source (in doc_id order), with per-source strides — the deterministic
+    * form of "mix sources at these ratios" in corpus curation. Stride
+    * sampling beats hash- or rand-based sampling here because it is exactly
+    * reproducible across engines and runs, and error-free on the kept
+    * fraction (1/stride of each source, ±1). One shuffle on source. */
+  def sourceMix(docs: DataFrame, strides: Map[String, Int],
+                defaultStride: Int = 1): DataFrame = {
+    require((defaultStride +: strides.values.toSeq).forall(_ >= 1),
+      "strides must be >= 1")
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    val strideCol = strides.foldLeft(lit(defaultStride)) {
+      case (acc, (s, k)) => when(col("source") === s, lit(k)).otherwise(acc)
+    }
+    docs.withColumn("__rn", row_number().over(w))
+      .filter((col("__rn") - 1) % strideCol === 0)
+      .drop("__rn")
+  }
+
   /** Document fingerprints: md5 of whitespace-normalized text (exact-dup
     * key) and the minimum shingle hash (a 1-permutation MinHash — stable
     * under small edits, the winnowing-style near-dup key). */

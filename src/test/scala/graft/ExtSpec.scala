@@ -158,6 +158,16 @@ class ExtSpec extends AnyFunSuite {
     assert(out == Seq((1L, 3L, 0L), (2L, 6L, 0L), (3L, 9L, 1L), (4L, 1L, 0L)))
   }
 
+  test("source mix keeps ceil(n/stride) docs per source, deterministically") {
+    import spark.implicits._
+    val fixture = (1L to 10L).map(i => (i, "heavy")) ++ (11L to 13L).map(i => (i, "light"))
+    val out = TextOps.sourceMix(fixture.toDF("doc_id", "source"),
+        Map("heavy" -> 3))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // heavy: rows 1,4,7,10 (every 3rd from the first); light: all
+    assert(out == Seq(1L, 4L, 7L, 10L, 11L, 12L, 13L))
+  }
+
   test("quality score components are in [0, 1]") {
     val rows = TextOps.withQualityScore(docs).collect()
     rows.foreach { r =>
