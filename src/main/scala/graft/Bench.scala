@@ -84,7 +84,9 @@ object Bench {
       name -> median(samples.toSeq.map(_.toMap.apply(name)))
     }
     val failed = medians.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-    def f2(v: Double): String = f"$v%.2f"
+    // 1 decimal past 10 s: under heavy contention per-query times reach 3
+    // digits, and the line must stay inside the driver's ~2000-char tail
+    def f2(v: Double): String = if (v >= 10) f"$v%.1f" else f"$v%.2f"
     val qs = medians.map { case (k, v) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val total = medians.map(_._2).filter(_ >= 0).sum
