@@ -1,0 +1,84 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus curation: the ext operators composed in the
+  * order a production pretraining pipeline runs them —
+  *
+  *   exact dedup -> near dedup (MinHash/LSH + clustering) ->
+  *   quality + language filters -> source mixing -> sequence packing
+  *
+  * Exact dedup goes first (cheapest pass, biggest volume win on crawled
+  * corpora), near-dedup runs on the exact-unique survivors so the LSH
+  * band join never sees byte-identical clones, filters run before mixing
+  * so strides apply to the kept population, and packing is last because
+  * pack ids depend on the final survivor set.
+  *
+  * Every stage is a declarative transformation on the same DataFrame —
+  * one linear pass per stage plus the documented dedup shuffles; nothing
+  * collects to the driver.
+  */
+object CorpusPipeline {
+
+  /** Knobs for a curation run. `langs` keeps only documents whose detected
+    * language is in the set; `minQuality` floors the heuristic quality
+    * score; `sourceStrides` downsamples named sources k:1. */
+  case class CurationConfig(
+      langs: Set[String] = Set("en"),
+      minQuality: Double = 0.3,
+      nHashes: Int = 16,
+      nBands: Int = 8,
+      sourceStrides: Map[String, Int] = Map.empty,
+      packBudgetTokens: Int = 2048)
+
+  /** Row counts after each stage — the shrinkage funnel every corpus run
+    * reports. Computing it costs one count action per stage (each cheap:
+    * the expensive clustering stage is checkpoint-materialized inside
+    * duplicateClusters). */
+  case class CurationReport(
+      input: Long,
+      afterExactDedup: Long,
+      afterNearDedup: Long,
+      afterFilters: Long,
+      afterMix: Long,
+      nPacks: Long)
+
+  /** Run the full curation pass over (doc_id, source, text) rows. Returns
+    * the packed corpus — survivors with n_tokens/cum_tokens/pack_id — and
+    * the shrinkage report. */
+  def curate(docs: DataFrame,
+             cfg: CurationConfig = CurationConfig()): (DataFrame, CurationReport) = {
+    // 1. exact dedup: keep the smallest doc_id per content digest
+    val wDigest = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
+    val exactUnique = docs
+      .withColumn("__rn", row_number().over(wDigest))
+      .filter(col("__rn") === 1).drop("__rn")
+
+    // 2. near dedup: LSH candidates -> connected components -> keep reps
+    val pairs = Dedup.lshCandidatePairs(
+      Dedup.minhashSignatures(exactUnique, cfg.nHashes), cfg.nBands)
+    val nearUnique = Dedup.dedupByClusters(
+      exactUnique, Dedup.duplicateClusters(pairs))
+
+    // 3. quality + language filters
+    val filtered = TextOps.withQualityScore(TextOps.withLangId(nearUnique))
+      .filter(col("detected_lang").isin(cfg.langs.toSeq: _*) &&
+        col("quality_score") >= cfg.minQuality)
+      .select(docs.columns.map(col): _*)
+
+    // 4. source mixing, 5. packing
+    val mixed = TextOps.sourceMix(filtered, cfg.sourceStrides)
+    val packed = TextOps.packSequences(mixed, cfg.packBudgetTokens)
+
+    val report = CurationReport(
+      input = docs.count(),
+      afterExactDedup = exactUnique.count(),
+      afterNearDedup = nearUnique.count(),
+      afterFilters = filtered.count(),
+      afterMix = mixed.count(),
+      nPacks = packed.select("source", "pack_id").distinct().count())
+    (packed, report)
+  }
+}

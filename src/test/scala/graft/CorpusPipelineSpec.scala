@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.CorpusPipeline
+import graft.ext.CorpusPipeline.CurationConfig
+
+/** The curation funnel end-to-end on a fixture with one of everything:
+  * an exact duplicate, a near duplicate, a language miss, a quality miss. */
+class CorpusPipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("curate removes exact dups, near dups, filtered docs; packs the rest") {
+    // d1/d2: different text, IDENTICAL shingle set {b c b, c b c} ->
+    //        identical minhash signatures -> guaranteed LSH near-dup pair
+    //        (kept rep d1 is then a language miss: no stopwords -> 'und')
+    // d3/d4: byte-identical -> exact dup
+    // d5:    punctuation-only -> 'und' language + rock-bottom quality
+    val docs = Seq(
+      (1L, "s1", "b c b c b"),
+      (2L, "s1", "c b c b c"),
+      (3L, "s1", "the cat sat on the mat"),
+      (4L, "s2", "the cat sat on the mat"),
+      (5L, "s1", "!!! ??? ### !!!")
+    ).toDF("doc_id", "source", "text")
+
+    val (packed, report) = CorpusPipeline.curate(docs,
+      CurationConfig(langs = Set("en"), minQuality = 0.3, packBudgetTokens = 4))
+
+    assert(report.input == 5)
+    assert(report.afterExactDedup == 4, "d4 (byte-identical to d3) drops")
+    assert(report.afterNearDedup == 3, "d2 (same shingle set as d1) drops")
+    // d1 has no stopwords -> 'und'; d5 is 'und' AND low quality -> only d3
+    assert(report.afterFilters == 1, s"report: $report")
+    assert(report.afterMix == 1 && report.nPacks > 0)
+
+    val rows = packed.select("doc_id", "pack_id").as[(Long, Long)].collect()
+    assert(rows.toSeq == Seq((3L, 0L)))
+  }
+
+  test("source strides apply to the post-filter population") {
+    // ten good english docs in one source, stride 2 -> keep 5. Every
+    // shingle embeds the doc index so the docs share NO shingles — the
+    // near-dedup stage must not collapse them.
+    val docs = (1L to 10L).map(i => (i, "s1", s"the w$i of k$i is q$i j$i z$i"))
+      .toDF("doc_id", "source", "text")
+    val (_, report) = CorpusPipeline.curate(docs,
+      CurationConfig(langs = Set("en"), minQuality = 0.0,
+        sourceStrides = Map("s1" -> 2), packBudgetTokens = 8))
+    assert(report.afterFilters == 10)
+    assert(report.afterMix == 5)
+  }
+}
