@@ -40,6 +40,9 @@ object TemporalJoins {
     */
   def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
                    leftTime: String, rightTime: String): DataFrame = {
+    val reserved = Seq("__t", "__side", "__mark", "__m")
+    require(!(left.columns ++ right.columns).exists(reserved.contains),
+      s"column names ${reserved.mkString("/")} are reserved by asofBackward")
     val payloadCols = right.columns.filterNot(keys.contains).toSeq
     val rTagged = right.select(
       keys.map(col) ++ Seq(
@@ -95,6 +98,9 @@ object TemporalJoins {
                         bucketWidth: Long,
                         keys: Seq[(Column, Column)] = Nil): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val overlap = points.columns.toSet intersect ranges.columns.toSet
+    require(overlap.isEmpty,
+      s"point/range column names must be disjoint (rename before joining): $overlap")
     val p = points
       .withColumn("__pt", pointTs.cast("long"))
       .withColumn("__pb", floor(col("__pt") / bucketWidth))
