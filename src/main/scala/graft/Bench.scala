@@ -85,13 +85,18 @@ object Bench {
     }
     val failed = medians.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     // 1 decimal past 10 s: under heavy contention per-query times reach 3
-    // digits, and the line must stay inside the driver's ~2000-char tail
-    def f2(v: Double): String = if (v >= 10) f"$v%.1f" else f"$v%.2f"
+    // digits, and the line must stay inside the driver's ~2000-char tail.
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
+    // comma-decimal locale would corrupt the JSON ("value":1,23).
+    def f2(v: Double): String = String.format(java.util.Locale.ROOT,
+      if (v >= 10) "%.1f" else "%.2f", Double.box(v))
     val qs = medians.map { case (k, v) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val total = medians.map(_._2).filter(_ >= 0).sum
     // ONE compact line, last on stdout (sbt appends ~74 chars of [success]).
-    println(s"""{"metric":"total_of_medians","value":${f2(total)},"unit":"sec","iters":$ITERS,"queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    // iters = passes actually RUN (the budget can stop early) — claiming 3
+    // when one ran would pass single-shot noise off as a median
+    println(s"""{"metric":"total_of_medians","value":${f2(total)},"unit":"sec","iters":${samples.size},"queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

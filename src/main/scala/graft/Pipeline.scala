@@ -34,15 +34,24 @@ object Pipeline {
              outPath: String, channel: Alerts.Channel = new Alerts.LogChannel,
              symbolsRequested: Int = -1): RunResult = {
     // TRANSFORM: parse (S1) -> quality filters + dedup (F1-F4) -> features.
-    // The keep-last tiebreak is a content hash, NOT
+    // Keep-last needs a deterministic tiebreak, NOT
     // monotonically_increasing_id: this plan is executed by several actions
     // (validate, count, write, summary), and a nondeterministic row id can
     // pick a DIFFERENT dedup winner per action under task retry/reorder —
-    // the validated winner must be the written winner.
-    val parsed = Sources.parseAlphaVantage(payloads, jsonCol)
-      .withColumn("rid", xxhash64(col("symbol"), col("date"), col("open"),
+    // the validated winner must be the written winner. When the caller
+    // stamps payload envelopes with a `fetch_seq` arrival order, the LATEST
+    // fetch wins (the reference's pandas keep='last' positional semantics);
+    // without it, conflicting same-(symbol,date) rows fall back to a
+    // content-hash winner — deterministic, but unrelated to arrival order.
+    val hasSeq = payloads.columns.contains("fetch_seq")
+    val parsed = Sources.parseAlphaVantage(payloads, jsonCol,
+        passthrough = if (hasSeq) Seq("fetch_seq") else Nil)
+      .withColumn("__chash", xxhash64(col("symbol"), col("date"), col("open"),
         col("high"), col("low"), col("close"), col("volume")))
-    val cleaned = Cleaning.clean(parsed, col("rid")).drop("rid")
+    val tiebreak =
+      if (hasSeq) struct(col("fetch_seq"), col("__chash")) else col("__chash")
+    val cleaned = Cleaning.clean(parsed, tiebreak)
+      .drop((if (hasSeq) Seq("fetch_seq", "__chash") else Seq("__chash")): _*)
     val features = Derive.addDerived(cleaned)
       .withColumn("extracted_at", current_timestamp())
       .withColumn("data_source", lit("Alpha Vantage"))

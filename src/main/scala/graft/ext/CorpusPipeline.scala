@@ -50,11 +50,16 @@ object CorpusPipeline {
     * the shrinkage report. */
   def curate(docs: DataFrame,
              cfg: CurationConfig = CurationConfig()): (DataFrame, CurationReport) = {
-    // 1. exact dedup: keep the smallest doc_id per content digest
+    // 1. exact dedup: keep the smallest doc_id per content digest.
+    // localCheckpoint(eager): the report's stage counts and the returned
+    // frame would otherwise re-execute this shuffle once per action; the
+    // checkpoint blocks are reclaimed by the ContextCleaner once the frame
+    // goes out of scope.
     val wDigest = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
     val exactUnique = docs
       .withColumn("__rn", row_number().over(wDigest))
       .filter(col("__rn") === 1).drop("__rn")
+      .localCheckpoint(true)
 
     // 2. near dedup: LSH candidates -> connected components -> keep reps
     val pairs = Dedup.lshCandidatePairs(
@@ -62,22 +67,25 @@ object CorpusPipeline {
     val nearUnique = Dedup.dedupByClusters(
       exactUnique, Dedup.duplicateClusters(pairs))
 
-    // 3. quality + language filters
+    // 3. quality + language filters (regex-heavy scoring: checkpoint so the
+    // mix/pack stages and the report each read it once)
     val filtered = TextOps.withQualityScore(TextOps.withLangId(nearUnique))
       .filter(col("detected_lang").isin(cfg.langs.toSeq: _*) &&
         col("quality_score") >= cfg.minQuality)
       .select(docs.columns.map(col): _*)
+      .localCheckpoint(true)
 
-    // 4. source mixing, 5. packing
+    // 4. source mixing, 5. packing (1:1 with the mixed survivors)
     val mixed = TextOps.sourceMix(filtered, cfg.sourceStrides)
     val packed = TextOps.packSequences(mixed, cfg.packBudgetTokens)
+      .localCheckpoint(true)
 
     val report = CurationReport(
       input = docs.count(),
       afterExactDedup = exactUnique.count(),
       afterNearDedup = nearUnique.count(),
       afterFilters = filtered.count(),
-      afterMix = mixed.count(),
+      afterMix = packed.count(), // packing is row-preserving
       nPacks = packed.select("source", "pack_id").distinct().count())
     (packed, report)
   }

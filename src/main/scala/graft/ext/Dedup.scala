@@ -133,6 +133,11 @@ object Dedup {
       labels = updated
       round += 1
     }
+    // an unconverged label table silently under-dedups (and diverges from
+    // the exact transitive-closure oracle) — fail loudly instead
+    if (!converged) throw new IllegalStateException(
+      s"duplicateClusters did not converge in $maxRounds rounds — a duplicate " +
+        "chain is longer than maxRounds; raise maxRounds")
     labels
   }
 

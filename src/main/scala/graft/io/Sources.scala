@@ -66,13 +66,14 @@ object Sources {
     * (invalid -> null). Runs fully inside codegen (from_json + explode),
     * so it distributes over any number of payload rows.
     */
-  def parseAlphaVantage(payloads: DataFrame, jsonCol: String): DataFrame =
+  def parseAlphaVantage(payloads: DataFrame, jsonCol: String,
+                        passthrough: Seq[String] = Nil): DataFrame =
     payloads
       .withColumn("__p", from_json(col(jsonCol), Schemas.rawPayload))
-      .select(
+      .select(passthrough.map(col) ++ Seq(
         col("__p").getField("Meta Data").getItem("2. Symbol").as("symbol"),
-        explode(col("__p").getField("Time Series (Daily)")).as(Seq("date_str", "bar")))
-      .select(
+        explode(col("__p").getField("Time Series (Daily)")).as(Seq("date_str", "bar"))): _*)
+      .select(passthrough.map(col) ++ Seq(
         col("symbol"),
         to_date(col("date_str")).as("date"),
         // try_cast, not cast: Spark 4 runs ANSI mode by default, where a
@@ -82,7 +83,7 @@ object Sources {
         expr("try_cast(bar['2. high'] AS DOUBLE)").as("high"),
         expr("try_cast(bar['3. low'] AS DOUBLE)").as("low"),
         expr("try_cast(bar['4. close'] AS DOUBLE)").as("close"),
-        expr("try_cast(bar['5. volume'] AS BIGINT)").as("volume"))
+        expr("try_cast(bar['5. volume'] AS BIGINT)").as("volume")): _*)
 
   /** S2: parse company-OVERVIEW JSON envelopes into a typed company
     * dimension table (reference: src/extract.py:160-270). Envelope

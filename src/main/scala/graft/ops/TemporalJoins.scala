@@ -44,6 +44,9 @@ object TemporalJoins {
     require(!(left.columns ++ right.columns).exists(reserved.contains),
       s"column names ${reserved.mkString("/")} are reserved by asofBackward")
     val payloadCols = right.columns.filterNot(keys.contains).toSeq
+    val clash = payloadCols.toSet intersect left.columns.toSet
+    require(clash.isEmpty,
+      s"right payload columns collide with left columns (rename first): $clash")
     val rTagged = right.select(
       keys.map(col) ++ Seq(
         col(rightTime).as("__t"),

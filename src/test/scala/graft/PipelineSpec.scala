@@ -62,6 +62,30 @@ class PipelineSpec extends AnyFunSuite {
       s"expected partial-fetch warning, got ${result.alert}")
   }
 
+  test("runEtl keep-last honors fetch_seq arrival order on re-fetched symbols") {
+    val out = java.nio.file.Files.createTempDirectory("graft-seq").toString
+    // same symbol fetched twice in one batch: the later fetch carries a
+    // corrected close for every day and must win, regardless of hash order
+    def seqPayload(bump: Double): String = {
+      val series = (1 to 5).map { i =>
+        val p = 100.0 + i + bump
+        f"""\"2024-01-$i%02d\": {\"1. open\": \"${p - 1}\", \"2. high\": \"${p + 2}\",
+           |\"3. low\": \"${p - 2}\", \"4. close\": \"$p\", \"5. volume\": \"1000\"}""".stripMargin
+      }.mkString(",")
+      s"""{"Meta Data": {"2. Symbol": "DUP"}, "Time Series (Daily)": {$series}}"""
+    }
+    val payloads = Seq((1L, seqPayload(0.0)), (2L, seqPayload(0.5)))
+      .toDF("fetch_seq", "json")
+    Pipeline.runEtl(spark, payloads, "json", out)
+    val closes = spark.read.parquet(out)
+      .select("date", "close").collect()
+      .map(r => r.get(0).toString -> r.getDouble(1)).toMap
+    assert(closes.size == 5)
+    // every surviving close is from the bump=0.5 (later) fetch
+    assert(closes.values.forall(c => (c * 2) % 1 == 0 && c % 1 != 0),
+      s"stale fetch won: $closes")
+  }
+
   test("runEtl appends across runs (reference accumulates daily batches)") {
     val out = java.nio.file.Files.createTempDirectory("graft-etl-append").resolve("lake").toString
     val payloads = Seq(payload("AAPL", 25)).toDF("json")

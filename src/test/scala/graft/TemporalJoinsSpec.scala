@@ -60,6 +60,15 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(row.getAs[java.lang.Double]("mark_price") == null)
   }
 
+  test("asofBackward rejects payload columns that collide with left columns") {
+    val collidingMarks = Seq(("A", d("2020-01-02"), 1.0))
+      .toDF("symbol", "mark_date", "close") // 'close' exists on the left too
+    val e = intercept[IllegalArgumentException] {
+      TemporalJoins.asofBackward(bars, collidingMarks, Seq("symbol"), "date", "mark_date")
+    }
+    assert(e.getMessage.contains("close"))
+  }
+
   test("asofBackwardMaxAge nulls out stale matches") {
     val out = TemporalJoins.asofBackwardMaxAge(
         bars, marks, Seq("symbol"), "date", "mark_date", maxAgeDays = 1)
