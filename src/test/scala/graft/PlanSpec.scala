@@ -62,6 +62,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("packing and mixing run over a single source exchange") {
+    for (name <- Seq("t6_pack_sequences", "t7_source_mix")) {
+      val p = plan(name)
+      val sourceExchanges = "hashpartitioning\\(source".r.findAllIn(p).length
+      assert(sourceExchanges == 1,
+        s"$name: expected exactly one source hash exchange, got $sourceExchanges")
+    }
+  }
+
   test("temporal joins never plan a nested loop or cartesian") {
     // j5 (as-of) must be window-only — the whole point of the union-and-
     // window form is that NO join node touches the bar/mark timelines.
