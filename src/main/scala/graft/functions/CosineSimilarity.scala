@@ -84,17 +84,34 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Session-level registration (the SparkSessionExtensions-style injection
-  * point for the engine's custom functions). */
+/** Session-level registration for an already-running session. For config-
+  * driven injection use [[GraftExtensions]] instead
+  * (`spark.sql.extensions=graft.functions.GraftExtensions`). */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_similarity",
-      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "heavy_hitters",
-      (children: Seq[Expression]) => HeavyHitters(children(0), children(1)),
-      "built-in")
-  }
+  private[functions] val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_similarity" ->
+      ((children: Seq[Expression]) => CosineSimilarity(children(0), children(1))),
+    "heavy_hitters" ->
+      ((children: Seq[Expression]) => HeavyHitters(children(0), children(1))))
+
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
+
+/** The engine's `SparkSessionExtensions` entry point: injects the native
+  * functions at session build time, so a cluster deployment enables them
+  * with `--conf spark.sql.extensions=graft.functions.GraftExtensions`
+  * (no code changes in the user's job). */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[GraftExtensions].getName, name),
+        builder))
+    }
 }

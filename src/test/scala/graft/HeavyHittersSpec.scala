@@ -46,6 +46,36 @@ class HeavyHittersSpec extends AnyFunSuite {
       ("g2", Seq(("z", 1L)))))
   }
 
+  test("GraftExtensions injects the native functions at session build time") {
+    import org.apache.spark.sql.SparkSession
+    val base = spark // force base session init first
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // new session on the SAME SparkContext, functions injected via the
+      // extensions hook rather than imperative registration
+      val injected = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      assert(injected ne base)
+      val hh = injected.sql(
+        "SELECT heavy_hitters(x, 4) AS hh FROM VALUES ('a'),('a'),('b') AS t(x)")
+        .selectExpr("hh[0].item", "hh[0].min_count")
+        .collect().head
+      assert(hh.getString(0) == "a" && hh.getLong(1) == 2L)
+      val cs = injected.sql(
+        "SELECT cosine_similarity(array(3.0D, 0D), array(9.0D, 0D)) AS c")
+        .collect().head.getDouble(0)
+      assert(math.abs(cs - 1.0) < 1e-12)
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("partial aggregation stays enabled (map-side combine before the shuffle)") {
     val df = (1 to 100).map(i => s"k${i % 3}").toDF("k").repartition(8)
     val plan = df.groupBy().agg(expr("heavy_hitters(k, 8)"))
