@@ -170,4 +170,28 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "vec_id", "bucket", "cosine")
   }
+
+  /** Symmetric per-vector int8 scalar quantization: scale = max|x| / 127,
+    * q_i = round(x_i / scale). 4x smaller embeddings for the candidate-
+    * generation tier (the shuffle/broadcast payloads above shrink with it);
+    * re-rank the survivors against the full-precision column. Zero vectors
+    * quantize to zeros with scale 0. Pure higher-order functions — codegen,
+    * no UDF, one linear pass. */
+  def quantizeInt8(emb: DataFrame,
+                   vecCol: String = "embedding"): DataFrame = {
+    val absMax = aggregate(col(vecCol),
+      lit(0.0), (acc, v) => greatest(acc, abs(v.cast("double"))))
+    emb
+      .withColumn("q_scale", absMax / 127.0)
+      .withColumn("q_vec",
+        when(col("q_scale") === 0.0,
+          transform(col(vecCol), _ => lit(0).cast("tinyint")))
+          .otherwise(transform(col(vecCol),
+            x => round(x.cast("double") / col("q_scale")).cast("tinyint"))))
+  }
+
+  /** Inverse of [[quantizeInt8]]: x_i ~ q_i * scale, as array<double>. */
+  def dequantizeInt8(qVecCol: String = "q_vec",
+                     scaleCol: String = "q_scale"): Column =
+    transform(col(qVecCol), q => q.cast("double") * col(scaleCol))
 }

@@ -190,6 +190,31 @@ class ExtSpec extends AnyFunSuite {
     assert(fp(5L)._2 == null) // no shingles
   }
 
+  test("int8 quantization bounds per-element error; zero vectors round-trip") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f)),      // zero vector: scale 0, all-zero q
+      (3L, Array(12.7f, -12.7f, 6.35f))   // exact scale 0.1 at the int8 edge
+    ).toDF("vec_id", "embedding")
+    val rows = Similarity.quantizeInt8(emb)
+      .withColumn("deq", Similarity.dequantizeInt8())
+      .select("vec_id", "embedding", "deq", "q_scale")
+      .collect()
+    rows.foreach { r =>
+      val orig = r.getSeq[Float](r.fieldIndex("embedding"))
+      val deq = r.getSeq[Double](r.fieldIndex("deq"))
+      val scale = r.getAs[Double]("q_scale")
+      orig.zip(deq).foreach { case (o, d) =>
+        assert(math.abs(o.toDouble - d) <= scale / 2 + 1e-9,
+          s"vec ${r.getAs[Long]("vec_id")}: $o -> $d at scale $scale")
+      }
+    }
+    val z = rows.find(_.getAs[Long]("vec_id") == 2L).get
+    assert(z.getAs[Double]("q_scale") == 0.0)
+    assert(z.getSeq[Double](z.fieldIndex("deq")).forall(_ == 0.0))
+  }
+
   test("multimodal: resize bounds output size, frame sampling strides the payload") {
     val media = Multimodal.asMediaTable(docs)
     val resized = Multimodal.resize(spark, media, 64, 32).collect()
