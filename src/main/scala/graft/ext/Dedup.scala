@@ -122,11 +122,23 @@ object Dedup {
       val neighborMin = edges
         .join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min("cluster_rep").as("nbr_rep"))
-      val updated = labels
+      val propagated = labels
         .join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
         .select(col("doc_id"),
           least(col("cluster_rep"), coalesce(col("nbr_rep"), col("cluster_rep")))
             .as("cluster_rep"))
+      // path compression (pointer doubling): follow rep -> rep-of-rep, so a
+      // chain's minimum label reaches every member in O(log diameter)
+      // rounds instead of O(diameter) — without it a duplicate chain longer
+      // than maxRounds cannot converge. Every cluster_rep is itself a
+      // doc_id in the table (labels start as self and only adopt existing
+      // ids), so the self-join loses no rows.
+      val reps = propagated
+        .select(col("doc_id").as("rep_id"), col("cluster_rep").as("rep_rep"))
+      val updated = propagated
+        .join(reps, propagated("cluster_rep") === reps("rep_id"))
+        .select(col("doc_id"),
+          least(col("cluster_rep"), col("rep_rep")).as("cluster_rep"))
         .localCheckpoint(true)
       converged = updated.join(labels.withColumnRenamed("cluster_rep", "old_rep"), "doc_id")
         .filter(col("cluster_rep") =!= col("old_rep")).isEmpty

@@ -72,6 +72,16 @@ class ExtSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 4L, 5L, 7L))
   }
 
+  test("duplicate clusters: a chain far longer than maxRounds still converges (path compression)") {
+    // diameter-59 chain: plain 1-hop propagation needs 59 rounds and would
+    // throw at the default 20; pointer doubling converges in O(log d)
+    val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val clusters = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_rep")).toMap
+    assert(clusters.size == 60)
+    assert(clusters.values.forall(_ == 1L), "every chain member joins cluster 1")
+  }
+
   test("ngram jaccard: identical docs = 1.0") {
     val pairs = Dedup.ngramJaccardPairs(docs, sampleMod = 1, threshold = 0.1)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
