@@ -18,6 +18,13 @@ object Sinks {
   def writeJson(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).json(path)
 
+  /** ORC sink: the columnar alternative for warehouses standardized on the
+    * ORC/Hive stack — same pushdown/pruning properties as the parquet lake
+    * path (spark-avro is not on this classpath, so ORC is the second
+    * columnar format offered). */
+  def writeOrc(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).orc(path)
+
   /** Lake sink: parquet partitioned by symbol — the scale analog of the
     * reference's symbol/(symbol,date) indexes (src/load.py:87-89): per-symbol
     * queries prune partitions instead of probing a B-tree. Default mode is

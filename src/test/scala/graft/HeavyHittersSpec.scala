@@ -46,6 +46,17 @@ class HeavyHittersSpec extends AnyFunSuite {
       ("g2", Seq(("z", 1L)))))
   }
 
+  test("exact regime equals groupBy-count on random data (fixed seed, many partitions)") {
+    val rnd = new scala.util.Random(9090)
+    for (_ <- 1 to 10) {
+      val nKeys = 1 + rnd.nextInt(12)
+      val rows = Seq.fill(500)(s"k${rnd.nextInt(nKeys)}")
+      val df = rows.toDF("k").repartition(1 + rnd.nextInt(16))
+      val expected = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      assert(summarize(df, 16) == expected, s"nKeys=$nKeys")
+    }
+  }
+
   test("GraftExtensions injects the native functions at session build time") {
     import org.apache.spark.sql.SparkSession
     val base = spark // force base session init first

@@ -33,6 +33,16 @@ class SinksSpec extends AnyFunSuite {
       df.agg(sum("rid")).head.getLong(0))
   }
 
+  test("ORC sink round-trips values and preserves types") {
+    val path = tmp("graft-orc")
+    Sinks.writeOrc(df.select("rid", "symbol", "close"), path)
+    val back = spark.read.orc(path)
+    assert(back.count() == 200)
+    assert(back.schema("close").dataType.typeName == "double")
+    assert(back.agg(sum("rid")).head.getLong(0) ==
+      df.agg(sum("rid")).head.getLong(0))
+  }
+
   test("JDBC sink appends with batching (embedded Derby round-trip)") {
     // Derby ships in /opt/spark/jars (the Hive-metastore dependency), so the
     // S6 surface gets a real in-process database: create-on-first-append,
