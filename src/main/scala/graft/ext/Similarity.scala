@@ -194,4 +194,16 @@ object Similarity {
   def dequantizeInt8(qVecCol: String = "q_vec",
                      scaleCol: String = "q_scale"): Column =
     transform(col(qVecCol), q => q.cast("double") * col(scaleCol))
+
+  /** L2-normalize an embedding column to unit length (array<double>), so
+    * cosine similarity reduces to a dot product — normalize once at ingest
+    * and the per-pair norm divisions in the top-k joins disappear. Zero
+    * vectors stay zero (null-free, unlike x/0). */
+  def l2Normalize(vecCol: String = "embedding"): Column = {
+    val nrm = sqrt(aggregate(
+      transform(col(vecCol), x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    when(nrm === 0.0, transform(col(vecCol), _ => lit(0.0)))
+      .otherwise(transform(col(vecCol), x => x.cast("double") / nrm))
+  }
 }

@@ -122,6 +122,26 @@ object TextOps {
       .withColumn("word_tokens", regexp_count(col("text"), lit("[a-z]+")))
       .withColumn("bpe_estimate", ceil(length(col("text")) / 4.0).cast("long"))
 
+  /** Default redaction patterns: emails, URLs, and phone-like digit runs —
+    * the scrub a corpus pipeline applies before anything persists. Order
+    * matters: URLs before phone numbers, or a URL's digits redact first
+    * and break the containing match. */
+  val defaultRedactions: Seq[(String, String)] = Seq(
+    "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}" -> "<EMAIL>",
+    "https?://[^\\s]+" -> "<URL>",
+    "\\+?\\d[\\d\\s().-]{7,}\\d" -> "<PHONE>")
+
+  /** Redact sensitive spans in `text`, replacing each match with its tag.
+    * Sequential regexp_replace chain — codegen'd, one linear scan per
+    * pattern, no UDF. Patterns apply in order over the already-redacted
+    * text. */
+  def redact(docs: DataFrame,
+             patterns: Seq[(String, String)] = defaultRedactions): DataFrame =
+    docs.withColumn("text",
+      patterns.foldLeft(col("text")) { case (c, (pat, tag)) =>
+        regexp_replace(c, pat, tag)
+      })
+
   /** Sequence packing, concat-then-chunk style: documents are laid out in a
     * deterministic order (doc_id) within each source stream and assigned to
     * the fixed-token-budget pack their first token falls in — the standard

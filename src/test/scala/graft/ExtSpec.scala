@@ -200,6 +200,34 @@ class ExtSpec extends AnyFunSuite {
     assert(fp(5L)._2 == null) // no shingles
   }
 
+  test("redaction scrubs emails, urls, and phone numbers, in pattern order") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "contact bob.smith+x@corp.example.org today"),
+      (2L, "see https://example.com/a?b=12345 for details"),
+      (3L, "call +1 (555) 123-4567 now"),
+      (4L, "nothing sensitive here")
+    ).toDF("doc_id", "text")
+    val out = TextOps.redact(fixture).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(out(1L) == "contact <EMAIL> today")
+    // URL pattern wins over the digit-run inside it
+    assert(out(2L) == "see <URL> for details")
+    assert(out(3L) == "call <PHONE> now")
+    assert(out(4L) == "nothing sensitive here")
+  }
+
+  test("l2Normalize yields unit vectors; zero vectors stay zero") {
+    import spark.implicits._
+    val emb = Seq((1L, Array(3.0f, 4.0f)), (2L, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("unit", Similarity.l2Normalize())
+    val rows = emb.collect().map(r =>
+      r.getAs[Long]("vec_id") -> r.getSeq[Double](r.fieldIndex("unit"))).toMap
+    assert(rows(1L) == Seq(0.6, 0.8))
+    assert(rows(2L) == Seq(0.0, 0.0))
+  }
+
   test("int8 quantization bounds per-element error; zero vectors round-trip") {
     import spark.implicits._
     val emb = Seq(
