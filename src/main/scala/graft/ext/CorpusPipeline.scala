@@ -24,14 +24,17 @@ object CorpusPipeline {
 
   /** Knobs for a curation run. `langs` keeps only documents whose detected
     * language is in the set; `minQuality` floors the heuristic quality
-    * score; `sourceStrides` downsamples named sources k:1. */
+    * score; `sourceStrides` downsamples named sources k:1; `redact`
+    * scrubs emails/URLs/phone numbers BEFORE anything hashes, so two docs
+    * differing only in a redacted span dedup as the duplicates they are. */
   case class CurationConfig(
       langs: Set[String] = Set("en"),
       minQuality: Double = 0.3,
       nHashes: Int = 16,
       nBands: Int = 8,
       sourceStrides: Map[String, Int] = Map.empty,
-      packBudgetTokens: Int = 2048)
+      packBudgetTokens: Int = 2048,
+      redact: Boolean = true)
 
   /** Row counts after each stage — the shrinkage funnel every corpus run
     * reports. Computing it costs one count action per stage (each cheap:
@@ -50,13 +53,17 @@ object CorpusPipeline {
     * the shrinkage report. */
   def curate(docs: DataFrame,
              cfg: CurationConfig = CurationConfig()): (DataFrame, CurationReport) = {
+    // 0. scrub before any hashing (redaction normalizes content, so docs
+    // differing only in a redacted span become the duplicates they are)
+    val scrubbed = if (cfg.redact) TextOps.redact(docs) else docs
+
     // 1. exact dedup: keep the smallest doc_id per content digest.
     // localCheckpoint(eager): the report's stage counts and the returned
     // frame would otherwise re-execute this shuffle once per action; the
     // checkpoint blocks are reclaimed by the ContextCleaner once the frame
     // goes out of scope.
     val wDigest = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
-    val exactUnique = docs
+    val exactUnique = scrubbed
       .withColumn("__rn", row_number().over(wDigest))
       .filter(col("__rn") === 1).drop("__rn")
       .localCheckpoint(true)

@@ -39,6 +39,18 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((3L, 0L)))
   }
 
+  test("redaction runs before dedup: docs differing only in an email collapse") {
+    val docs = Seq(
+      (1L, "s1", "the report is from alice@corp.example about the quarter"),
+      (2L, "s1", "the report is from bob.jones@other.example about the quarter")
+    ).toDF("doc_id", "source", "text")
+    val (packed, report) = CorpusPipeline.curate(docs,
+      CurationConfig(langs = Set("en"), minQuality = 0.0, packBudgetTokens = 64))
+    assert(report.afterExactDedup == 1, "redacted twins must exact-dedup")
+    val kept = packed.select("doc_id", "text").as[(Long, String)].collect().head
+    assert(kept._1 == 1L && kept._2.contains("<EMAIL>"))
+  }
+
   test("source strides apply to the post-filter population") {
     // ten good english docs in one source, stride 2 -> keep 5. Every
     // shingle embeds the doc index so the docs share NO shingles — the
