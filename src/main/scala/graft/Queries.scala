@@ -639,8 +639,12 @@ object Queries {
         "ngram_score_fr", "detected_lang_ngram")
       .orderBy("doc_id")
 
+  // shardBlock=64 so even the 500-doc sf0.01 fixture spans ~8 prefix-sum
+  // shards — the oracle hash then actually proves the two-phase cumsum
+  // (result is shard-boundary-invariant, so any block size hash-matches).
   def t6PackSequences(s: SparkSession, dir: String): DataFrame =
-    ext.TextOps.packSequences(Sources.documents(s, dir), budgetTokens = 256)
+    ext.TextOps.packSequences(Sources.documents(s, dir), budgetTokens = 256,
+      shardBlock = 64L)
       .select("doc_id", "source", "n_tokens", "cum_tokens", "pack_id")
       .orderBy("doc_id")
 
@@ -648,7 +652,7 @@ object Queries {
     * noisy source" curation move. */
   def t7SourceMix(s: SparkSession, dir: String): DataFrame =
     ext.TextOps.sourceMix(Sources.documents(s, dir),
-      Map("src0" -> 4, "src1" -> 2))
+      Map("src0" -> 4, "src1" -> 2), shardBlock = 64L)
       .select("doc_id", "source")
       .orderBy("doc_id")
 

@@ -142,21 +142,64 @@ object TextOps {
         regexp_replace(c, pat, tag)
       })
 
+  /** Distributed per-source prefix sum of `valueCol` in doc_id order,
+    * written into `outCol`, via a sharded two-phase plan:
+    *
+    *   1. shard = doc_id div shardBlock — a DETERMINISTIC, monotone,
+    *      contiguous bucketing (doc_id is a dense BIGINT), so the global
+    *      per-source order is exactly (shard asc, doc_id asc) and the
+    *      result is invariant to where shard boundaries fall;
+    *   2. local inclusive cumsum per (source, shard) — parallel across
+    *      ~numDocs/shardBlock shards, never one task per source;
+    *   3. per-(source, shard) totals → exclusive running offsets (a window
+    *      over the TINY totals table: numDocs/shardBlock rows, not rows) →
+    *      joined back on (source, shard) and added to the local cumsum.
+    *
+    * This replaces `Window.partitionBy("source")`, which at 100 TB with a
+    * handful of sources sorts and scans an entire source in ONE task. All
+    * arithmetic is exact longs, so the two-phase result is bit-identical to
+    * the single-window form. The offsets branch prunes to
+    * (source, shard, value) at the scan — full rows are read once. */
+  private[ext] def shardedPrefixSum(docs: DataFrame, valueCol: String,
+                                    outCol: String,
+                                    shardBlock: Long): DataFrame = {
+    require(shardBlock >= 1, "shardBlock must be >= 1")
+    val sharded = docs.withColumn("__shard", expr(s"doc_id div ${shardBlock}L"))
+    val wLocal = Window.partitionBy("source", "__shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Exclusive prefix over shard totals: one row per populated shard, so
+    // this per-source window is over numDocs/shardBlock rows — tiny, and
+    // itself shardable recursively if a corpus ever outgrew it.
+    val wOffsets = Window.partitionBy("source").orderBy("__shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy("source", "__shard")
+      .agg(sum(col(valueCol)).as("__shard_total"))
+      .withColumn("__offset", coalesce(sum("__shard_total").over(wOffsets), lit(0L)))
+      .drop("__shard_total")
+    sharded
+      .withColumn("__local_cum", sum(col(valueCol)).over(wLocal))
+      .join(offsets, Seq("source", "__shard"))
+      .withColumn(outCol, col("__local_cum") + col("__offset"))
+      .drop("__shard", "__local_cum", "__offset")
+  }
+
+  /** Docs per prefix-sum shard. 64Ki docs keeps a shard's sort comfortably
+    * in one task while the offsets table stays numDocs/65536 rows. */
+  val defaultShardBlock: Long = 65536L
+
   /** Sequence packing, concat-then-chunk style: documents are laid out in a
     * deterministic order (doc_id) within each source stream and assigned to
     * the fixed-token-budget pack their first token falls in — the standard
     * LLM pretraining shape (concatenate the stream, slice every
     * `budgetTokens`). A doc straddling a boundary belongs to the pack it
-    * starts in. Pure prefix-sum window per source: one shuffle on source,
-    * streaming cumsum, no sequential driver loop — unlike true first-fit
-    * packing, which is an inherently sequential recurrence. */
-  def packSequences(docs: DataFrame, budgetTokens: Int): DataFrame = {
-    val w = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .withColumn("n_tokens",
-        size(split(trim(col("text")), "\\s+")).cast("long"))
-      .withColumn("cum_tokens", sum("n_tokens").over(w))
+    * starts in. The per-source cumsum is a sharded two-phase prefix sum
+    * (see [[shardedPrefixSum]]) — parallel across shards, no per-source
+    * single-reducer, no sequential driver loop. */
+  def packSequences(docs: DataFrame, budgetTokens: Int,
+                    shardBlock: Long = defaultShardBlock): DataFrame = {
+    val toked = docs.withColumn("n_tokens",
+      size(split(trim(col("text")), "\\s+")).cast("long"))
+    shardedPrefixSum(toked, "n_tokens", "cum_tokens", shardBlock)
       .withColumn("pack_id",
         expr(s"(cum_tokens - n_tokens) div ${budgetTokens.toLong}"))
   }
@@ -166,18 +209,21 @@ object TextOps {
     * form of "mix sources at these ratios" in corpus curation. Stride
     * sampling beats hash- or rand-based sampling here because it is exactly
     * reproducible across engines and runs, and error-free on the kept
-    * fraction (1/stride of each source, ±1). One shuffle on source. */
+    * fraction (1/stride of each source, ±1). The per-source row_number is
+    * the sharded prefix sum of 1 (see [[shardedPrefixSum]]) — the stride
+    * filter only needs the rank, which the two-phase sum reproduces
+    * exactly, so there is no per-source single-reducer window. */
   def sourceMix(docs: DataFrame, strides: Map[String, Int],
-                defaultStride: Int = 1): DataFrame = {
+                defaultStride: Int = 1,
+                shardBlock: Long = defaultShardBlock): DataFrame = {
     require((defaultStride +: strides.values.toSeq).forall(_ >= 1),
       "strides must be >= 1")
-    val w = Window.partitionBy("source").orderBy("doc_id")
     val strideCol = strides.foldLeft(lit(defaultStride)) {
       case (acc, (s, k)) => when(col("source") === s, lit(k)).otherwise(acc)
     }
-    docs.withColumn("__rn", row_number().over(w))
+    shardedPrefixSum(docs.withColumn("__one", lit(1L)), "__one", "__rn", shardBlock)
       .filter((col("__rn") - 1) % strideCol === 0)
-      .drop("__rn")
+      .drop("__rn", "__one")
   }
 
   /** Document fingerprints: md5 of whitespace-normalized text (exact-dup

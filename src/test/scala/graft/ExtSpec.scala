@@ -168,6 +168,32 @@ class ExtSpec extends AnyFunSuite {
     assert(out == Seq((1L, 3L, 0L), (2L, 6L, 0L), (3L, 9L, 1L), (4L, 1L, 0L)))
   }
 
+  test("two-phase prefix sum is shard-boundary-invariant") {
+    import spark.implicits._
+    // sources interleave across doc_id space so shardBlock=2 splits every
+    // source across several shards — the offsets join must stitch the
+    // local cumsums back into the exact global per-source prefix sum.
+    val fixture = (0L to 19L)
+      .map(i => (i, s"s${i % 3}", ("tok " * (i % 5 + 1).toInt).trim))
+      .toDF("doc_id", "source", "text")
+    val coarse = TextOps.packSequences(fixture, budgetTokens = 4,
+        shardBlock = 1000L)
+      .select("doc_id", "cum_tokens", "pack_id")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val fine = TextOps.packSequences(fixture, budgetTokens = 4,
+        shardBlock = 2L)
+      .select("doc_id", "cum_tokens", "pack_id")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(fine == coarse)
+    val mixCoarse = TextOps.sourceMix(fixture, Map("s0" -> 3, "s1" -> 2),
+        shardBlock = 1000L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val mixFine = TextOps.sourceMix(fixture, Map("s0" -> 3, "s1" -> 2),
+        shardBlock = 2L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(mixFine == mixCoarse)
+  }
+
   test("source mix keeps ceil(n/stride) docs per source, deterministically") {
     import spark.implicits._
     val fixture = (1L to 10L).map(i => (i, "heavy")) ++ (11L to 13L).map(i => (i, "light"))

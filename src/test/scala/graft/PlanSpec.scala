@@ -62,12 +62,26 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("packing and mixing run over a single source exchange") {
+  test("packing and mixing shard the per-source prefix sum — no " +
+    "source-only window over the fact rows") {
     for (name <- Seq("t6_pack_sequences", "t7_source_mix")) {
       val p = plan(name)
-      val sourceExchanges = "hashpartitioning\\(source".r.findAllIn(p).length
-      assert(sourceExchanges == 1,
-        s"$name: expected exactly one source hash exchange, got $sourceExchanges")
+      // The fact-row cumsum must partition on (source, __shard) — many
+      // concurrent tasks per source — never on source alone, which at
+      // 100 TB is one task per source.
+      assert("hashpartitioning\\(source[#0-9L]*, __shard".r.findFirstIn(p).isDefined,
+        s"$name: fact rows must hash on (source, __shard)")
+      // The only source-only exchange allowed is the one under the TINY
+      // shard-totals window (numDocs/shardBlock rows). The fact-row side
+      // must not re-appear under a source-only partitioning, which we
+      // detect by the token-size/text expressions never sharing a
+      // hashpartitioning(source) subtree: cheap proxy — exactly one
+      // source-only exchange in the whole plan.
+      val sourceOnly = "hashpartitioning\\(source[#0-9L]*, \\d+\\)".r
+        .findAllIn(p).length
+      assert(sourceOnly == 1,
+        s"$name: expected exactly one source-only exchange (the tiny " +
+          s"offsets window), got $sourceOnly")
     }
   }
 
