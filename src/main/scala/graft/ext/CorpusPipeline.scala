@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-corpus curation: the ext operators composed in the
@@ -57,20 +56,22 @@ object CorpusPipeline {
     // differing only in a redacted span become the duplicates they are)
     val scrubbed = if (cfg.redact) TextOps.redact(docs) else docs
 
-    // 1. exact dedup: keep the smallest doc_id per content digest.
+    // 1. exact dedup: keep the smallest doc_id per content digest. Winner
+    // election shuffles (digest, doc_id) only — document payloads never
+    // ride the digest exchange (see Dedup.keepFirstPerDigest).
     // localCheckpoint(eager): the report's stage counts and the returned
     // frame would otherwise re-execute this shuffle once per action; the
     // checkpoint blocks are reclaimed by the ContextCleaner once the frame
     // goes out of scope.
-    val wDigest = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
-    val exactUnique = scrubbed
-      .withColumn("__rn", row_number().over(wDigest))
-      .filter(col("__rn") === 1).drop("__rn")
-      .localCheckpoint(true)
+    val exactUnique = Dedup.keepFirstPerDigest(scrubbed).localCheckpoint(true)
 
-    // 2. near dedup: LSH candidates -> connected components -> keep reps
-    val pairs = Dedup.lshCandidatePairs(
-      Dedup.minhashSignatures(exactUnique, cfg.nHashes), cfg.nBands)
+    // 2. near dedup: LSH candidates -> connected components -> keep reps.
+    // Signatures are checkpointed BEFORE the band self-join: both join
+    // sides otherwise recompute the tokenize+md5 signature subtree — at
+    // corpus scale that double-reads and double-hashes every document.
+    val signatures = Dedup.minhashSignatures(exactUnique, cfg.nHashes)
+      .localCheckpoint(true)
+    val pairs = Dedup.lshCandidatePairs(signatures, cfg.nBands)
     val nearUnique = Dedup.dedupByClusters(
       exactUnique, Dedup.duplicateClusters(pairs))
 

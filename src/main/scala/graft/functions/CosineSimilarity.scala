@@ -96,8 +96,12 @@ object GraftFunctions {
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, builder, "built-in")
+      // skip if already present: the sim hot paths call this per plan
+      // build, and re-replacing logs a WARN per function per query
+      if (!spark.sessionState.functionRegistry
+          .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        spark.sessionState.functionRegistry
+          .createOrReplaceTempFunction(name, builder, "built-in")
     }
 }
 

@@ -22,7 +22,12 @@ class CosineSimilaritySpec extends AnyFunSuite {
           (Similarity.norm(col("va")) * Similarity.norm(col("vb")))).as("declarative"))
       .withColumn("diff", abs(col("native") - col("declarative")))
     val maxDiff = checked.agg(max("diff")).head.getDouble(0)
-    assert(maxDiff < 1e-12, s"max diff $maxDiff")
+    // BIT-exact, not just close: ext/Similarity swaps the HOF formula for
+    // this expression in the sim1-3 hot paths, and the oracle hash gate
+    // (cround to 6 decimals) tolerates zero drift on tie-adjacent values.
+    // Both paths accumulate dot and norm terms in index order, so exact
+    // equality is the expected result, not a lucky one.
+    assert(maxDiff == 0.0, s"max diff $maxDiff")
   }
 
   test("edge cases: identical, orthogonal, zero-norm, null input") {

@@ -85,6 +85,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("exact dedup winner election never shuffles document payloads") {
+    // curate step 1: the digest exchange must carry (digest, doc_id) only
+    // — full text riding a shuffle keyed on md5(text) is the 100 TB
+    // payload-bytes-through-the-wire defect the semi-join form removes.
+    val df = ext.Dedup.keepFirstPerDigest(io.Sources.documents(spark, dir))
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val digestExchange =
+      """Exchange\nInput \[\d+\]: \[([^\]]+)\]\nArguments: hashpartitioning\(__digest""".r
+    val inputs = digestExchange.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(inputs.nonEmpty, s"no digest exchange found in plan:\n$p")
+    inputs.foreach { cols =>
+      assert(!cols.contains("text"),
+        s"digest exchange carries document payloads: [$cols]")
+    }
+  }
+
   test("temporal joins never plan a nested loop or cartesian") {
     // j5 (as-of) must be window-only — the whole point of the union-and-
     // window form is that NO join node touches the bar/mark timelines.
