@@ -2,8 +2,25 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.io.Sources
+import graft.io.{FetchTransport, Sources, Throttle}
 import graft.ops.Cleaning
+
+/** Stub transport for the graft-fetch DSv2 source: deterministic
+  * AV-envelope payload per symbol, permanent failure for "BAD" (top-level
+  * class — the reader instantiates it reflectively by name). */
+class CannedTransport extends FetchTransport {
+  override def fetch(symbol: String): String =
+    if (symbol == "BAD") throw new RuntimeException("transport down")
+    else CannedTransport.payload(symbol)
+}
+
+object CannedTransport {
+  def payload(symbol: String): String =
+    s"""{"Meta Data": {"2. Symbol": "$symbol"},
+       | "Time Series (Daily)": {
+       |   "2024-01-19": {"1. open": "10.0", "2. high": "11.0", "3. low": "9.0",
+       |                  "4. close": "10.5", "5. volume": "1000"}}}""".stripMargin
+}
 
 /** S1/S5 source semantics: the Alpha-Vantage-shaped JSON parser against the
   * reference's fixture shape (FIXTURES.md A1), and the synthetic generator. */
@@ -78,5 +95,30 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.count() == 20)
     // generator output survives the quality filters by construction
     assert(Cleaning.filterPositivePrices(Cleaning.filterOhlcConsistent(df)).count() == 20)
+  }
+
+  test("graft-fetch DSv2 source matches Throttle.fetchAll and feeds the parser") {
+    val symbols = Seq("AAA", "BAD", "CCC")
+    val df = spark.read.format("graft-fetch")
+      .option("symbols", symbols.mkString(","))
+      .option("transport", classOf[CannedTransport].getName)
+      .option("ratePerMinute", "600000") // 0.1 ms interval: pacing without slow tests
+      .option("retries", "1")
+      .option("backoffMs", "0")
+      .load()
+    val rows = df.orderBy("fetch_seq").collect()
+    assert(rows.map(_.getAs[String]("symbol")).toSeq == symbols,
+      "one row per symbol, in request order")
+    val viaSource = rows.map(r => Option(r.getAs[String]("payload"))).toSeq
+    val viaThrottle = Throttle.fetchAll(symbols, ratePerMinute = 600000,
+      retries = 1, sleep = _ => ())(new CannedTransport().fetch)
+    assert(viaSource == viaThrottle,
+      "DSv2 reader and driver-side fetchAll must land identical payloads")
+    assert(viaSource(1).isEmpty, "permanent failure lands as null payload (F8)")
+    // the landed frame feeds the existing parser end-to-end
+    val parsed = Sources.parseAlphaVantage(df, "payload",
+      passthrough = Seq("fetch_seq"))
+    assert(parsed.count() == 2) // BAD's null payload parses to no rows
+    assert(parsed.select("symbol").as[String].collect().toSet == Set("AAA", "CCC"))
   }
 }
