@@ -50,6 +50,34 @@ object StreamPipeline {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("avg_value"))
 
+  /** Per-user sessionization with Spark's NATIVE session_window — the
+    * streaming form of the batch gaps-and-islands query (st2_sessionize):
+    * events of one user closer than `gap` merge into one session.
+    *
+    * Unlike the batch lag/cumsum form, this is the shape a continuous
+    * events pipeline actually runs: session state lives in the state
+    * store, windows merge as late-but-in-watermark events arrive, and —
+    * the part that keeps an unbounded deployment alive — state for a
+    * session EVICTS once the watermark passes its close (in append mode,
+    * which is also when the finalized session emits). Boundary nuance vs
+    * the batch twin: gaps-and-islands keeps a gap of exactly `gap` in the
+    * same session (`> 1800` starts a new one); session_window's
+    * half-open [t, t+gap) merge splits it — equal only when no
+    * consecutive pair lands exactly `gap` apart (true of the fixture's
+    * microsecond timestamps, asserted by StreamingSpec). */
+  def userSessions(events: DataFrame, gap: String = "30 minutes",
+                   watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        (max(col("ts").cast("long")) - min(col("ts").cast("long")))
+          .as("duration_sec"),
+        sum("value").as("total_value"))
+      .select(col("user_id"), col("session_start"), col("n_events"),
+        col("duration_sec"), col("total_value"))
+
   /** Stream-static enrichment: broadcast-join a static dimension into the
     * stream (left join — events with no dimension row pass through with
     * nulls, they are facts either way). Stateless: no streaming state is

@@ -37,6 +37,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined.count() == 0, "streamed counts diverge from batch")
   }
 
+  test("native session_window sessions match the batch gaps-and-islands twin") {
+    val dir = "/root/testdata/sf0.001"
+    val landing = java.nio.file.Files.createTempDirectory("graft-events-sessions")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      landing.resolve("part-0.parquet"))
+    // complete mode: bounded one-shot — compare ALL sessions, including the
+    // trailing ones append mode would hold back behind the watermark
+    val q = StreamPipeline.userSessions(
+        StreamPipeline.readEvents(spark, landing.toString))
+      .writeStream.format("memory").queryName("user_sessions_test")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("user_sessions_test")
+      .select(col("user_id"), col("session_start"), col("n_events"),
+        col("duration_sec"), round(col("total_value"), 2).as("total_value"))
+
+    // the session_window/gaps-and-islands boundary nuance (exactly-1800s
+    // gaps) must not occur in the fixture, or the twins legitimately differ
+    val boundaryGaps = Sources.events(spark, dir)
+      .withColumn("prev_ts", lag("ts", 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")))
+      .filter(col("ts").cast("long") - col("prev_ts").cast("long") === 1800)
+    assert(boundaryGaps.count() == 0, "fixture has an exactly-1800s gap")
+
+    val batch = Queries.all("st2_sessionize")(spark, dir)
+      .select(col("user_id"), col("session_start"), col("n_events"),
+        col("duration_sec"), col("total_value"))
+    assert(streamed.count() == batch.count(),
+      "session counts diverge between stream and batch")
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "session aggregates diverge between stream and batch")
+  }
+
   test("dropDuplicatesWithinWatermark removes re-delivered events") {
     val dir = "/root/testdata/sf0.001"
     import spark.implicits._
