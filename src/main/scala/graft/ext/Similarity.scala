@@ -110,6 +110,50 @@ object Similarity {
         (conv(substring(md5(concat(col("c"), lit("~"), col("d"))), 1, 8), 16, 10)
           .cast("long") % 2001 - 1000).cast("double") / 1000.0)
 
+  /** Learned IVF codebook: Lloyd's k-means over (a sample of) the corpus,
+    * refining the fixed md5 codebook for `iters` iterations — fixed
+    * iteration count and deterministic init/tie-breaks, so runs are
+    * reproducible up to float summation order (centroid means reduce in
+    * shuffle-arrival order; the learned path is therefore spec-checked by
+    * recall, while sim3's oracle path keeps the exactly-reproducible fixed
+    * codebook).
+    *
+    * Fully distributed: assignment is an exploded broadcast join against
+    * the tiny centroid table + min_by argmin; the update is one
+    * (c, d)-grouped mean. Per iteration that is two shuffles whose rows
+    * are (sample_size × nLists) scores and (nLists × dims) centroids —
+    * never the corpus itself; `sampleMod` subsamples the training set the
+    * way a 100 TB deployment trains its coarse quantizer on a slice. The
+    * exploded sample is checkpointed once and reused across iterations.
+    * Empty lists keep their previous centroid. */
+  def learnIvfAnchors(emb: DataFrame, nLists: Int = 16, dims: Int = 64,
+                      iters: Int = 3, sampleMod: Int = 1): DataFrame = {
+    val sample = (if (sampleMod > 1) emb.filter(col("vec_id") % sampleMod === 0)
+                  else emb)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), (col("pos") + 1).as("d"),
+        col("v").cast("double").as("v"))
+      .localCheckpoint(true)
+    var centroids = ivfAnchors(emb.sparkSession, nLists, dims)
+      .select("c", "d", "w")
+    for (_ <- 0 until iters) {
+      val assigned = sample.join(broadcast(centroids), "d")
+        .groupBy("vec_id", "c")
+        .agg(sum((col("v") - col("w")) * (col("v") - col("w"))).as("dist2"))
+        .groupBy("vec_id")
+        // argmin by (distance, list id): deterministic tie-break
+        .agg(min_by(col("c"), struct(col("dist2"), col("c"))).as("c"))
+      val updated = sample.join(assigned, "vec_id")
+        .groupBy("c", "d").agg(avg(col("v")).as("w"))
+      centroids = centroids.as("old")
+        .join(updated.as("new"), Seq("c", "d"), "left")
+        .select(col("c"), col("d"),
+          coalesce(col("new.w"), col("old.w")).as("w"))
+        .localCheckpoint(true)
+    }
+    centroids
+  }
+
   /** Anchor-similarity scores per vector: (vec_id, c, score) where score =
     * dot(v, anchor_c) / |anchor_c| (|v| constant across lists, dropped). */
   private def anchorScores(emb: DataFrame, anchors: DataFrame): DataFrame = {

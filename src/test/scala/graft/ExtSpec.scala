@@ -204,6 +204,27 @@ class ExtSpec extends AnyFunSuite {
     assert(out == Seq(1L, 4L, 7L, 10L, 11L, 12L, 13L))
   }
 
+  test("learned IVF codebook recall@k >= fixed codebook") {
+    val emb = graft.io.Sources.embeddings(spark, "/root/testdata/sf0.01")
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "vec_id").collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val truth = sets(Similarity.bruteForceTopK(emb, queryMod = 100, k = 5))
+    def recallOf(anchors: org.apache.spark.sql.DataFrame): Double = {
+      val got = sets(Similarity.ivfTopK(emb, anchors,
+        queryMod = 100, k = 5, nprobe = 2))
+      val hits = truth.map { case (q, t) =>
+        (got.getOrElse(q, Set.empty[Long]) & t).size }.sum
+      hits.toDouble / truth.values.map(_.size).sum
+    }
+    val fixed = recallOf(Similarity.ivfAnchors(spark))
+    val learned = recallOf(Similarity.learnIvfAnchors(emb))
+    info(f"recall@5 fixed=$fixed%.3f learned=$learned%.3f")
+    assert(learned >= fixed,
+      f"k-means codebook recall $learned%.3f below fixed codebook $fixed%.3f")
+  }
+
   test("quality score components are in [0, 1]") {
     val rows = TextOps.withQualityScore(docs).collect()
     rows.foreach { r =>
