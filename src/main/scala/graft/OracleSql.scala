@@ -772,6 +772,11 @@ object OracleSql {
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
 
+    "d7_keep_first" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
+        |ORDER BY doc_id""".stripMargin,
+
     "d2_minhash_lsh" -> withCtes(toksCte, shCte, shxCte, sigCte, bandsCte,
       cappedCte)(
       """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
@@ -1012,13 +1017,16 @@ object OracleSql {
         |  list_min(list_transform(shingles, s -> substr(md5(s), 1, 16))) AS min_shingle_fingerprint
         |FROM sh ORDER BY doc_id""".stripMargin),
 
+    // png-tagged rows run the REAL ImageIO decoder; the fixture's text
+    // bytes are not a PNG, so they deterministically report (-1, -1, false)
+    // — which keeps the real-decoder path oracle-checkable in SQL
     "m1_multimodal_meta" ->
       """SELECT doc_id,
         |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
-        |  CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
-        |  CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
-        |  octet_length(encode(text)) > 0 AS ok
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN -1 ELSE octet_length(encode(text)) % 640 + 1 END AS INTEGER) AS width,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN -1 ELSE octet_length(encode(text)) % 480 + 1 END AS INTEGER) AS height,
+        |  CASE WHEN doc_id % 3 = 1 THEN FALSE ELSE octet_length(encode(text)) > 0 END AS ok
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

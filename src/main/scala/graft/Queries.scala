@@ -593,6 +593,13 @@ object Queries {
   def d1DedupExact(s: SparkSession, dir: String): DataFrame =
     ext.Dedup.exactDuplicates(Sources.documents(s, dir)).orderBy("text_hash")
 
+  /** Exact-dedup survivor rows via the payload-free winner election
+    * (curate step 1): min-doc_id row per content digest survives. */
+  def d7KeepFirst(s: SparkSession, dir: String): DataFrame =
+    ext.Dedup.keepFirstPerDigest(Sources.documents(s, dir))
+      .select("doc_id", "source", "n_chars")
+      .orderBy("doc_id")
+
   def d2MinhashLsh(s: SparkSession, dir: String): DataFrame =
     ext.Dedup.lshCandidatePairs(
       ext.Dedup.minhashSignatures(Sources.documents(s, dir)))
@@ -725,6 +732,7 @@ object Queries {
     "st2_sessionize" -> (st2Sessionize _),
     "j4_rollup" -> (j4Rollup _),
     "d1_dedup_exact" -> (d1DedupExact _),
+    "d7_keep_first" -> (d7KeepFirst _),
     "d2_minhash_lsh" -> (d2MinhashLsh _),
     "d3_simhash" -> (d3Simhash _),
     "d6_dup_clusters" -> (d6DupClusters _),

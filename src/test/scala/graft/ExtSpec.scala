@@ -321,4 +321,33 @@ class ExtSpec extends AnyFunSuite {
     assert(m0.width == 43 % 640 + 1 && m0.height == 43 % 480 + 1)
     assert(Set("jpeg", "png", "webp").contains(m0.format))
   }
+
+  test("multimodal: png rows decode FOR REAL through ImageIO") {
+    import spark.implicits._
+    // craft a genuine 7x3 PNG in memory — the decoder must recover the
+    // true pixel dimensions, not the stub's length-derived fakes
+    val img = new java.awt.image.BufferedImage(7, 3,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(2, 1, 0xff8800)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val pngBytes = buf.toByteArray
+
+    val media = Seq(
+      (10L, pngBytes, "png"),                    // real PNG
+      (11L, "not a png".getBytes("UTF-8"), "png"), // wrong magic
+      (12L, pngBytes, "jpeg")                    // png bytes, non-png tag -> stub
+    ).toDF("doc_id", "payload", "format")
+    val out = Multimodal.decodeMeta(spark, media).collect()
+      .map(m => m.doc_id -> m).toMap
+
+    assert(out(10L).ok && out(10L).width == 7 && out(10L).height == 3,
+      "a real PNG must decode to its true dimensions")
+    assert(out(10L).byte_len == pngBytes.length)
+    assert(!out(11L).ok && out(11L).width == -1 && out(11L).height == -1,
+      "an unparseable png payload reports a failed decode, not fake dims")
+    val n = pngBytes.length
+    assert(out(12L).width == n % 640 + 1 && out(12L).height == n % 480 + 1,
+      "non-png formats keep the deterministic stub")
+  }
 }
