@@ -821,7 +821,7 @@ object OracleSql {
     },
 
     "d4_ngram_jaccard" -> withCtes(toksCte, shCte, shxCte,
-      "shd AS (SELECT DISTINCT doc_id, shingle FROM shx WHERE doc_id % 2 = 0)",
+      "shd AS (SELECT DISTINCT doc_id, shingle FROM shx WHERE doc_id % 4 = 0)",
       "sz AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY 1)",
       """it AS (
         |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_common

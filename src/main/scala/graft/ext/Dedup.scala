@@ -201,10 +201,12 @@ object Dedup {
     * (doc_id % sampleMod == 0): distinct shingles, shingle-equality
     * self-join, |A∩B| / |A∪B| >= threshold. Quadratic — the oracle /
     * verification path; at scale run it on LSH candidates only.
-    * sampleMod=2 keeps both halves of the fixture's injected near-dup
-    * pairs (consecutive doc_ids) so the threshold actually fires —
-    * sampleMod=10 sampled every pair apart and verified nothing. */
-  def ngramJaccardPairs(docs: DataFrame, sampleMod: Int = 2,
+    * sampleMod=4 is the largest stride whose residue class still contains
+    * whole injected near-dup pairs at sf0.01 (1 pair; 16 at sf0.1), so the
+    * oracle verifies REAL pair math — sampleMod=10 sampled every pair
+    * apart and vacuously verified an empty result — while keeping the
+    * quadratic sample 4x smaller than mod 2. */
+  def ngramJaccardPairs(docs: DataFrame, sampleMod: Int = 4,
                         threshold: Double = 0.2): DataFrame = {
     val sample = docs.filter(col("doc_id") % sampleMod === 0)
     val sh = TextOps.withShingles(sample)

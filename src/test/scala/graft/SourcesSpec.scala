@@ -121,4 +121,36 @@ class SourcesSpec extends AnyFunSuite {
     assert(parsed.count() == 2) // BAD's null payload parses to no rows
     assert(parsed.select("symbol").as[String].collect().toSet == Set("AAA", "CCC"))
   }
+
+  test("fetch -> landing dir -> file stream: the full ingestion contract") {
+    // the production shape: the paced graft-fetch scan lands raw payloads
+    // in a directory; Structured Streaming tails the directory and the
+    // payload parser runs distributed per micro-batch
+    val landing = java.nio.file.Files.createTempDirectory("graft-landing")
+    spark.read.format("graft-fetch")
+      .option("symbols", "AAA,BBB")
+      .option("transport", classOf[CannedTransport].getName)
+      .option("ratePerMinute", "600000")
+      .load()
+      .write.mode("overwrite").parquet(landing.toString)
+
+    val stream = spark.readStream.schema(graft.io.FetchSource.schema)
+      .parquet(landing.toString)
+    val q = Sources.parseAlphaVantage(stream, "payload",
+        passthrough = Seq("fetch_seq"))
+      .writeStream.format("memory").queryName("landed_bars")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.table("landed_bars")
+    val batch = Sources.parseAlphaVantage(
+      spark.read.parquet(landing.toString), "payload",
+      passthrough = Seq("fetch_seq"))
+    assert(streamed.count() == 2 && batch.count() == 2)
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "streamed parse diverges from batch parse of the same landing dir")
+  }
 }
