@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -34,6 +35,13 @@ trait FetchTransport extends Serializable {
   * multiple keys a deployment runs one `graft-fetch` frame per key and
   * unions them. Payload parsing — the actually heavy part — distributes
   * fully once the landed frame hits parseAlphaVantage.
+  *
+  * Also a STREAMING source (`spark.readStream.format("graft-fetch")`):
+  * each trigger fetches one paced round of all symbols — the reference
+  * scheduler's poll-every-N-minutes cadence expressed as a
+  * `MicroBatchStream` with checkpointed round offsets (a restart never
+  * re-emits a committed round); `Trigger.AvailableNow` runs exactly one
+  * round, `ProcessingTime` polls continuously.
   *
   * Options: `symbols` (comma-separated, required), `transport`
   * ([[FetchTransport]] class name, required), `ratePerMinute` (default 5),
@@ -67,7 +75,7 @@ private[io] class GraftFetchTable extends Table with SupportsRead {
   override def name(): String = "graft-fetch"
   override def schema(): StructType = FetchSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     def required(key: String): String = {
       val v = options.get(key)
@@ -84,40 +92,78 @@ private[io] class GraftFetchTable extends Table with SupportsRead {
   }
 }
 
-private[io] class GraftFetchScan(cfg: FetchConfig)
-  extends ScanBuilder with Scan with Batch {
-  override def build(): Scan = this
-  override def readSchema(): StructType = FetchSource.schema
-  override def toBatch: Batch = this
-  // one partition — the per-key quota is global (see class doc)
-  override def planInputPartitions(): Array[InputPartition] =
-    Array(FetchPartition(cfg))
-  override def createReaderFactory(): PartitionReaderFactory =
-    new FetchReaderFactory
+/** Streaming offset: the number of completed fetch ROUNDS (one round =
+  * every configured symbol fetched once). */
+private[io] case class FetchOffset(round: Long) extends Offset {
+  override def json(): String = round.toString
 }
 
-private[io] case class FetchPartition(cfg: FetchConfig) extends InputPartition
+private[io] class GraftFetchScan(cfg: FetchConfig)
+  extends ScanBuilder with Scan with Batch with MicroBatchStream {
+  override def build(): Scan = this
+  override def readSchema(): StructType = FetchSource.schema
+
+  // ---- batch: one round, one paced partition (per-key quota is global)
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(FetchPartition(cfg, firstRound = 0L, lastRound = 0L))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FetchReaderFactory
+
+  // ---- streaming: one fetch round per trigger — the reference scheduler's
+  // cadence (poll every N minutes) without a scheduler: ProcessingTime
+  // triggers re-fetch every interval, AvailableNow runs exactly one round.
+  // Offsets count completed rounds, so a restart from checkpoint never
+  // re-emits a round it already committed.
+  private var polledRounds = 0L
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = this
+  override def initialOffset(): Offset = FetchOffset(0L)
+  override def latestOffset(): Offset = { polledRounds += 1; FetchOffset(polledRounds) }
+  override def deserializeOffset(json: String): Offset = {
+    val r = FetchOffset(json.trim.toLong)
+    // resume past the checkpointed high-water mark after a restart
+    polledRounds = math.max(polledRounds, r.round)
+    r
+  }
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[FetchOffset].round
+    val e = end.asInstanceOf[FetchOffset].round
+    if (e <= s) Array.empty
+    else Array(FetchPartition(cfg, firstRound = s, lastRound = e - 1))
+  }
+}
+
+/** Rounds [firstRound, lastRound], inclusive, in ONE partition — pacing is
+  * global per API key. */
+private[io] case class FetchPartition(cfg: FetchConfig, firstRound: Long,
+                                      lastRound: Long) extends InputPartition
 
 private[io] class FetchReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new FetchReader(partition.asInstanceOf[FetchPartition].cfg)
+    new FetchReader(partition.asInstanceOf[FetchPartition])
 }
 
 /** Executor-side paced fetcher: same pacing/retry/placeholder semantics as
   * Throttle.fetchAll (the driver-side twin), one row per symbol in request
-  * order. */
-private[io] class FetchReader(cfg: FetchConfig)
+  * order; `fetch_seq = round * nSymbols + i` stays globally increasing
+  * across streaming rounds, so keep-last dedup (F4) works on it directly. */
+private[io] class FetchReader(part: FetchPartition)
   extends PartitionReader[InternalRow] {
+  private val cfg = part.cfg
   private val transport = Class.forName(cfg.transportClass)
     .getDeclaredConstructor().newInstance().asInstanceOf[FetchTransport]
   private val bucket = new Throttle.TokenBucket(cfg.ratePerMinute)
-  private var i = -1
+  private val n = cfg.symbols.length
+  private var i = -1L
+  private val total = (part.lastRound - part.firstRound + 1) * n
   private var current: InternalRow = _
 
   override def next(): Boolean = {
     i += 1
-    if (i >= cfg.symbols.length) return false
-    val sym = cfg.symbols(i)
+    if (i >= total) return false
+    val sym = cfg.symbols((i % n).toInt)
     var attempt = 0
     var result: Option[String] = None
     while (result.isEmpty && attempt <= cfg.retries) {
@@ -129,7 +175,8 @@ private[io] class FetchReader(cfg: FetchConfig)
           if (attempt <= cfg.retries) Thread.sleep(cfg.backoffMs * attempt)
       }
     }
-    current = InternalRow(i.toLong, UTF8String.fromString(sym),
+    current = InternalRow((part.firstRound + i / n) * n + i % n,
+      UTF8String.fromString(sym),
       result.map(UTF8String.fromString).orNull)
     true
   }

@@ -122,6 +122,25 @@ class SourcesSpec extends AnyFunSuite {
     assert(parsed.select("symbol").as[String].collect().toSet == Set("AAA", "CCC"))
   }
 
+  test("graft-fetch as a streaming source: one paced round per trigger") {
+    val q = spark.readStream.format("graft-fetch")
+      .option("symbols", "AAA,CCC")
+      .option("transport", classOf[CannedTransport].getName)
+      .option("ratePerMinute", "600000")
+      .load()
+      .writeStream.format("memory").queryName("fetch_stream_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.table("fetch_stream_test").orderBy("fetch_seq").collect()
+    // AvailableNow = exactly ONE fetch round: each symbol once, in order
+    assert(rows.map(_.getAs[String]("symbol")).toSeq == Seq("AAA", "CCC"))
+    assert(rows.map(_.getAs[Long]("fetch_seq")).toSeq == Seq(0L, 1L))
+    assert(rows.forall(r => r.getAs[String]("payload") ==
+      CannedTransport.payload(r.getAs[String]("symbol"))))
+  }
+
   test("fetch -> landing dir -> file stream: the full ingestion contract") {
     // the production shape: the paced graft-fetch scan lands raw payloads
     // in a directory; Structured Streaming tails the directory and the
