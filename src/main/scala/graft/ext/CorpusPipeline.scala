@@ -83,8 +83,12 @@ object CorpusPipeline {
       .select(docs.columns.map(col): _*)
       .localCheckpoint(true)
 
-    // 4. source mixing, 5. packing (1:1 with the mixed survivors)
+    // 4. source mixing, 5. packing (1:1 with the mixed survivors).
+    // Checkpoint between them: each sharded prefix sum reads its input
+    // from two branches (local cumsum + shard totals), so an unbroken
+    // mix->pack lineage would recompute the mix join four times.
     val mixed = TextOps.sourceMix(filtered, cfg.sourceStrides)
+      .localCheckpoint(true)
     val packed = TextOps.packSequences(mixed, cfg.packBudgetTokens)
       .localCheckpoint(true)
 

@@ -158,8 +158,11 @@ object TextOps {
     * This replaces `Window.partitionBy("source")`, which at 100 TB with a
     * handful of sources sorts and scans an entire source in ONE task. All
     * arithmetic is exact longs, so the two-phase result is bit-identical to
-    * the single-window form. The offsets branch prunes to
-    * (source, shard, value) at the scan — full rows are read once. */
+    * the single-window form. The two branches (local cumsum + shard
+    * totals) each evaluate the input lineage — callers composing prefix
+    * sums or feeding an expensive upstream should checkpoint the input
+    * first (CorpusPipeline.curate does), or accept one extra column-pruned
+    * scan; either beats shuffling payload rows into one task per source. */
   private[ext] def shardedPrefixSum(docs: DataFrame, valueCol: String,
                                     outCol: String,
                                     shardBlock: Long): DataFrame = {
