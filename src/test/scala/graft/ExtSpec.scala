@@ -194,6 +194,33 @@ class ExtSpec extends AnyFunSuite {
     assert(mixFine == mixCoarse)
   }
 
+  test("sharded prefix sum equals the naive global cumsum on random inputs") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // seeded random corpus: ragged token counts, skewed sources, doc_id
+    // gaps (every 7th id missing) — the naive one-task-per-source window
+    // is the independent oracle here, not just shard-invariance
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 300).filter(_ % 7 != 0).map { i =>
+      (i.toLong, s"s${rnd.nextInt(4)}", ("t " * (rnd.nextInt(9) + 1)).trim)
+    }
+    val df = rows.toDF("doc_id", "source", "text")
+    for (block <- Seq(1L, 3L, 64L)) {
+      val sharded = TextOps.packSequences(df, budgetTokens = 16, shardBlock = block)
+        .select("doc_id", "cum_tokens", "pack_id")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val naive = df
+        .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")).cast("long"))
+        .withColumn("cum_tokens", sum("n_tokens").over(w))
+        .withColumn("pack_id", expr("(cum_tokens - n_tokens) div 16"))
+        .select("doc_id", "cum_tokens", "pack_id")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(sharded == naive, s"shardBlock=$block diverges from global window")
+    }
+  }
+
   test("source mix keeps ceil(n/stride) docs per source, deterministically") {
     import spark.implicits._
     val fixture = (1L to 10L).map(i => (i, "heavy")) ++ (11L to 13L).map(i => (i, "light"))

@@ -122,6 +122,20 @@ class SourcesSpec extends AnyFunSuite {
     assert(parsed.select("symbol").as[String].collect().toSet == Set("AAA", "CCC"))
   }
 
+  test("graft-fetch rejects missing required options loudly") {
+    for (opts <- Seq(Map("transport" -> classOf[CannedTransport].getName),
+                     Map("symbols" -> "AAA"))) {
+      val reader = opts.foldLeft(spark.read.format("graft-fetch")) {
+        case (r, (k, v)) => r.option(k, v)
+      }
+      val e = intercept[Exception] { reader.load().collect() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("graft-fetch requires option")),
+        s"expected a loud missing-option error, got: $e")
+    }
+  }
+
   test("graft-fetch as a streaming source: one paced round per trigger") {
     val q = spark.readStream.format("graft-fetch")
       .option("symbols", "AAA,CCC")
