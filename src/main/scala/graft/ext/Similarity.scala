@@ -44,14 +44,27 @@ object Similarity {
     emb.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("emb_d"))
 
-  /** The native fused cosine over pre-cast double arrays: registers the
-    * expression on the frame's session (idempotent) and calls it by name.
-    * One codegen'd loop per pair — dot and both norms together, no
-    * zip_with/aggregate intermediates — and bit-identical to
-    * dot(a,b)/(norm(a)*norm(b)) because both accumulate in index order. */
-  private def nativeCosine(df: DataFrame)(a: Column, b: Column): Column = {
-    graft.functions.GraftFunctions.register(df.sparkSession)
-    call_function("cosine_similarity", a, b)
+  /** The native fused cosine over pre-cast double arrays, resolved through
+    * a graft-namespaced registry entry (`graft_cosine_similarity`) so a
+    * user registration of the public `cosine_similarity` name can never
+    * shadow the hot path. One codegen'd loop per pair — dot and both norms
+    * together, no zip_with/aggregate intermediates — and bit-identical to
+    * dot(a,b)/(norm(a)*norm(b)) on clean inputs because both accumulate in
+    * index order. Edge semantics differ deliberately: a zero-norm vector
+    * scores NULL (sorts last under desc ordering, so it drops out of
+    * top-k) where the division form produced NaN (which Spark orders
+    * ABOVE every real similarity — a zero vector ranking first is a bug,
+    * not a behavior to preserve); null elements are skipped pairwise. */
+  private val nativeFnName = "graft_cosine_similarity"
+  private def nativeCosine(a: Column, b: Column): Column = {
+    val reg = org.apache.spark.sql.SparkSession.active
+      .sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(nativeFnName)))
+      reg.createOrReplaceTempFunction(nativeFnName,
+        children => graft.functions.CosineSimilarity(children(0), children(1)),
+        "built-in")
+    call_function(nativeFnName, a, b)
   }
 
   /** Brute-force cosine top-k: deterministic query subset
@@ -65,7 +78,7 @@ object Similarity {
     val scored = withNorm.join(broadcast(queries),
         col("vec_id") =!= col("query_id"))
       .withColumn("cosine", graft.ops.Num.cround(
-        nativeCosine(emb)(col("emb_d"), col("q_emb")), 6))
+        nativeCosine(col("emb_d"), col("q_emb")), 6))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -112,11 +125,11 @@ object Similarity {
 
   /** Learned IVF codebook: Lloyd's k-means over (a sample of) the corpus,
     * refining the fixed md5 codebook for `iters` iterations — fixed
-    * iteration count and deterministic init/tie-breaks, so runs are
-    * reproducible up to float summation order (centroid means reduce in
-    * shuffle-arrival order; the learned path is therefore spec-checked by
-    * recall, while sim3's oracle path keeps the exactly-reproducible fixed
-    * codebook).
+    * iteration count, deterministic init/tie-breaks, and centroid means
+    * rounded to 9 dp (shuffle-arrival summation order perturbs the last
+    * ulps; rounding well above that noise makes runs reproducible).
+    * The learned path is spec-checked by recall, while sim3's oracle path
+    * keeps the fixed codebook.
     *
     * Fully distributed: assignment is an exploded broadcast join against
     * the tiny centroid table + min_by argmin; the update is one
@@ -143,8 +156,13 @@ object Similarity {
         .groupBy("vec_id")
         // argmin by (distance, list id): deterministic tie-break
         .agg(min_by(col("c"), struct(col("dist2"), col("c"))).as("c"))
+      // round the mean to 9 dp: shuffle-arrival summation order perturbs
+      // the last ulps (~1e-16 relative), and an unrounded mean would make
+      // centroids — and therefore near-tie assignments and measured
+      // recall — differ run to run. 9 dp is far above the noise and far
+      // below any real centroid geometry.
       val updated = sample.join(assigned, "vec_id")
-        .groupBy("c", "d").agg(avg(col("v")).as("w"))
+        .groupBy("c", "d").agg(round(avg(col("v")), 9).as("w"))
       centroids = centroids.as("old")
         .join(updated.as("new"), Seq("c", "d"), "left")
         .select(col("c"), col("d"),
@@ -190,7 +208,7 @@ object Similarity {
     val scored = vecs.join(broadcast(queries), Seq("list_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", graft.ops.Num.cround(
-        nativeCosine(emb)(col("emb_d"), col("q_emb")), 6))
+        nativeCosine(col("emb_d"), col("q_emb")), 6))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -213,7 +231,7 @@ object Similarity {
         Seq("bucket"), "inner")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", graft.ops.Num.cround(
-        nativeCosine(emb)(col("emb_d"), col("q_emb")), 6))
+        nativeCosine(col("emb_d"), col("q_emb")), 6))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))

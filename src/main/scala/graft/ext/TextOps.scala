@@ -178,12 +178,18 @@ object TextOps {
     val offsets = sharded.groupBy("source", "__shard")
       .agg(sum(col(valueCol)).as("__shard_total"))
       .withColumn("__offset", coalesce(sum("__shard_total").over(wOffsets), lit(0L)))
-      .drop("__shard_total")
+      .select(col("source").as("__o_source"), col("__shard").as("__o_shard"),
+        col("__offset"))
+    // null-safe source equality: a NULL source is a legitimate group (the
+    // replaced Window.partitionBy treated it as its own partition); a
+    // null-unsafe equi-join would silently drop those rows. EqualNullSafe
+    // is still a hash-joinable key.
     sharded
       .withColumn("__local_cum", sum(col(valueCol)).over(wLocal))
-      .join(offsets, Seq("source", "__shard"))
+      .join(offsets, col("source") <=> col("__o_source") &&
+        col("__shard") === col("__o_shard"))
       .withColumn(outCol, col("__local_cum") + col("__offset"))
-      .drop("__shard", "__local_cum", "__offset")
+      .drop("__o_source", "__o_shard", "__shard", "__local_cum", "__offset")
   }
 
   /** Docs per prefix-sum shard. 64Ki docs keeps a shard's sort comfortably

@@ -94,14 +94,14 @@ object GraftFunctions {
     "heavy_hitters" ->
       ((children: Seq[Expression]) => HeavyHitters(children(0), children(1))))
 
+  // replace-always: after register(), SQL text resolves these names to the
+  // native expressions even if something else claimed them earlier. The
+  // library's own hot paths don't go through the registry at all
+  // (Similarity.nativeCosine constructs the expression Column directly).
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>
-      // skip if already present: the sim hot paths call this per plan
-      // build, and re-replacing logs a WARN per function per query
-      if (!spark.sessionState.functionRegistry
-          .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
-        spark.sessionState.functionRegistry
-          .createOrReplaceTempFunction(name, builder, "built-in")
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
     }
 }
 

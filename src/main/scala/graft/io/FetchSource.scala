@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -83,8 +83,14 @@ private[io] class GraftFetchTable extends Table with SupportsRead {
         throw new IllegalArgumentException(s"graft-fetch requires option '$key'")
       v
     }
+    val symbols = required("symbols").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    // " , " passes the raw non-empty check but names no symbol — a typo'd
+    // list must fail the job, not land an empty frame downstream
+    if (symbols.isEmpty)
+      throw new IllegalArgumentException(
+        "graft-fetch requires option 'symbols' to name at least one symbol")
     new GraftFetchScan(FetchConfig(
-      symbols = required("symbols").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+      symbols = symbols,
       transportClass = required("transport"),
       ratePerMinute = options.getInt("ratePerMinute", 5),
       retries = options.getInt("retries", 2),
@@ -99,11 +105,17 @@ private[io] case class FetchOffset(round: Long) extends Offset {
 }
 
 private[io] class GraftFetchScan(cfg: FetchConfig)
-  extends ScanBuilder with Scan with Batch with MicroBatchStream {
+  extends ScanBuilder with Scan with Batch
+  with MicroBatchStream with SupportsAdmissionControl
+  with SupportsTriggerAvailableNow {
   override def build(): Scan = this
   override def readSchema(): StructType = FetchSource.schema
 
-  // ---- batch: one round, one paced partition (per-key quota is global)
+  // ---- batch: one round, one paced partition (per-key quota is global).
+  // NOTE a batch frame re-runs the paced fetch on EVERY action (count,
+  // write, ...), each spending quota — land the frame immediately (write
+  // to the landing dir, or localCheckpoint) and compute from the landed
+  // copy; the streaming form below does this bookkeeping for you.
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     Array(FetchPartition(cfg, firstRound = 0L, lastRound = 0L))
@@ -113,18 +125,32 @@ private[io] class GraftFetchScan(cfg: FetchConfig)
   // ---- streaming: one fetch round per trigger — the reference scheduler's
   // cadence (poll every N minutes) without a scheduler: ProcessingTime
   // triggers re-fetch every interval, AvailableNow runs exactly one round.
-  // Offsets count completed rounds, so a restart from checkpoint never
-  // re-emits a round it already committed.
-  private var polledRounds = 0L
+  // Offsets count completed rounds. Progression is STATELESS via
+  // SupportsAdmissionControl: latestOffset(start, _) = start + 1, so a
+  // restart from checkpoint resumes exactly where the committed offset
+  // says — no instance-local counter to fall out of sync (a fresh scan
+  // with a mutable counter would report an already-committed round as
+  // "latest" after a clean restart and fetch nothing).
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = this
   override def initialOffset(): Offset = FetchOffset(0L)
-  override def latestOffset(): Offset = { polledRounds += 1; FetchOffset(polledRounds) }
-  override def deserializeOffset(json: String): Offset = {
-    val r = FetchOffset(json.trim.toLong)
-    // resume past the checkpointed high-water mark after a restart
-    polledRounds = math.max(polledRounds, r.round)
-    r
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  // AvailableNow contract: cap "latest" at one round past wherever the
+  // restored start offset is when the run begins, so the query fetches
+  // exactly one fresh round and terminates; ProcessingTime (no prepare
+  // call) never caps and polls a round per trigger.
+  private var capPending = false
+  private var capRound = Long.MaxValue
+  override def prepareForTriggerAvailableNow(): Unit = { capPending = true }
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[FetchOffset].round
+    if (capPending) { capRound = s + 1; capPending = false }
+    FetchOffset(math.min(s + 1, capRound))
   }
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "graft-fetch reports offsets via SupportsAdmissionControl")
+  override def deserializeOffset(json: String): Offset =
+    FetchOffset(json.trim.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -164,17 +190,8 @@ private[io] class FetchReader(part: FetchPartition)
     i += 1
     if (i >= total) return false
     val sym = cfg.symbols((i % n).toInt)
-    var attempt = 0
-    var result: Option[String] = None
-    while (result.isEmpty && attempt <= cfg.retries) {
-      bucket.acquire()
-      try result = Some(transport.fetch(sym))
-      catch {
-        case _: Exception =>
-          attempt += 1
-          if (attempt <= cfg.retries) Thread.sleep(cfg.backoffMs * attempt)
-      }
-    }
+    val result = Throttle.fetchPaced(bucket, sym, cfg.retries,
+      cfg.backoffMs)(transport.fetch)
     current = InternalRow((part.firstRound + i / n) * n + i % n,
       UTF8String.fromString(sym),
       result.map(UTF8String.fromString).orNull)

@@ -35,6 +35,27 @@ object Throttle {
     }
   }
 
+  /** One symbol through the bucket with retry + linear backoff; None when
+    * retries exhaust. THE single definition of the pacing/retry/placeholder
+    * semantics — shared by the driver-side [[fetchAll]] and the DSv2
+    * reader (io/FetchSource), so the two can never drift. */
+  def fetchPaced(bucket: TokenBucket, symbol: String, retries: Int,
+                 backoffMs: Long, sleep: Long => Unit = Thread.sleep)
+                (fetchOne: String => String): Option[String] = {
+    var attempt = 0
+    var result: Option[String] = None
+    while (result.isEmpty && attempt <= retries) {
+      bucket.acquire()
+      try result = Some(fetchOne(symbol))
+      catch {
+        case _: Exception =>
+          attempt += 1
+          if (attempt <= retries) sleep(backoffMs * attempt)
+      }
+    }
+    result
+  }
+
   /** Fetch every symbol through `fetchOne`, never exceeding
     * `ratePerMinute`; failures become None placeholders preserving order
     * (reference: src/extract.py:315 — filtered downstream as F8). */
@@ -43,19 +64,6 @@ object Throttle {
                sleep: Long => Unit = Thread.sleep)
               (fetchOne: String => String): Seq[Option[String]] = {
     val bucket = new TokenBucket(ratePerMinute, sleep = sleep)
-    symbols.map { sym =>
-      var attempt = 0
-      var result: Option[String] = None
-      while (result.isEmpty && attempt <= retries) {
-        bucket.acquire()
-        try result = Some(fetchOne(sym))
-        catch {
-          case _: Exception =>
-            attempt += 1
-            if (attempt <= retries) sleep(backoffMs * attempt)
-        }
-      }
-      result
-    }
+    symbols.map(fetchPaced(bucket, _, retries, backoffMs, sleep)(fetchOne))
   }
 }

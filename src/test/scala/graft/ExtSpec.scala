@@ -201,10 +201,14 @@ class ExtSpec extends AnyFunSuite {
     // gaps (every 7th id missing) — the naive one-task-per-source window
     // is the independent oracle here, not just shard-invariance
     val rnd = new scala.util.Random(7)
+    // every 11th doc has a NULL source: a legitimate group the prefix sum
+    // must keep (the offsets join is null-safe on source)
     val rows = (0 until 300).filter(_ % 7 != 0).map { i =>
-      (i.toLong, s"s${rnd.nextInt(4)}", ("t " * (rnd.nextInt(9) + 1)).trim)
+      (i.toLong, if (i % 11 == 0) null else s"s${rnd.nextInt(4)}",
+        ("t " * (rnd.nextInt(9) + 1)).trim)
     }
     val df = rows.toDF("doc_id", "source", "text")
+    assert(df.filter(col("source").isNull).count() > 0)
     for (block <- Seq(1L, 3L, 64L)) {
       val sharded = TextOps.packSequences(df, budgetTokens = 16, shardBlock = block)
         .select("doc_id", "cum_tokens", "pack_id")

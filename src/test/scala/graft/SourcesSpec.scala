@@ -124,7 +124,11 @@ class SourcesSpec extends AnyFunSuite {
 
   test("graft-fetch rejects missing required options loudly") {
     for (opts <- Seq(Map("transport" -> classOf[CannedTransport].getName),
-                     Map("symbols" -> "AAA"))) {
+                     Map("symbols" -> "AAA"),
+                     // commas and whitespace name no symbol — must fail,
+                     // not land an empty frame
+                     Map("symbols" -> " , ",
+                       "transport" -> classOf[CannedTransport].getName))) {
       val reader = opts.foldLeft(spark.read.format("graft-fetch")) {
         case (r, (k, v)) => r.option(k, v)
       }
@@ -153,6 +157,35 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("fetch_seq")).toSeq == Seq(0L, 1L))
     assert(rows.forall(r => r.getAs[String]("payload") ==
       CannedTransport.payload(r.getAs[String]("symbol"))))
+  }
+
+  test("graft-fetch streaming restart advances to a fresh round") {
+    // a clean restart from checkpoint must fetch the NEXT round — not
+    // re-fetch round 0 and not conclude "no new data" and fetch nothing
+    // (offset progression is stateless: latestOffset(start) = start + 1)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-fetch-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-fetch-out").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-fetch")
+        .option("symbols", "AAA,CCC")
+        .option("transport", classOf[CannedTransport].getName)
+        .option("ratePerMinute", "600000")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    runOnce()
+    // run 1 lands round 0 (fetch_seq 0,1); the restart lands round 1 only
+    val seqs = spark.read.parquet(out)
+      .orderBy("fetch_seq").collect().map(_.getAs[Long]("fetch_seq")).toSeq
+    assert(seqs == Seq(0L, 1L, 2L, 3L),
+      s"restart must append exactly round 1 (fetch_seq 2,3), got $seqs")
   }
 
   test("fetch -> landing dir -> file stream: the full ingestion contract") {
