@@ -20,7 +20,8 @@ object Explain {
 
     val interesting = Seq("pipeline_features", "j1_join_dims", "s4_scan_limit",
       "d2_minhash_lsh", "sim1_cosine_topk", "x7_predictions",
-      "j5_asof_join", "j6_range_join", "a12_heavy_hitters")
+      "j5_asof_join", "j6_range_join", "a12_heavy_hitters",
+      "t6_pack_sequences", "d7_keep_first")
     val sb = new StringBuilder("# Physical plans (formatted)\n")
     interesting.foreach { name =>
       val plan = Queries.all(name)(spark, sfDir).queryExecution.explainString(
