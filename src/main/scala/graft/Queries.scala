@@ -600,15 +600,20 @@ object Queries {
       .select("doc_id", "source", "n_chars")
       .orderBy("doc_id")
 
+  // signatures checkpoint before the band self-join (same reason as
+  // CorpusPipeline.curate): both join sides otherwise re-tokenize and
+  // re-md5 every document — value-identical, half the signature work
   def d2MinhashLsh(s: SparkSession, dir: String): DataFrame =
     ext.Dedup.lshCandidatePairs(
-      ext.Dedup.minhashSignatures(Sources.documents(s, dir)))
+      ext.Dedup.minhashSignatures(Sources.documents(s, dir))
+        .localCheckpoint(true))
       .orderBy("doc_a", "doc_b")
 
   def d6DupClusters(s: SparkSession, dir: String): DataFrame =
     ext.Dedup.duplicateClusters(
       ext.Dedup.lshCandidatePairs(
-        ext.Dedup.minhashSignatures(Sources.documents(s, dir))))
+        ext.Dedup.minhashSignatures(Sources.documents(s, dir))
+          .localCheckpoint(true)))
       .orderBy("doc_id")
 
   def d3Simhash(s: SparkSession, dir: String): DataFrame =
