@@ -432,6 +432,15 @@ object Queries {
       Seq("avg_value", "sum_value"), 2)
       .orderBy("window_start", "event_type")
 
+  /** Click->purchase attribution within 1 hour per user — the batch twin of
+    * [[graft.streaming.StreamPipeline.clickPurchase]] (a watermarked
+    * stream-stream interval join). Equi-join on user_id (hash-partitioned
+    * both sides) with the time range as a post-join filter; microsecond
+    * longs keep the delay arithmetic exact across engines. */
+  def st3IntervalJoin(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamPipeline.clickPurchase(Sources.events(s, dir))
+      .orderBy("click_id", "purchase_id")
+
   // ===== projections & small filters (P1-P4, F5-F8) ========================
 
   def p1Rename(s: SparkSession, dir: String): DataFrame =
@@ -668,6 +677,38 @@ object Queries {
       .select("doc_id", "source")
       .orderBy("doc_id")
 
+  /** Benchmark decontamination: documents sharing an 8-word n-gram with the
+    * held-out benchmark slice (doc_id % 29 == 0 plays the eval set). n=8
+    * keeps random word-salad collisions out — every hit is a genuine
+    * near-duplicate leak. */
+  def c1Decontam(s: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(s, dir)
+    ext.Decontaminate.contamination(
+      corpus = docs.filter(col("doc_id") % 29 =!= 0),
+      benchmark = docs.filter(col("doc_id") % 29 === 0),
+      n = 8)
+      .orderBy("doc_id")
+  }
+
+  def t8Repetition(s: SparkSession, dir: String): DataFrame =
+    ext.TextOps.withRepetitionStats(Sources.documents(s, dir))
+      .select("doc_id", "n_tokens", "distinct_tokens", "top_tok_frac",
+        "n_bigrams", "distinct_bigrams", "dup_bigram_frac", "repetitive")
+      .orderBy("doc_id")
+
+  def t9Split(s: SparkSession, dir: String): DataFrame =
+    ext.TextOps.withSplitAssignment(Sources.documents(s, dir))
+      .select("doc_id", "bucket", "split")
+      .orderBy("doc_id")
+
+  /** Cap every source at 400 tokens (doc_id order) — shardBlock=64 for the
+    * same fixture-spans-shards reason as t6/t7. */
+  def t10Budget(s: SparkSession, dir: String): DataFrame =
+    ext.TextOps.tokenBudgetFilter(Sources.documents(s, dir),
+      budgetTokens = 400L, shardBlock = 64L)
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
+      .orderBy("doc_id")
+
   def t2QualityScore(s: SparkSession, dir: String): DataFrame =
     rounded(ext.TextOps.withQualityScore(Sources.documents(s, dir))
       .select("doc_id", "n_tokens", "text_len", "punct_ratio",
@@ -750,6 +791,11 @@ object Queries {
     "t5_lang_ngram" -> (t5LangNgram _),
     "t6_pack_sequences" -> (t6PackSequences _),
     "t7_source_mix" -> (t7SourceMix _),
+    "c1_decontam" -> (c1Decontam _),
+    "t8_repetition" -> (t8Repetition _),
+    "t9_split" -> (t9Split _),
+    "t10_budget" -> (t10Budget _),
+    "st3_interval_join" -> (st3IntervalJoin _),
     "t2_quality_score" -> (t2QualityScore _),
     "t3_token_count" -> (t3TokenCount _),
     "t4_fingerprint" -> (t4Fingerprint _),

@@ -235,6 +235,87 @@ object TextOps {
       .drop("__rn", "__one")
   }
 
+  /** Gopher-style repetition statistics per document — the signals a
+    * pre-training quality filter thresholds on (Rae et al. 2021 §A1.1:
+    * excessive repetition predicts low-quality text):
+    *
+    *   - `top_tok_frac`: count of the most frequent token / total tokens;
+    *   - `dup_bigram_frac`: 1 - distinct bigrams / total bigrams;
+    *   - `repetitive`: either fraction above its threshold.
+    *
+    * Shape at scale: one explode + two-level hash aggregation per signal
+    * (partial map-side combine on (doc_id, token) then (doc_id)) and a
+    * final doc_id equi-join — everything hash-partitions by doc_id or
+    * (doc_id, gram); no windows, no per-source reducers. The flag compares
+    * the tie-safe-ROUNDED fractions so the boolean is reproducible across
+    * engines even when a document lands exactly on a threshold. */
+  def withRepetitionStats(docs: DataFrame,
+                          topTokThreshold: Double = 0.12,
+                          dupBigramThreshold: Double = 0.05): DataFrame = {
+    val toked = docs.select(col("doc_id"), tokens(col("text")).as("__w"))
+    val uni = toked
+      .select(col("doc_id"), explode(col("__w")).as("__t"))
+      .groupBy("doc_id", "__t").agg(count(lit(1)).as("__c"))
+      .groupBy("doc_id").agg(
+        sum("__c").as("n_tokens"),
+        count(lit(1)).as("distinct_tokens"),
+        max("__c").as("__max_c"))
+    val bi = toked
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(__w) >= 2
+          |THEN transform(sequence(0, size(__w) - 2), i -> concat(__w[i], ' ', __w[i+1]))
+          |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("__g"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_bigrams"),
+        countDistinct(col("__g")).as("distinct_bigrams"))
+    uni.join(bi, Seq("doc_id"), "left")
+      .withColumn("top_tok_frac",
+        graft.ops.Num.cround(col("__max_c").cast("double") / col("n_tokens"), 6))
+      .withColumn("dup_bigram_frac",
+        graft.ops.Num.cround(
+          lit(1.0) - col("distinct_bigrams").cast("double") / col("n_bigrams"), 6))
+      .withColumn("repetitive",
+        col("top_tok_frac") > topTokThreshold ||
+          coalesce(col("dup_bigram_frac") > dupBigramThreshold, lit(false)))
+      .drop("__max_c")
+  }
+
+  /** Deterministic content-hash train/val/test assignment: bucket =
+    * first 16 bits of md5(text || ':' || salt) mod 100, split by
+    * cumulative percentage. Content-addressed (stable under re-ids and
+    * re-partitioning, reproducible across engines and runs — unlike
+    * rand()-based sampling) and salted (a new salt re-deals the split
+    * without touching the data). Pure codegen'd per-row expressions: no
+    * shuffle at all. */
+  def withSplitAssignment(docs: DataFrame, trainPct: Int = 80,
+                          valPct: Int = 10, salt: String = "graft"): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      "trainPct/valPct must be >= 0 and sum to <= 100")
+    docs
+      .withColumn("bucket",
+        conv(substring(md5(concat(col("text"), lit(":" + salt))), 1, 4), 16, 10)
+          .cast("long") % 100)
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
+  /** Token-budget sampling: keep each source's documents (in doc_id order)
+    * while the running token total stays within `budgetTokens` — "take the
+    * first N tokens of every source", the deterministic form of capping a
+    * source's contribution to a training mix. The running total is the
+    * sharded two-phase prefix sum (see [[shardedPrefixSum]]), so no source
+    * ever funnels through one task. */
+  def tokenBudgetFilter(docs: DataFrame, budgetTokens: Long,
+                        shardBlock: Long = defaultShardBlock): DataFrame = {
+    require(budgetTokens >= 0, "budgetTokens must be >= 0")
+    val toked = docs.withColumn("n_tokens",
+      size(split(trim(col("text")), "\\s+")).cast("long"))
+    shardedPrefixSum(toked, "n_tokens", "cum_tokens", shardBlock)
+      .filter(col("cum_tokens") <= budgetTokens)
+  }
+
   /** Document fingerprints: md5 of whitespace-normalized text (exact-dup
     * key) and the minimum shingle hash (a 1-permutation MinHash — stable
     * under small edits, the winnowing-style near-dup key). */

@@ -78,6 +78,40 @@ object StreamPipeline {
       .select(col("user_id"), col("session_start"), col("n_events"),
         col("duration_sec"), col("total_value"))
 
+  /** Click->purchase attribution: a STREAM-STREAM interval join — for each
+    * click, the same user's purchases within `horizonSec` after it. The
+    * canonical funnel/attribution shape a continuous events pipeline runs.
+    *
+    * Both sides carry a watermark and the join condition bounds event time
+    * on both sides, which is exactly what lets Spark EVICT join state: a
+    * buffered click can only match purchases <= horizon later, so once the
+    * purchase watermark passes c_ts + horizon the click's state drops
+    * (and symmetrically for buffered purchases). Without the time bound the
+    * state store grows without limit — the stream-stream-join scale trap.
+    *
+    * On a batch DataFrame `withWatermark` is a no-op and the same plan is a
+    * user_id hash equi-join with a residual time-range filter — one shuffle
+    * per side, no broadcast needed, skew bounded by events-per-user. The
+    * microsecond-long delta keeps delay_ms exact (integer) across engines;
+    * the batch twin is oracle-checked as st3_interval_join. */
+  def clickPurchase(events: DataFrame, horizonSec: Long = 3600L,
+                    watermark: String = "2 hours"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr(s"INTERVAL $horizonSec SECONDS"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        expr("(unix_micros(p_ts) - unix_micros(c_ts)) div 1000").as("delay_ms"))
+  }
+
   /** Stream-static enrichment: broadcast-join a static dimension into the
     * stream (left join — events with no dimension row pass through with
     * nulls, they are facts either way). Stateless: no streaming state is
