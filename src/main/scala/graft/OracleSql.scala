@@ -991,6 +991,100 @@ object OracleSql {
         |WHERE (__rn - 1) % (CASE source WHEN 'src0' THEN 4 WHEN 'src1' THEN 2 ELSE 1 END) = 0
         |ORDER BY doc_id""".stripMargin,
 
+    // Joins on the n-gram STRINGS — the Spark side's xxhash64 is an
+    // internal key-compression step that never reaches the output, so the
+    // string join is the exact semantic oracle (and would catch a hash
+    // collision, not reproduce it).
+    "c1_decontam" -> {
+      val frac = "CAST(COUNT(b.g) AS DOUBLE) / COUNT(*)"
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS g
+         |  FROM w CROSS JOIN UNNEST(CASE WHEN len(toks) >= 8
+         |      THEN range(1, len(toks) - 6) ELSE [] END) AS t(i)),
+         |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 29 = 0),
+         |corp AS (SELECT doc_id, g FROM grams WHERE doc_id % 29 <> 0)
+         |SELECT c.doc_id, COUNT(b.g) AS hit_ngrams, COUNT(*) AS n_ngrams,
+         |       ${R(frac, 6)} AS hit_frac
+         |FROM corp c LEFT JOIN bench b USING (g)
+         |GROUP BY c.doc_id HAVING COUNT(b.g) > 0
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "t8_repetition" -> {
+      val ttf = "CAST(max_c AS DOUBLE) / n_tokens"
+      val dbf = "1.0 - CAST(distinct_bigrams AS DOUBLE) / n_bigrams"
+      s"""WITH toked AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |uni AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |         COUNT(*) AS distinct_tokens, MAX(c) AS max_c
+         |  FROM (SELECT doc_id, t, COUNT(*) AS c
+         |        FROM toked CROSS JOIN UNNEST(w) AS u(t) GROUP BY doc_id, t)
+         |  GROUP BY doc_id),
+         |bi AS (
+         |  SELECT doc_id, COUNT(*) AS n_bigrams, COUNT(DISTINCT g) AS distinct_bigrams
+         |  FROM (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+         |        FROM toked CROSS JOIN UNNEST(CASE WHEN len(w) >= 2
+         |            THEN range(1, len(w)) ELSE [] END) AS t(i))
+         |  GROUP BY doc_id),
+         |j AS (
+         |  SELECT d.doc_id, uni.n_tokens, uni.distinct_tokens,
+         |         ${R(ttf, 6)} AS top_tok_frac,
+         |         bi.n_bigrams, bi.distinct_bigrams,
+         |         ${R(dbf, 6)} AS dup_bigram_frac
+         |  FROM documents d LEFT JOIN uni USING (doc_id) LEFT JOIN bi USING (doc_id))
+         |SELECT doc_id, n_tokens, distinct_tokens, top_tok_frac,
+         |       n_bigrams, distinct_bigrams, dup_bigram_frac,
+         |       (COALESCE(top_tok_frac > 0.12, FALSE)
+         |         OR COALESCE(dup_bigram_frac > 0.05, FALSE)) AS repetitive
+         |FROM j ORDER BY doc_id""".stripMargin
+    },
+
+    // DuckDB has no conv(hex, 16, 10); the 4-hex-digit bucket is rebuilt
+    // with positional strpos arithmetic over the md5 hex rendering.
+    "t9_split" -> {
+      val hexv = "((strpos('0123456789abcdef', substr(hx,1,1))-1)*4096" +
+        " + (strpos('0123456789abcdef', substr(hx,2,1))-1)*256" +
+        " + (strpos('0123456789abcdef', substr(hx,3,1))-1)*16" +
+        " + (strpos('0123456789abcdef', substr(hx,4,1))-1))"
+      s"""WITH h AS (
+         |  SELECT doc_id, substr(md5(coalesce(text, '') || ':graft'), 1, 4) AS hx
+         |  FROM documents)
+         |SELECT doc_id, CAST($hexv % 100 AS BIGINT) AS bucket,
+         |  CASE WHEN $hexv % 100 < 80 THEN 'train'
+         |       WHEN $hexv % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM h ORDER BY doc_id""".stripMargin
+    },
+
+    "t10_budget" ->
+      """WITH toked AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM toked)
+        |SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum_tokens <= 400 ORDER BY doc_id""".stripMargin,
+
+    "st3_interval_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id AS click_id, user_id, ts AS c_ts
+        |  FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT click_id, purchase_id, user_id,
+        |       CAST((epoch_us(p_ts) - epoch_us(c_ts)) // 1000 AS BIGINT) AS delay_ms
+        |FROM clicks JOIN purchases ON user_id = p_user
+        |  AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 3600 SECONDS
+        |ORDER BY click_id, purchase_id""".stripMargin,
+
     "t2_quality_score" -> {
       val punct = "CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / nullif(length(text), 0)"
       val stop = s"CAST(len(list_filter(tok, t -> t IN ($enList))) AS DOUBLE) / len(tok)"

@@ -679,8 +679,9 @@ object Queries {
 
   /** Benchmark decontamination: documents sharing an 8-word n-gram with the
     * held-out benchmark slice (doc_id % 29 == 0 plays the eval set). n=8
-    * keeps random word-salad collisions out — every hit is a genuine
-    * near-duplicate leak. */
+    * keeps random word-salad collisions out — a hit is a near-certain
+    * leak, modulo the ~B*C/2^64 xxhash64 false-positive odds quantified in
+    * [[graft.ext.Decontaminate]] (zero at this scale in expectation). */
   def c1Decontam(s: SparkSession, dir: String): DataFrame = {
     val docs = Sources.documents(s, dir)
     ext.Decontaminate.contamination(

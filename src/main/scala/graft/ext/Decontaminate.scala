@@ -17,7 +17,16 @@ import org.apache.spark.sql.functions._
   *     shuffle;
   *   - each n-gram is collapsed to its xxhash64 BEFORE the distinct and
   *     the join, so the shuffle and the (optionally broadcast) build side
-  *     carry 8-byte keys, never n-word strings (~10x smaller for n=8);
+  *     carry 8-byte keys, never n-word strings (~10x smaller for n=8).
+  *     The 8-byte key admits false positives: with B distinct benchmark
+  *     n-grams and C distinct corpus n-grams, expected spurious matches
+  *     ~= B*C/2^64 — e.g. 10^9 benchmark x 10^13 corpus n-grams (a 100 TB
+  *     run) ~= 500 phantom hit-n-grams spread over the whole corpus, noise
+  *     for a contamination *filter* (it only ever over-removes a handful
+  *     of docs, never under-removes). If exactness ever matters, swap
+  *     xxhash64 for a 16-byte md5 prefix (2^128 key space) at 2x key
+  *     width; misses are impossible either way — a real shared n-gram
+  *     always hashes equal;
   *   - the benchmark side is deduplicated and, by default, broadcast: the
   *     corpus never shuffles at all. For benchmark n-gram sets too big to
   *     broadcast, pass broadcastBenchmark=false for a plain shuffled hash

@@ -248,7 +248,12 @@ object TextOps {
     * final doc_id equi-join — everything hash-partitions by doc_id or
     * (doc_id, gram); no windows, no per-source reducers. The flag compares
     * the tie-safe-ROUNDED fractions so the boolean is reproducible across
-    * engines even when a document lands exactly on a threshold. */
+    * engines even when a document lands exactly on a threshold.
+    *
+    * Row-preserving, like the other with* augmenters: stats left-join back
+    * onto the input, so a NULL-text document survives with null stats and
+    * repetitive=false instead of vanishing (split(NULL) is NULL and explode
+    * would otherwise drop the doc from the aggregate side entirely). */
   def withRepetitionStats(docs: DataFrame,
                           topTokThreshold: Double = 0.12,
                           dupBigramThreshold: Double = 0.05): DataFrame = {
@@ -268,14 +273,14 @@ object TextOps {
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_bigrams"),
         countDistinct(col("__g")).as("distinct_bigrams"))
-    uni.join(bi, Seq("doc_id"), "left")
+    docs.join(uni.join(bi, Seq("doc_id"), "left"), Seq("doc_id"), "left")
       .withColumn("top_tok_frac",
         graft.ops.Num.cround(col("__max_c").cast("double") / col("n_tokens"), 6))
       .withColumn("dup_bigram_frac",
         graft.ops.Num.cround(
           lit(1.0) - col("distinct_bigrams").cast("double") / col("n_bigrams"), 6))
       .withColumn("repetitive",
-        col("top_tok_frac") > topTokThreshold ||
+        coalesce(col("top_tok_frac") > topTokThreshold, lit(false)) ||
           coalesce(col("dup_bigram_frac") > dupBigramThreshold, lit(false)))
       .drop("__max_c")
   }
@@ -286,14 +291,21 @@ object TextOps {
     * re-partitioning, reproducible across engines and runs — unlike
     * rand()-based sampling) and salted (a new salt re-deals the split
     * without touching the data). Pure codegen'd per-row expressions: no
-    * shuffle at all. */
+    * shuffle at all.
+    *
+    * NULL text is coalesced to '' so every row gets a deterministic bucket
+    * (otherwise a NULL hash would fall through `otherwise` and silently
+    * land every NULL doc in the test split). Bias note: 16 bits mod 100
+    * overrepresents buckets 0-35 by 656/65536 vs 655/65536 (~0.15% relative
+    * — negligible for split sizing, and removable by widening to 32 bits
+    * if a use-case ever cares). */
   def withSplitAssignment(docs: DataFrame, trainPct: Int = 80,
                           valPct: Int = 10, salt: String = "graft"): DataFrame = {
     require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
       "trainPct/valPct must be >= 0 and sum to <= 100")
     docs
       .withColumn("bucket",
-        conv(substring(md5(concat(col("text"), lit(":" + salt))), 1, 4), 16, 10)
+        conv(substring(md5(concat(coalesce(col("text"), lit("")), lit(":" + salt))), 1, 4), 16, 10)
           .cast("long") % 100)
       .withColumn("split",
         when(col("bucket") < trainPct, "train")
@@ -302,16 +314,22 @@ object TextOps {
   }
 
   /** Token-budget sampling: keep each source's documents (in doc_id order)
-    * while the running token total stays within `budgetTokens` — "take the
-    * first N tokens of every source", the deterministic form of capping a
-    * source's contribution to a training mix. The running total is the
+    * while the running token total stays within `budgetTokens` — the
+    * deterministic form of capping a source's contribution to a training
+    * mix. Whole-document boundary semantics: a document that would straddle
+    * the budget is dropped entirely (the cap keeps whole docs while the
+    * running total fits; it does not truncate a doc mid-stream), so the
+    * kept total is <= budgetTokens, not == it. The running total is the
     * sharded two-phase prefix sum (see [[shardedPrefixSum]]), so no source
-    * ever funnels through one task. */
+    * ever funnels through one task. The tokenized input is checkpointed
+    * before the prefix sum because its two branches each re-evaluate their
+    * input lineage (the helper's documented contract). */
   def tokenBudgetFilter(docs: DataFrame, budgetTokens: Long,
                         shardBlock: Long = defaultShardBlock): DataFrame = {
     require(budgetTokens >= 0, "budgetTokens must be >= 0")
     val toked = docs.withColumn("n_tokens",
       size(split(trim(col("text")), "\\s+")).cast("long"))
+      .localCheckpoint(true)
     shardedPrefixSum(toked, "n_tokens", "cum_tokens", shardBlock)
       .filter(col("cum_tokens") <= budgetTokens)
   }
