@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ext.{Decontaminate, Dedup, Multimodal, Similarity, TextOps}
 
 /** Semantics of the training-data extension operators on crafted inputs. */
 class ExtSpec extends AnyFunSuite {
@@ -380,5 +380,125 @@ class ExtSpec extends AnyFunSuite {
     val n = pngBytes.length
     assert(out(12L).width == n % 640 + 1 && out(12L).height == n % 480 + 1,
       "non-png formats keep the deterministic stub")
+  }
+
+  test("decontamination flags a planted 8-gram leak, counts exactly") {
+    import spark.implicits._
+    // benchmark doc = exactly one 8-gram; corpus doc 0 embeds it in a
+    // 10-token doc (3 distinct 8-grams -> hit_frac = 1/3); doc 1 is clean;
+    // doc 2 is shorter than n and must contribute no n-grams at all
+    val benchmark = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "totally clean words sharing nothing with the benchmark at all"),
+      (2L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+
+    val out = Decontaminate.contamination(corpus, benchmark, n = 8).collect()
+    assert(out.length == 1, s"only the planted leak may flag, got ${out.length}")
+    val hit = out.head
+    assert(hit.getAs[Long]("doc_id") == 0L)
+    assert(hit.getAs[Long]("hit_ngrams") == 1L &&
+      hit.getAs[Long]("n_ngrams") == 3L)
+    assert(math.abs(hit.getAs[Double]("hit_frac") - 0.333333) < 1e-9)
+
+    // the shuffled-join fallback must compute the identical report
+    val shuffled = Decontaminate.contamination(corpus, benchmark, n = 8,
+      broadcastBenchmark = false)
+    assert(shuffled.collect().toSeq == out.toSeq,
+      "broadcastBenchmark=false must not change the result")
+  }
+
+  test("repetition stats: degenerate, single-token, and null-text docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "spam spam spam spam"),   // 1 distinct token, 3 bigrams 1 distinct
+      (1L, "hello"),                 // single token -> no bigrams (null stats)
+      // 10 distinct tokens: top_tok_frac 0.1 < 0.12, no dup bigrams
+      (2L, "ten wholly distinct words keep this document under every threshold"),
+      (3L, null.asInstanceOf[String])) // NULL text must SURVIVE with null stats
+      .toDF("doc_id", "text")
+    val out = TextOps.withRepetitionStats(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size == 4, "every input doc must survive, incl. null text")
+
+    val spam = out(0L)
+    assert(spam.getAs[Long]("n_tokens") == 4L &&
+      spam.getAs[Long]("distinct_tokens") == 1L)
+    assert(math.abs(spam.getAs[Double]("top_tok_frac") - 1.0) < 1e-9)
+    assert(spam.getAs[Long]("n_bigrams") == 3L &&
+      spam.getAs[Long]("distinct_bigrams") == 1L)
+    assert(math.abs(spam.getAs[Double]("dup_bigram_frac") - 0.666667) < 1e-9)
+    assert(spam.getAs[Boolean]("repetitive"))
+
+    val single = out(1L)
+    assert(single.getAs[Long]("n_tokens") == 1L)
+    assert(single.isNullAt(single.fieldIndex("n_bigrams")) &&
+      single.isNullAt(single.fieldIndex("dup_bigram_frac")),
+      "a single-token doc has no bigrams -> null bigram stats")
+    assert(single.getAs[Boolean]("repetitive"),
+      "one token repeated 100% of the time flags via top_tok_frac")
+
+    assert(!out(2L).getAs[Boolean]("repetitive"))
+
+    val nul = out(3L)
+    assert(nul.isNullAt(nul.fieldIndex("n_tokens")),
+      "null-text stats stay null")
+    assert(!nul.getAs[Boolean]("repetitive"),
+      "a null-text doc is not repetitive, and must not vanish")
+  }
+
+  test("split assignment: proportions, determinism, salt re-deal, null text") {
+    import spark.implicits._
+    val docs = (0L until 2000L)
+      .map(i => (i, s"document number $i with its own distinct content"))
+      .toDF("doc_id", "text")
+    val out = TextOps.withSplitAssignment(docs)
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // md5 buckets are ~binomial: sd(train) ~ 0.9%; +-4% is ~4.5 sd
+    assert(math.abs(counts("train") / 2000.0 - 0.80) < 0.04, counts.toString)
+    assert(math.abs(counts("val") / 2000.0 - 0.10) < 0.04, counts.toString)
+    assert(math.abs(counts("test") / 2000.0 - 0.10) < 0.04, counts.toString)
+    assert(out.filter(col("bucket") < 0 || col("bucket") >= 100).count() == 0)
+
+    // content-addressed: a second run deals the identical split
+    val again = TextOps.withSplitAssignment(docs)
+    assert(out.select("doc_id", "split").exceptAll(
+      again.select("doc_id", "split")).count() == 0)
+
+    // a new salt re-deals (some docs move) but keeps proportions
+    val resalted = TextOps.withSplitAssignment(docs, salt = "other")
+    val moved = out.alias("a").join(resalted.alias("b"), "doc_id")
+      .filter(col("a.split") =!= col("b.split")).count()
+    assert(moved > 0, "changing the salt must re-deal the split")
+
+    // NULL text: deterministic bucket (same as empty text), never null
+    val nulled = Seq((0L, null.asInstanceOf[String]), (1L, ""))
+      .toDF("doc_id", "text")
+    val nb = TextOps.withSplitAssignment(nulled).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bucket")).toMap
+    assert(nb(0L) == nb(1L), "null text buckets like empty text")
+  }
+
+  test("token budget keeps whole docs per source; straddling doc drops") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a", "w w w w w"),   // 5 tokens, cum 5  -> keep
+      (1L, "b", "one two"),     // 2 tokens, cum 2  -> keep
+      (2L, "a", "x x x x x"),   // 5 tokens, cum 10 -> keep
+      (3L, "b", "three four"),  // 2 tokens, cum 4  -> keep
+      (4L, "a", "y y y y y"))   // 5 tokens, cum 15 straddles 12 -> DROPPED
+      .toDF("doc_id", "source", "text")
+    // shardBlock=2: docs span 3 shards, exercising the cross-shard offsets
+    val kept = TextOps.tokenBudgetFilter(docs, budgetTokens = 12L, shardBlock = 2L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("cum_tokens")).toMap
+    assert(kept.keySet == Set(0L, 1L, 2L, 3L),
+      s"doc 4 straddles the budget and must drop whole, got ${kept.keySet}")
+    assert(kept(2L) == 10L && kept(3L) == 4L,
+      "cumulative totals are per-source prefix sums in doc_id order")
   }
 }

@@ -113,4 +113,31 @@ class StreamingSpec extends AnyFunSuite {
       .exceptAll(batch.select("event_id", "c_mktsegment"))
     assert(diverging.count() == 0, "streamed enrichment diverges from batch join")
   }
+
+  test("stream-stream click->purchase interval join matches the batch twin") {
+    val dir = "/root/testdata/sf0.001"
+    val landing = java.nio.file.Files.createTempDirectory("graft-events-ssjoin")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      landing.resolve("part-0.parquet"))
+    // append mode: an INNER stream-stream join emits each match as soon as
+    // both sides arrive; the watermark + two-sided time bound only govern
+    // state EVICTION, so a bounded AvailableNow run must surface every match
+    val q = StreamPipeline.clickPurchase(
+        StreamPipeline.readEvents(spark, landing.toString))
+      .writeStream.format("memory").queryName("click_purchase_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("click_purchase_test")
+
+    val batch = Queries.all("st3_interval_join")(spark, dir)
+    assert(batch.count() > 0, "fixture must contain click->purchase matches")
+    assert(streamed.count() == batch.count(),
+      "streamed match count diverges from the batch interval join")
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "streamed attribution rows diverge from the batch twin")
+  }
 }
