@@ -1111,16 +1111,17 @@ object OracleSql {
         |  list_min(list_transform(shingles, s -> substr(md5(s), 1, 16))) AS min_shingle_fingerprint
         |FROM sh ORDER BY doc_id""".stripMargin),
 
-    // png-tagged rows run the REAL ImageIO decoder; the fixture's text
-    // bytes are not a PNG, so they deterministically report (-1, -1, false)
-    // — which keeps the real-decoder path oracle-checkable in SQL
+    // png- AND jpeg-tagged rows run the REAL ImageIO decoder; the
+    // fixture's text bytes are not images, so they deterministically
+    // report (-1, -1, false) — which keeps the real-decoder path
+    // oracle-checkable in SQL. webp keeps the length-derived stub.
     "m1_multimodal_meta" ->
       """SELECT doc_id,
         |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
-        |  CAST(CASE WHEN doc_id % 3 = 1 THEN -1 ELSE octet_length(encode(text)) % 640 + 1 END AS INTEGER) AS width,
-        |  CAST(CASE WHEN doc_id % 3 = 1 THEN -1 ELSE octet_length(encode(text)) % 480 + 1 END AS INTEGER) AS height,
-        |  CASE WHEN doc_id % 3 = 1 THEN FALSE ELSE octet_length(encode(text)) > 0 END AS ok
+        |  CAST(CASE WHEN doc_id % 3 IN (0, 1) THEN -1 ELSE octet_length(encode(text)) % 640 + 1 END AS INTEGER) AS width,
+        |  CAST(CASE WHEN doc_id % 3 IN (0, 1) THEN -1 ELSE octet_length(encode(text)) % 480 + 1 END AS INTEGER) AS height,
+        |  CASE WHEN doc_id % 3 IN (0, 1) THEN FALSE ELSE octet_length(encode(text)) > 0 END AS ok
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -7,13 +7,16 @@ import org.apache.spark.sql.functions._
   * order a production pretraining pipeline runs them —
   *
   *   exact dedup -> near dedup (MinHash/LSH + clustering) ->
-  *   quality + language filters -> source mixing -> sequence packing
+  *   quality + language filters -> benchmark decontamination ->
+  *   source mixing -> sequence packing
   *
   * Exact dedup goes first (cheapest pass, biggest volume win on crawled
   * corpora), near-dedup runs on the exact-unique survivors so the LSH
   * band join never sees byte-identical clones, filters run before mixing
-  * so strides apply to the kept population, and packing is last because
-  * pack ids depend on the final survivor set.
+  * so strides apply to the kept population, decontamination runs on the
+  * filter survivors (after redaction — hashing normalized text — and
+  * before mixing, so eval-set leaks never reach the training mix), and
+  * packing is last because pack ids depend on the final survivor set.
   *
   * Every stage is a declarative transformation on the same DataFrame —
   * one linear pass per stage plus the documented dedup shuffles; nothing
@@ -33,7 +36,8 @@ object CorpusPipeline {
       nBands: Int = 8,
       sourceStrides: Map[String, Int] = Map.empty,
       packBudgetTokens: Int = 2048,
-      redact: Boolean = true)
+      redact: Boolean = true,
+      decontamNgram: Int = 8)
 
   /** Row counts after each stage — the shrinkage funnel every corpus run
     * reports. Computing it costs one count action per stage (each cheap:
@@ -44,14 +48,18 @@ object CorpusPipeline {
       afterExactDedup: Long,
       afterNearDedup: Long,
       afterFilters: Long,
+      afterDecontam: Long,
       afterMix: Long,
       nPacks: Long)
 
   /** Run the full curation pass over (doc_id, source, text) rows. Returns
     * the packed corpus — survivors with n_tokens/cum_tokens/pack_id — and
-    * the shrinkage report. */
+    * the shrinkage report. `benchmark` is the held-out eval set to
+    * decontaminate against (None skips the stage — afterDecontam then
+    * equals afterFilters). */
   def curate(docs: DataFrame,
-             cfg: CurationConfig = CurationConfig()): (DataFrame, CurationReport) = {
+             cfg: CurationConfig = CurationConfig(),
+             benchmark: Option[DataFrame] = None): (DataFrame, CurationReport) = {
     // 0. scrub before any hashing (redaction normalizes content, so docs
     // differing only in a redacted span become the duplicates they are)
     val scrubbed = if (cfg.redact) TextOps.redact(docs) else docs
@@ -83,11 +91,27 @@ object CorpusPipeline {
       .select(docs.columns.map(col): _*)
       .localCheckpoint(true)
 
-    // 4. source mixing, 5. packing (1:1 with the mixed survivors).
+    // 4. benchmark decontamination: drop filter survivors sharing an
+    // n-gram with the held-out eval set. Runs AFTER redaction (both sides
+    // hash normalized text) and BEFORE mixing, so a leak can never ride a
+    // stride into the training mix. The contamination report's shuffles
+    // carry 8-byte n-gram hashes, never n-gram strings (see Decontaminate);
+    // the anti-join itself is a doc_id semi-structure — payload-free.
+    val decontaminated = benchmark match {
+      case Some(bench) =>
+        val contaminated = Decontaminate.contamination(
+          filtered, if (cfg.redact) TextOps.redact(bench) else bench,
+          cfg.decontamNgram).select(col("doc_id"))
+        filtered.join(contaminated, Seq("doc_id"), "left_anti")
+          .localCheckpoint(true)
+      case None => filtered
+    }
+
+    // 5. source mixing, 6. packing (1:1 with the mixed survivors).
     // Checkpoint between them: each sharded prefix sum reads its input
     // from two branches (local cumsum + shard totals), so an unbroken
     // mix->pack lineage would recompute the mix join four times.
-    val mixed = TextOps.sourceMix(filtered, cfg.sourceStrides)
+    val mixed = TextOps.sourceMix(decontaminated, cfg.sourceStrides)
       .localCheckpoint(true)
     val packed = TextOps.packSequences(mixed, cfg.packBudgetTokens)
       .localCheckpoint(true)
@@ -97,6 +121,7 @@ object CorpusPipeline {
       afterExactDedup = exactUnique.count(),
       afterNearDedup = nearUnique.count(),
       afterFilters = filtered.count(),
+      afterDecontam = decontaminated.count(),
       afterMix = packed.count(), // packing is row-preserving
       nPacks = packed.select("source", "pack_id").distinct().count())
     (packed, report)

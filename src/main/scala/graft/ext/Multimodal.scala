@@ -39,11 +39,18 @@ object Multimodal {
       width = (n % 640) + 1, height = (n % 480) + 1, ok = n > 0)
   }
 
-  /** REAL PNG decode on the JDK's bundled ImageIO reader (javax.imageio
-    * ships with the JRE — no external library). Returns the true pixel
-    * dimensions; an unparseable payload (wrong magic, truncated file)
-    * reports ok=false with -1 dimensions rather than plausible fakes. */
-  def decodePng(row: MediaRow): DecodedMeta = {
+  /** Formats the JRE's bundled ImageIO readers are guaranteed to decode
+    * (javax.imageio ships png/jpeg/gif/bmp/wbmp readers — no external
+    * library). */
+  val jdkDecodableFormats: Set[String] = Set("png", "jpeg", "gif", "bmp")
+
+  /** REAL image decode on the JDK's bundled ImageIO readers. Returns the
+    * true pixel dimensions; an unparseable payload (wrong magic, truncated
+    * file) reports ok=false with -1 dimensions rather than plausible
+    * fakes. ImageIO sniffs the container from the payload's magic bytes,
+    * so a mis-tagged but decodable payload still decodes — the format tag
+    * only routes WHICH rows attempt a real decode. */
+  def decodeImage(row: MediaRow): DecodedMeta = {
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.payload))
       catch { case _: Exception => null }
@@ -54,10 +61,11 @@ object Multimodal {
         img.getWidth, img.getHeight, ok = true)
   }
 
-  /** Per-row dispatch: PNG decodes for real, formats without a guaranteed
-    * JDK decoder keep the deterministic stub. */
+  /** Per-row dispatch: JDK-decodable formats decode for real, formats
+    * without a guaranteed JDK reader (webp, video, audio) keep the
+    * deterministic stub. */
   def decodeOne(row: MediaRow): DecodedMeta =
-    if (row.format == "png") decodePng(row) else stubDecode(row)
+    if (jdkDecodableFormats(row.format)) decodeImage(row) else stubDecode(row)
 
   /** Batched decode over partitions: the real-decoder integration point
     * (mapPartitions so a JNI/native decoder initializes once per partition,

@@ -51,6 +51,47 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(kept._1 == 1L && kept._2.contains("<EMAIL>"))
   }
 
+  test("decontamination stage drops the doc leaking a benchmark n-gram") {
+    // four good english docs; doc 2 embeds the benchmark's 8-gram verbatim
+    val leak = "the quick brown fox jumps over the lazy"
+    val docs = Seq(
+      (1L, "s1", "the cat sat on the mat with a hat today"),
+      (2L, "s1", s"prefix words then $leak dog and more trailing text here"),
+      (3L, "s1", "a wholly different document about the weather this week"),
+      (4L, "s1", "the last document talks about cooking dinner for the family")
+    ).toDF("doc_id", "source", "text")
+    val benchmark = Seq((100L, "bench", leak)).toDF("doc_id", "source", "text")
+
+    val (packed, report) = CorpusPipeline.curate(docs,
+      CurationConfig(langs = Set("en"), minQuality = 0.0, packBudgetTokens = 64),
+      benchmark = Some(benchmark))
+    assert(report.afterFilters == 4 && report.afterDecontam == 3,
+      s"exactly the leaking doc must drop: $report")
+    assert(!packed.select("doc_id").as[Long].collect().contains(2L))
+
+    // without a benchmark the stage is a no-op and the counts agree
+    val (_, noBench) = CorpusPipeline.curate(docs,
+      CurationConfig(langs = Set("en"), minQuality = 0.0, packBudgetTokens = 64))
+    assert(noBench.afterDecontam == noBench.afterFilters)
+  }
+
+  test("decontamination shuffles carry n-gram hashes, never n-gram strings") {
+    val docs = (1L to 6L).map(i => (i, "s1", s"the d$i document of k$i speaks q$i j$i z$i w$i about things"))
+      .toDF("doc_id", "source", "text")
+    val bench = Seq((9L, "the d1 document of k1 speaks q1 j1 z1 w1"))
+      .toDF("doc_id", "text")
+    val df = graft.ext.Decontaminate.contamination(docs, bench, n = 8)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val exchange = """Exchange\nInput \[\d+\]: \[([^\]]+)\]""".r
+    val inputs = exchange.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(inputs.nonEmpty, s"no exchange found in plan:\n$p")
+    inputs.foreach { cols =>
+      assert(!cols.contains("__ng"),
+        s"an exchange carries n-gram strings: [$cols]")
+    }
+  }
+
   test("source strides apply to the post-filter population") {
     // ten good english docs in one source, stride 2 -> keep 5. Every
     // shingle embeds the doc index so the docs share NO shingles — the

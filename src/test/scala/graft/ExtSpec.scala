@@ -345,29 +345,39 @@ class ExtSpec extends AnyFunSuite {
     assert(frames.head.frame.length == 16 && frames.last.frame.length == 11)
   }
 
-  test("multimodal: stub decode is deterministic over the binary payload") {
+  test("multimodal: stub decode is deterministic; image tags attempt real decode") {
     val meta = Multimodal.decodeMeta(spark, Multimodal.asMediaTable(docs)).collect()
+    // doc 0 is jpeg-tagged (doc_id % 3 == 0): real ImageIO decode of text
+    // bytes must FAIL loudly, not report plausible fakes
     val m0 = meta.find(_.doc_id == 0L).get
-    assert(m0.byte_len == 43 && m0.ok)
-    assert(m0.width == 43 % 640 + 1 && m0.height == 43 % 480 + 1)
-    assert(Set("jpeg", "png", "webp").contains(m0.format))
+    assert(m0.byte_len == 43 && !m0.ok && m0.width == -1 && m0.height == -1)
+    assert(m0.format == "jpeg")
+    // doc 2 is webp-tagged (no JDK reader): deterministic length-based stub
+    val m2 = meta.find(_.doc_id == 2L).get
+    assert(m2.format == "webp" && m2.ok)
+    assert(m2.width == m2.byte_len % 640 + 1 && m2.height == m2.byte_len % 480 + 1)
   }
 
-  test("multimodal: png rows decode FOR REAL through ImageIO") {
+  test("multimodal: png and jpeg rows decode FOR REAL through ImageIO") {
     import spark.implicits._
-    // craft a genuine 7x3 PNG in memory — the decoder must recover the
-    // true pixel dimensions, not the stub's length-derived fakes
-    val img = new java.awt.image.BufferedImage(7, 3,
-      java.awt.image.BufferedImage.TYPE_INT_RGB)
-    img.setRGB(2, 1, 0xff8800)
-    val buf = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", buf)
-    val pngBytes = buf.toByteArray
+    // craft a genuine 7x3 PNG and a 5x4 JPEG in memory — the decoder must
+    // recover the true pixel dimensions, not the stub's length-derived fakes
+    def encode(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(w / 2, h / 2, 0xff8800)
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, buf)
+      buf.toByteArray
+    }
+    val pngBytes = encode(7, 3, "png")
+    val jpgBytes = encode(5, 4, "jpg")
 
     val media = Seq(
-      (10L, pngBytes, "png"),                    // real PNG
+      (10L, pngBytes, "png"),                      // real PNG
       (11L, "not a png".getBytes("UTF-8"), "png"), // wrong magic
-      (12L, pngBytes, "jpeg")                    // png bytes, non-png tag -> stub
+      (12L, pngBytes, "webp"),                     // no JDK reader tag -> stub
+      (13L, jpgBytes, "jpeg")                      // real JPEG
     ).toDF("doc_id", "payload", "format")
     val out = Multimodal.decodeMeta(spark, media).collect()
       .map(m => m.doc_id -> m).toMap
@@ -379,7 +389,9 @@ class ExtSpec extends AnyFunSuite {
       "an unparseable png payload reports a failed decode, not fake dims")
     val n = pngBytes.length
     assert(out(12L).width == n % 640 + 1 && out(12L).height == n % 480 + 1,
-      "non-png formats keep the deterministic stub")
+      "formats without a JDK reader keep the deterministic stub")
+    assert(out(13L).ok && out(13L).width == 5 && out(13L).height == 4,
+      "a real JPEG must decode to its true dimensions")
   }
 
   test("decontamination flags a planted 8-gram leak, counts exactly") {
