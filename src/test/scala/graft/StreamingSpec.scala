@@ -140,4 +140,50 @@ class StreamingSpec extends AnyFunSuite {
       batch.exceptAll(streamed).count() == 0,
       "streamed attribution rows diverge from the batch twin")
   }
+
+  test("interval join survives watermark advancement across micro-batches") {
+    // Split the events into FOUR time-ordered files and force one file per
+    // micro-batch: the watermark genuinely advances between batches, so
+    // click/purchase state from early batches is progressively EVICTED —
+    // and because no event is later than the 2h watermark delay, eviction
+    // must never cost a match. This executes the state-eviction path the
+    // single-batch case cannot reach.
+    val dir = "/root/testdata/sf0.001"
+    val landing = java.nio.file.Files.createTempDirectory("graft-events-wm")
+    val src = spark.read.parquet(s"$dir/events.parquet")
+      .orderBy("ts", "event_id").cache()
+    val n = src.count()
+    import scala.jdk.CollectionConverters._
+    val quarts = src.collect().grouped((n / 4 + 1).toInt).toSeq
+    quarts.zipWithIndex.foreach { case (rows, i) =>
+      val sliceDir = landing.resolve(f"stage-$i%02d")
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1), src.schema)
+        .write.parquet(sliceDir.toString)
+      val part = java.nio.file.Files.list(sliceDir).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(part, landing.resolve(f"slice-$i%02d.parquet"))
+    }
+    val fileStream = spark.readStream
+      .schema(StreamPipeline.eventsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "slice-*.parquet")
+      .parquet(landing.toString)
+      .withColumn("ts", org.apache.spark.sql.functions
+        .expr("timestamp_micros(ts div 1000)"))
+    val q = StreamPipeline.clickPurchase(fileStream)
+      .writeStream.format("memory").queryName("click_purchase_wm_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.lastProgress.batchId >= 3,
+      s"expected >= 4 micro-batches, saw ${q.lastProgress.batchId + 1}")
+
+    val streamed = spark.table("click_purchase_wm_test")
+    val batch = Queries.all("st3_interval_join")(spark, dir)
+    assert(streamed.count() == batch.count() &&
+      streamed.exceptAll(batch).count() == 0,
+      "in-order multi-batch streaming must lose no match to eviction")
+  }
 }
