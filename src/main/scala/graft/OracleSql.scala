@@ -1072,6 +1072,40 @@ object OracleSql {
         |SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
         |FROM c WHERE cum_tokens <= 400 ORDER BY doc_id""".stripMargin,
 
+    "t11_vocab" ->
+      """WITH tok AS (
+        |  SELECT doc_id, t AS token
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  CROSS JOIN UNNEST(w) AS u(t))
+        |SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+        |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+        |FROM tok GROUP BY token
+        |ORDER BY n_occurrences DESC, token LIMIT 20""".stripMargin,
+
+    // ranks compare the tie-safe-rounded score (like the Spark side), so
+    // a cross-engine ulp difference can never flip a keyword_rank
+    "t12_tfidf" -> {
+      val sc = "tf * (ln((n.nd + 1.0) / (doc_freq + 1.0)) + 1.0)"
+      s"""WITH tok AS (
+         |  SELECT doc_id, t AS token
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         |  CROSS JOIN UNNEST(w) AS u(t)),
+         |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM tok GROUP BY 1, 2),
+         |dfq AS (SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY 1),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+         |s AS (
+         |  SELECT tf.doc_id, tf.token, tf.tf, ${R(sc, 6)} AS score
+         |  FROM tf JOIN dfq USING (token) CROSS JOIN n),
+         |r AS (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY doc_id ORDER BY score DESC, token) AS keyword_rank
+         |  FROM s)
+         |SELECT doc_id, CAST(keyword_rank AS INTEGER) AS keyword_rank,
+         |       token, tf, score
+         |FROM r WHERE keyword_rank <= 3 ORDER BY doc_id, keyword_rank""".stripMargin
+    },
+
     "st3_interval_join" ->
       """WITH clicks AS (
         |  SELECT event_id AS click_id, user_id, ts AS c_ts

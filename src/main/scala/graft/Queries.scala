@@ -710,6 +710,15 @@ object Queries {
       .select("doc_id", "source", "n_tokens", "cum_tokens")
       .orderBy("doc_id")
 
+  /** Top-20 corpus vocabulary — deterministic (count desc, token asc). */
+  def t11Vocab(s: SparkSession, dir: String): DataFrame =
+    ext.TextOps.vocabulary(Sources.documents(s, dir), k = 20)
+
+  /** Top-3 TF-IDF keywords per document. */
+  def t12Tfidf(s: SparkSession, dir: String): DataFrame =
+    ext.TextOps.withTfIdfKeywords(Sources.documents(s, dir), topK = 3)
+      .orderBy("doc_id", "keyword_rank")
+
   def t2QualityScore(s: SparkSession, dir: String): DataFrame =
     rounded(ext.TextOps.withQualityScore(Sources.documents(s, dir))
       .select("doc_id", "n_tokens", "text_len", "punct_ratio",
@@ -796,6 +805,8 @@ object Queries {
     "t8_repetition" -> (t8Repetition _),
     "t9_split" -> (t9Split _),
     "t10_budget" -> (t10Budget _),
+    "t11_vocab" -> (t11Vocab _),
+    "t12_tfidf" -> (t12Tfidf _),
     "st3_interval_join" -> (st3IntervalJoin _),
     "t2_quality_score" -> (t2QualityScore _),
     "t3_token_count" -> (t3TokenCount _),

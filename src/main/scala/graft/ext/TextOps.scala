@@ -334,6 +334,70 @@ object TextOps {
       .filter(col("cum_tokens") <= budgetTokens)
   }
 
+  /** Corpus-wide vocabulary statistics, top-k by occurrence count — the
+    * tokenizer-training / corpus-profiling primitive (a BPE or unigram-LM
+    * trainer starts from exactly this table). Per token: total occurrences
+    * and document frequency.
+    *
+    * Shape at scale: explode -> two-level hash aggregation — (token,
+    * doc_id) partials combine map-side, then the (token) agg gets both the
+    * occurrence sum AND the exact doc frequency from the first level's
+    * output without a count-distinct expansion. The top-k is a
+    * TakeOrderedAndProject (per-partition heaps + driver merge of k rows),
+    * never a full sort of the vocabulary. Deterministic tiebreak:
+    * occurrences desc, token asc. */
+  def vocabulary(docs: DataFrame, k: Int = 1000): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("__c"))
+      .groupBy("token").agg(
+        sum("__c").as("n_occurrences"),
+        count(lit(1)).as("doc_freq"))
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+      .limit(k)
+  }
+
+  /** Per-document top-`topK` keywords by smoothed TF-IDF (sklearn-style
+    * idf = ln((N+1)/(df+1)) + 1) — the corpus-analysis / clustering-prep
+    * primitive. Output: (doc_id, keyword_rank, token, tf, score).
+    *
+    * Shape at scale: term frequencies and document frequencies are the
+    * same two-level aggregation as [[vocabulary]]; the tf<->df join is a
+    * token-keyed hash join (the vocabulary of a web-scale corpus is too
+    * big to assume broadcastable — AQE may still choose it when small);
+    * the per-document top-k window partitions by doc_id, so partitions
+    * are tiny and the sort never concentrates. The document count rides
+    * in as a literal (one count action), not a cross join.
+    *
+    * Ranking compares the tie-safe-ROUNDED score (scale 6) with token as
+    * the tiebreak, so ranks are reproducible across engines even when two
+    * tokens score within a ulp of each other. */
+  def withTfIdfKeywords(docs: DataFrame, topK: Int = 3): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val nDocs = docs.count()
+    // tf feeds BOTH the score join and the doc-frequency aggregate:
+    // checkpoint so the corpus is scanned+tokenized once, not once per
+    // branch (same reuse contract as shardedPrefixSum callers)
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val df = tf.groupBy("token").agg(count(lit(1)).as("doc_freq"))
+    val scored = tf.join(df, Seq("token"))
+      .withColumn("score", graft.ops.Num.cround(
+        col("tf").cast("double") *
+          (log((lit(nDocs) + lit(1.0)) / (col("doc_freq") + lit(1.0))) + lit(1.0)),
+        6))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("token").asc)
+    scored
+      .withColumn("keyword_rank", row_number().over(w))
+      .filter(col("keyword_rank") <= topK)
+      .select(col("doc_id"), col("keyword_rank"), col("token"),
+        col("tf"), col("score"))
+  }
+
   /** Document fingerprints: md5 of whitespace-normalized text (exact-dup
     * key) and the minimum shingle hash (a 1-permutation MinHash — stable
     * under small edits, the winnowing-style near-dup key). */

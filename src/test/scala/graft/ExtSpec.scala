@@ -495,6 +495,42 @@ class ExtSpec extends AnyFunSuite {
     assert(nb(0L) == nb(1L), "null text buckets like empty text")
   }
 
+  test("vocabulary counts occurrences and doc frequency; top-k is deterministic") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "apple banana apple"),
+      (1L, "banana cherry"),
+      (2L, "apple date")).toDF("doc_id", "text")
+    val v = TextOps.vocabulary(corpus, k = 3).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("n_occurrences"),
+        r.getAs[Long]("doc_freq")))
+    // apple: 3 occurrences in 2 docs; banana: 2 in 2; cherry/date: 1 in 1
+    // (tie on 1 -> token asc -> cherry takes the third slot)
+    assert(v.toSeq == Seq(("apple", 3L, 2L), ("banana", 2L, 2L),
+      ("cherry", 1L, 1L)))
+  }
+
+  test("tf-idf keywords rank distinctive tokens above corpus-wide ones") {
+    import spark.implicits._
+    // "common" appears in every doc (minimum idf); each doc's marker token
+    // appears only there — with equal tf the marker must outrank "common"
+    val corpus = Seq(
+      (0L, "common zebra zebra common common"),
+      (1L, "common yak yak common common"),
+      (2L, "common xerus xerus common common")).toDF("doc_id", "text")
+    val kw = TextOps.withTfIdfKeywords(corpus, topK = 1).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("token")).toMap
+    assert(kw == Map(0L -> "zebra", 1L -> "yak", 2L -> "xerus"),
+      s"rare-but-frequent-in-doc tokens must win: $kw")
+
+    // rank ties on the ROUNDED score break by token, and every doc gets
+    // exactly topK rows when it has >= topK distinct tokens
+    val all = TextOps.withTfIdfKeywords(corpus, topK = 2).collect()
+    assert(all.length == 6)
+    assert(all.filter(_.getAs[Long]("doc_id") == 0L)
+      .map(_.getAs[Int]("keyword_rank")).sorted.toSeq == Seq(1, 2))
+  }
+
   test("token budget keeps whole docs per source; straddling doc drops") {
     import spark.implicits._
     val docs = Seq(
