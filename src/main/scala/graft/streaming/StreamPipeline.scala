@@ -112,6 +112,24 @@ object StreamPipeline {
         expr("(unix_micros(p_ts) - unix_micros(c_ts)) div 1000").as("delay_ms"))
   }
 
+  /** Streaming exact dedup at ingest: drop any document whose content
+    * digest was already observed within the watermark horizon — the
+    * streaming twin of [[graft.ext.Dedup.keepFirstPerDigest]] for a
+    * continuously landing corpus (crawl re-fetches, at-least-once
+    * delivery). State is ONE 16-byte digest per distinct document and is
+    * EVICTED once the watermark passes, so it is bounded by
+    * arrival-rate x horizon, not corpus size — the scale contract a
+    * forever-keyed dropDuplicates would break. Duplicates separated by
+    * more than the horizon are the batch compaction's job
+    * (keepFirstPerDigest over the landed corpus); the stream kills the
+    * near-in-time re-deliveries that dominate ingest duplication. */
+  def dedupDocumentsStream(docs: DataFrame, tsCol: String = "ts",
+                           watermark: String = "2 hours"): DataFrame =
+    docs.withWatermark(tsCol, watermark)
+      .withColumn("__digest", md5(col("text")))
+      .dropDuplicatesWithinWatermark("__digest")
+      .drop("__digest")
+
   /** Stream-static enrichment: broadcast-join a static dimension into the
     * stream (left join — events with no dimension row pass through with
     * nulls, they are facts either way). Stateless: no streaming state is

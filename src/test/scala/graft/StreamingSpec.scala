@@ -141,6 +141,50 @@ class StreamingSpec extends AnyFunSuite {
       "streamed attribution rows diverge from the batch twin")
   }
 
+  test("streaming ingest dedup drops re-delivered content, keeps first") {
+    import spark.implicits._
+    // two micro-batches: batch 2 re-delivers doc 1's CONTENT under a new
+    // doc_id (the crawl-refetch shape) plus one genuinely new doc
+    val landing = java.nio.file.Files.createTempDirectory("graft-docs-dedup")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val batch1 = Seq(
+      (1L, "alpha content", at(0)), (2L, "beta content", at(1)),
+      (3L, "gamma content", at(2)))
+    val batch2 = Seq(
+      (4L, "alpha content", at(30)), // duplicate payload inside watermark
+      (5L, "delta content", at(31)))
+    Seq(batch1, batch2).zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "text", "ts").coalesce(1)
+        .write.parquet(landing.resolve(f"stage-$i%02d").toString)
+      import scala.jdk.CollectionConverters._
+      val part = java.nio.file.Files.list(landing.resolve(f"stage-$i%02d"))
+        .iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(part, landing.resolve(f"docs-$i%02d.parquet"))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    val q = StreamPipeline.dedupDocumentsStream(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .option("pathGlobFilter", "docs-*.parquet")
+          .parquet(landing.toString))
+      .writeStream.format("memory").queryName("dedup_docs_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val kept = spark.table("dedup_docs_test")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 5L),
+      s"the re-delivered payload (doc 4) must drop, first stays: $kept")
+  }
+
   test("interval join survives watermark advancement across micro-batches") {
     // Split the events into FOUR time-ordered files and force one file per
     // micro-batch: the watermark genuinely advances between batches, so
