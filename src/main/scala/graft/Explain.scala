@@ -21,7 +21,9 @@ object Explain {
     val interesting = Seq("pipeline_features", "j1_join_dims", "s4_scan_limit",
       "d2_minhash_lsh", "sim1_cosine_topk", "x7_predictions",
       "j5_asof_join", "j6_range_join", "a12_heavy_hitters",
-      "t6_pack_sequences", "d7_keep_first")
+      "t6_pack_sequences", "d7_keep_first",
+      "c1_decontam", "t8_repetition", "t11_vocab", "t12_tfidf",
+      "st3_interval_join")
     val sb = new StringBuilder("# Physical plans (formatted)\n")
     interesting.foreach { name =>
       val plan = Queries.all(name)(spark, sfDir).queryExecution.explainString(
