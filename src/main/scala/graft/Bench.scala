@@ -85,18 +85,37 @@ object Bench {
     }
     val failed = medians.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     // 1 decimal past 10 s: under heavy contention per-query times reach 3
-    // digits, and the line must stay inside the driver's ~2000-char tail.
+    // digits, and the line must stay inside the driver's EXACTLY-2000-char
+    // stdout tail (measured from BENCH_r0x.json) — at 87 queries the
+    // 2-decimal form hit 1965 chars, 35 from truncation. Trailing zeros
+    // are therefore stripped ("0.60"->"0.6", "3.00"->"3") — pure JSON,
+    // no precision lie — and sf shortens to its basename.
     // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
     // comma-decimal locale would corrupt the JSON ("value":1,23).
-    def f2(v: Double): String = String.format(java.util.Locale.ROOT,
-      if (v >= 10) "%.1f" else "%.2f", Double.box(v))
+    def f2(v: Double): String = {
+      val s = String.format(java.util.Locale.ROOT,
+        if (v >= 10) "%.1f" else "%.2f", Double.box(v))
+      if (s.contains('.')) s.replaceAll("0+$", "").replaceAll("\\.$", "") else s
+    }
     val qs = medians.map { case (k, v) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val total = medians.map(_._2).filter(_ >= 0).sum
     // ONE compact line, last on stdout (sbt appends ~74 chars of [success]).
-    // iters = passes actually RUN (the budget can stop early) — claiming 3
-    // when one ran would pass single-shot noise off as a median
-    println(s"""{"metric":"total_of_medians","value":${f2(total)},"unit":"sec","iters":${samples.size},"queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    // iters = passes actually RUN — it appears only when the budget stopped
+    // passes early (fewer than ITERS), which is exactly when claiming a
+    // full median would pass single-shot noise off as one; the full count
+    // is always on stderr. "failed" appears only when nonempty. Both are
+    // tail-budget economies.
+    val itersField =
+      if (samples.size == ITERS) "" else s""","iters":${samples.size}"""
+    val failedField =
+      if (failed.isEmpty) "" else s""","failed":${failed.mkString("[", ",", "]")}"""
+    val sfShort = sfDir.split('/').last
+    System.err.println(s"[bench] passes=${samples.size} failed=${failed.size}")
+    val line = s"""{"metric":"total_of_medians","value":${f2(total)},"unit":"sec"$itersField,"queries":$qs$failedField,"sf":"$sfShort"}"""
+    if (line.length > 1940)
+      System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — driver tail is 2000; shrink before adding queries")
+    println(line)
     spark.stop()
   }
 }
