@@ -84,17 +84,22 @@ object Bench {
       name -> median(samples.toSeq.map(_.toMap.apply(name)))
     }
     val failed = medians.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-    // 1 decimal past 10 s: under heavy contention per-query times reach 3
-    // digits, and the line must stay inside the driver's EXACTLY-2000-char
-    // stdout tail (measured from BENCH_r0x.json) — at 87 queries the
-    // 2-decimal form hit 1965 chars, 35 from truncation. Trailing zeros
-    // are therefore stripped ("0.60"->"0.6", "3.00"->"3") — pure JSON,
-    // no precision lie — and sf shortens to its basename.
+    // Tiered precision — ~2 significant figures: 1 decimal from 0.1 to
+    // 10 s, whole seconds past 10, 2 decimals only below 0.1 s (so a 40 ms
+    // query doesn't print as 0). The line must stay inside the driver's
+    // EXACTLY-2000-char stdout tail (measured from BENCH_r0x.json): at 87
+    // queries the uniform-2-decimal form hit 1965 chars, and at 90 queries
+    // a 2-decimals-under-1s form reached 1976 — both past the ~1926-char
+    // safe budget (sbt appends ~74 chars of [success]); this form measures
+    // 1888 at 90 queries. Drift adjudication compares >=10% deltas, so
+    // ~2 sig figs lose nothing that matters. Trailing zeros are stripped
+    // ("0.60"->"0.6", "3.0"->"3") — pure JSON, no precision lie — and sf
+    // shortens to its basename. Full precision is on stderr per pass.
     // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
     // comma-decimal locale would corrupt the JSON ("value":1,23).
     def f2(v: Double): String = {
       val s = String.format(java.util.Locale.ROOT,
-        if (v >= 10) "%.1f" else "%.2f", Double.box(v))
+        if (v >= 10) "%.0f" else if (v >= 0.1) "%.1f" else "%.2f", Double.box(v))
       if (s.contains('.')) s.replaceAll("0+$", "").replaceAll("\\.$", "") else s
     }
     val qs = medians.map { case (k, v) => "\"" + k + "\":" + f2(v) }
@@ -113,7 +118,7 @@ object Bench {
     val sfShort = sfDir.split('/').last
     System.err.println(s"[bench] passes=${samples.size} failed=${failed.size}")
     val line = s"""{"metric":"total_of_medians","value":${f2(total)},"unit":"sec"$itersField,"queries":$qs$failedField,"sf":"$sfShort"}"""
-    if (line.length > 1940)
+    if (line.length > 1920)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — driver tail is 2000; shrink before adding queries")
     println(line)
     spark.stop()

@@ -1106,6 +1106,64 @@ object OracleSql {
          |FROM r WHERE keyword_rank <= 3 ORDER BY doc_id, keyword_rank""".stripMargin
     },
 
+    // ln(total) is computed by DuckDB here vs a JVM double literal on the
+    // Spark side: both are libm-quality natural logs of the same integral
+    // double, so any divergence is ulp-scale — absorbed by cround(6).
+    "t13_unigram_lm" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, t AS token
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         |  CROSS JOIN UNNEST(w) AS u(t)),
+         |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM tok GROUP BY 1, 2),
+         |occ AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS occ FROM tf GROUP BY 1),
+         |n AS (SELECT CAST(SUM(occ) AS DOUBLE) AS total FROM occ),
+         |s AS (
+         |  SELECT tf.doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         |         SUM(CAST(tf AS DOUBLE) * ln(occ)) AS slog
+         |  FROM tf JOIN occ USING (token) GROUP BY 1)
+         |SELECT d.doc_id, s.n_tokens,
+         |       ${R("ln(n.total) - s.slog / s.n_tokens", 6)} AS avg_neg_logprob
+         |FROM documents d LEFT JOIN s USING (doc_id) CROSS JOIN n
+         |ORDER BY doc_id""".stripMargin,
+
+    // generate_subscripts is 1-based; Spark's posexplode is 0-based.
+    "e1_centroids" ->
+      s"""SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+         |       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         |       ${R("AVG(CAST(v AS DOUBLE))", 6)} AS centroid
+         |FROM (SELECT label, unnest(embedding) AS v,
+         |             generate_subscripts(embedding, 1) AS i
+         |      FROM embeddings)
+         |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
+
+    // strict-order funnel: each stage's first ts must be AFTER the previous
+    // stage's first ts; stages emit exact epoch-microsecond longs.
+    "ev1_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS fv FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS fc
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > v.fv GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS fp
+        |  FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.fc GROUP BY 1)
+        |SELECT u.user_id,
+        |       epoch_us(v.fv) AS first_view_us,
+        |       epoch_us(c.fc) AS first_click_us,
+        |       epoch_us(p.fp) AS first_purchase_us,
+        |       CAST(CASE WHEN p.fp IS NOT NULL THEN 3
+        |                 WHEN c.fc IS NOT NULL THEN 2
+        |                 WHEN v.fv IS NOT NULL THEN 1
+        |                 ELSE 0 END AS INTEGER) AS funnel_stage
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+        |LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
     "st3_interval_join" ->
       """WITH clicks AS (
         |  SELECT event_id AS click_id, user_id, ts AS c_ts

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.io.Sources
 import graft.model.Schemas
 import graft.ops.{Cleaning, Derive, Num, TemporalJoins}
-import graft.analytics.{Performance, Predictions, Summary}
+import graft.analytics.{Funnel, Performance, Predictions, Summary}
 
 /** Named correctness queries over the driver test corpus, one per operator in
   * SURVEY §2. Every query ends in a total deterministic ORDER BY, and every
@@ -736,6 +736,22 @@ object Queries {
       .select("doc_id", "md5_fingerprint", "min_shingle_fingerprint")
       .orderBy("doc_id")
 
+  /** Unigram-LM surprise score per document (KenLM-filter analog). */
+  def t13UnigramLm(s: SparkSession, dir: String): DataFrame =
+    ext.TextOps.withUnigramLogProb(Sources.documents(s, dir))
+      .select("doc_id", "n_tokens", "avg_neg_logprob")
+      .orderBy("doc_id")
+
+  /** Per-label embedding centroids, long (label, dim) form. */
+  def e1Centroids(s: SparkSession, dir: String): DataFrame =
+    ext.Similarity.labelCentroids(Sources.embeddings(s, dir))
+      .orderBy("label", "dim")
+
+  /** view->click->purchase funnel, strict event-time order, per user. */
+  def ev1Funnel(s: SparkSession, dir: String): DataFrame =
+    Funnel.userFunnel(Sources.events(s, dir))
+      .orderBy("user_id")
+
   def m1MultimodalMeta(s: SparkSession, dir: String): DataFrame =
     ext.Multimodal.decodeMeta(s,
       ext.Multimodal.asMediaTable(Sources.documents(s, dir)))
@@ -807,6 +823,9 @@ object Queries {
     "t10_budget" -> (t10Budget _),
     "t11_vocab" -> (t11Vocab _),
     "t12_tfidf" -> (t12Tfidf _),
+    "t13_unigram_lm" -> (t13UnigramLm _),
+    "e1_centroids" -> (e1Centroids _),
+    "ev1_funnel" -> (ev1Funnel _),
     "st3_interval_join" -> (st3IntervalJoin _),
     "t2_quality_score" -> (t2QualityScore _),
     "t3_token_count" -> (t3TokenCount _),

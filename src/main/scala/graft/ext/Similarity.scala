@@ -258,6 +258,25 @@ object Similarity {
             x => round(x.cast("double") / col("q_scale")).cast("tinyint"))))
   }
 
+  /** Per-label embedding centroids in long (label, dim) form — the
+    * cluster-profile / class-prototype primitive (nearest-class-mean
+    * classification, k-means seeding, per-source drift monitoring over an
+    * embedded corpus). Output: (label, dim, n_vectors, centroid).
+    *
+    * Shape at scale: posexplode + ONE hash aggregation keyed (label, dim) —
+    * partial map-side combine reduces every map partition to at most
+    * labels x dims rows before the shuffle, so the exchange is bounded by
+    * the profile size, never the corpus; no window, no collect, no cross
+    * join. Element math is double-cast like every other op here (float
+    * sums drift across engines); the mean is tie-safe-rounded (scale 6). */
+  def labelCentroids(emb: DataFrame,
+                     vecCol: String = "embedding"): DataFrame =
+    emb
+      .select(col("label"), posexplode(col(vecCol)).as(Seq("dim", "__v")))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n_vectors"),
+        graft.ops.Num.cround(avg(col("__v").cast("double")), 6).as("centroid"))
+
   /** Inverse of [[quantizeInt8]]: x_i ~ q_i * scale, as array<double>. */
   def dequantizeInt8(qVecCol: String = "q_vec",
                      scaleCol: String = "q_scale"): Column =

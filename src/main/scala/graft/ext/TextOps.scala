@@ -398,6 +398,46 @@ object TextOps {
         col("tf"), col("score"))
   }
 
+  /** Unigram-LM log-probability scoring — the cheap stand-in for a KenLM
+    * perplexity filter (CCNet-style: flag documents whose tokens are
+    * improbable under a corpus-level language model). The LM is the corpus's
+    * own unigram MLE, so no external model artifact is needed and every
+    * scored token is in-vocabulary by construction (no smoothing required).
+    * Per document: `n_tokens` and
+    * `avg_neg_logprob = -(1/n) * sum_i ln p(tok_i)` with
+    * `p(t) = occurrences(t) / total corpus tokens` — higher = more
+    * surprising = lower-quality or out-of-domain under the corpus LM.
+    *
+    * Shape at scale: the same two-level aggregation skeleton as
+    * [[withTfIdfKeywords]] — the per-(doc, token) tf table is checkpointed
+    * once and feeds BOTH the corpus occurrence aggregate and the per-doc
+    * score (one corpus scan + one small materialization); the
+    * tf<->occurrence join is a token-keyed hash join (web-scale vocabularies
+    * are not assumed broadcastable — AQE may still choose it); the grand
+    * total collapses to ONE double literal (`ln N`) via a single action over
+    * the tiny occurrence table, so no cross join ever touches the corpus.
+    * `avg_neg_logprob = ln N - sum(tf * ln occ) / n` keeps the arithmetic a
+    * per-doc float sum that tie-safe rounding (scale 6) makes engine-stable.
+    *
+    * Row-preserving like the other with* augmenters: a NULL-text document
+    * survives with null stats. */
+  def withUnigramLogProb(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val occ = tf.groupBy("token").agg(sum("tf").as("occ"))
+    val lnTotal = math.log(occ.agg(sum("occ")).first().getLong(0).toDouble)
+    val perDoc = tf.join(occ, Seq("token"))
+      .groupBy("doc_id").agg(
+        sum("tf").as("n_tokens"),
+        sum(col("tf").cast("double") * log(col("occ"))).as("__slog"))
+    docs.join(perDoc, Seq("doc_id"), "left")
+      .withColumn("avg_neg_logprob",
+        graft.ops.Num.cround(lit(lnTotal) - col("__slog") / col("n_tokens"), 6))
+      .drop("__slog")
+  }
+
   /** Document fingerprints: md5 of whitespace-normalized text (exact-dup
     * key) and the minimum shingle hash (a 1-permutation MinHash — stable
     * under small edits, the winnowing-style near-dup key). */

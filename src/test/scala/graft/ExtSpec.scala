@@ -549,4 +549,47 @@ class ExtSpec extends AnyFunSuite {
     assert(kept(2L) == 10L && kept(3L) == 4L,
       "cumulative totals are per-source prefix sums in doc_id order")
   }
+
+  test("unigram LM scoring: hand-computed surprise, null text survives") {
+    import spark.implicits._
+    // corpus occurrences: a=2, b=2, c=1; total N=5
+    val docs = Seq(
+      (0L, "a a b"),                  // slog = 2*ln2 + ln2; n=3
+      (1L, "b c"),                    // slog = ln2 + ln1;   n=2
+      (2L, null.asInstanceOf[String])) // must survive with null stats
+      .toDF("doc_id", "text")
+    val out = TextOps.withUnigramLogProb(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size == 3, "every doc survives, incl. null text")
+    val ln2 = math.log(2); val ln5 = math.log(5)
+    assert(out(0L).getAs[Long]("n_tokens") == 3L)
+    assert(math.abs(out(0L).getAs[Double]("avg_neg_logprob") -
+      (ln5 - 3 * ln2 / 3)) < 1e-6)
+    assert(out(1L).getAs[Long]("n_tokens") == 2L)
+    assert(math.abs(out(1L).getAs[Double]("avg_neg_logprob") -
+      (ln5 - ln2 / 2)) < 1e-6)
+    // the all-common-tokens doc is LESS surprising than the one with a
+    // rare token: the score orders docs by corpus-typicality
+    assert(out(0L).getAs[Double]("avg_neg_logprob") <
+      out(1L).getAs[Double]("avg_neg_logprob"))
+    val nul = out(2L)
+    assert(nul.isNullAt(nul.fieldIndex("n_tokens")) &&
+      nul.isNullAt(nul.fieldIndex("avg_neg_logprob")))
+  }
+
+  test("label centroids: elementwise means per label in (label, dim) form") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 2.0f), 0),
+      (1L, Array(3.0f, 4.0f), 0),
+      (2L, Array(5.0f, 6.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroids(emb).collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Int]("dim")) ->
+        (r.getAs[Long]("n_vectors"), r.getAs[Double]("centroid"))).toMap
+    assert(out.size == 4) // 2 labels x 2 dims
+    assert(out((0, 0))._1 == 2L && math.abs(out((0, 0))._2 - 2.0) < 1e-6)
+    assert(math.abs(out((0, 1))._2 - 3.0) < 1e-6)
+    assert(out((1, 0)) == ((1L, 5.0)) && out((1, 1)) == ((1L, 6.0)))
+  }
 }

@@ -1,0 +1,51 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analytics.Funnel
+
+/** Strict-order funnel semantics on crafted per-user event sequences. */
+class FunnelSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  test("funnel stages require strict event-time order per user") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1: clean view -> click -> purchase = stage 3
+      (1L, "view", ts(10)), (1L, "click", ts(20)), (1L, "purchase", ts(30)),
+      // user 2: click BEFORE the first view never advances; the purchase
+      // cannot count without an in-order click = stage 1
+      (2L, "click", ts(10)), (2L, "view", ts(20)), (2L, "purchase", ts(30)),
+      // user 3: view only = stage 1
+      (3L, "view", ts(10)),
+      // user 4: purchase with no view at all = stage 0
+      (4L, "purchase", ts(10)),
+      // user 5: purchase at the SAME instant as the click is not after it
+      // = stage 2; a later second purchase would advance it (none here)
+      (5L, "view", ts(10)), (5L, "click", ts(20)), (5L, "purchase", ts(20)),
+      // user 6: the first in-order click is the EARLIEST click after the
+      // first view, and the purchase between them does not count = stage 2
+      (6L, "view", ts(10)), (6L, "purchase", ts(15)), (6L, "click", ts(20)))
+      .toDF("user_id", "event_type", "ts")
+    val out = Funnel.userFunnel(events).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(out.size == 6)
+    def stage(u: Long) = out(u).getAs[Int]("funnel_stage")
+    assert(stage(1L) == 3 && stage(2L) == 1 && stage(3L) == 1)
+    assert(stage(4L) == 0 && stage(5L) == 2 && stage(6L) == 2)
+
+    val u1 = out(1L)
+    assert(u1.getAs[Long]("first_view_us") == 10000000L)
+    assert(u1.getAs[Long]("first_click_us") == 20000000L)
+    assert(u1.getAs[Long]("first_purchase_us") == 30000000L)
+    // user 2's first_view exists even though the funnel stalls there
+    assert(out(2L).getAs[Long]("first_view_us") == 20000000L)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("first_click_us")))
+    // user 4 never viewed: all stage timestamps null
+    assert(out(4L).isNullAt(out(4L).fieldIndex("first_view_us")))
+  }
+}
