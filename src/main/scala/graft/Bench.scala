@@ -117,8 +117,13 @@ object Bench {
       if (failed.isEmpty) "" else s""","failed":${failed.mkString("[", ",", "]")}"""
     val sfShort = sfDir.split('/').last
     System.err.println(s"[bench] passes=${samples.size} failed=${failed.size}")
-    val line = s"""{"metric":"total_of_medians","value":${f2(total)},"unit":"sec"$itersField,"queries":$qs$failedField,"sf":"$sfShort"}"""
-    if (line.length > 1920)
+    // "total_med" = total of per-query medians (was "total_of_medians";
+    // shortened with the 92-query map pressing against the tail budget —
+    // the driver JSON-parses the line generically, the name is free-form).
+    // Next lever if the map outgrows the tail: shorten query keys to their
+    // unique id prefixes ("d4", "t13", ...) and document the mapping.
+    val line = s"""{"metric":"total_med","value":${f2(total)},"unit":"sec"$itersField,"queries":$qs$failedField,"sf":"$sfShort"}"""
+    if (line.length > 1915)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — driver tail is 2000; shrink before adding queries")
     println(line)
     spark.stop()

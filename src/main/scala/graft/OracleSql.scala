@@ -1109,7 +1109,7 @@ object OracleSql {
     // ln(total) is computed by DuckDB here vs a JVM double literal on the
     // Spark side: both are libm-quality natural logs of the same integral
     // double, so any divergence is ulp-scale — absorbed by cround(6).
-    "t13_unigram_lm" ->
+    "t13_unigram" ->
       s"""WITH tok AS (
          |  SELECT doc_id, t AS token
          |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
@@ -1136,6 +1136,42 @@ object OracleSql {
          |             generate_subscripts(embedding, 1) AS i
          |      FROM embeddings)
          |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
+
+    // centroids are the tie-safe-ROUNDED means (same as labelCentroids /
+    // e1), so both engines measure distances against identical centroid
+    // values; dist2 is rounded the same way before the argmin, with the
+    // label id as tiebreak — a summation-order ulp can never flip a
+    // prediction.
+    "e2_rocchio" -> {
+      val cavg = R("AVG(v)", 6)
+      val d2 = R("SUM((u.v - c.centroid) * (u.v - c.centroid))", 6)
+      s"""WITH u AS (
+         |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+         |         generate_subscripts(embedding, 1) AS i
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT label AS c_label, i, $cavg AS centroid
+         |  FROM u GROUP BY 1, 2),
+         |d AS (
+         |  SELECT u.vec_id, u.label, c.c_label, $d2 AS dist2
+         |  FROM u JOIN cent c ON u.i = c.i
+         |  GROUP BY 1, 2, 3),
+         |r AS (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY vec_id ORDER BY dist2, c_label) AS rn
+         |  FROM d)
+         |SELECT vec_id, label, c_label AS predicted, dist2,
+         |       (label = c_label) AS correct
+         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
+    },
+
+    // dedupCte: the Spark side pivots over cleanedStock, which includes the
+    // F4 keep-last dedup — a duplicate (symbol, date) bar must not be
+    // averaged twice.
+    "x12_pivot" -> withCtes(stockCte, cleanCte, dedupCte)(
+      (1 to 12).map(m =>
+          s"""${R(s"""AVG(CASE WHEN month("date") = $m THEN close END)""", 6)} AS m$m""")
+        .mkString("SELECT symbol,\n", ",\n", "\nFROM dedup GROUP BY symbol ORDER BY symbol")),
 
     // strict-order funnel: each stage's first ts must be AFTER the previous
     // stage's first ts; stages emit exact epoch-microsecond longs.

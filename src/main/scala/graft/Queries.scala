@@ -747,6 +747,24 @@ object Queries {
     ext.Similarity.labelCentroids(Sources.embeddings(s, dir))
       .orderBy("label", "dim")
 
+  /** Nearest-centroid classification of every vector (Rocchio eval). */
+  def e2NearestCentroid(s: SparkSession, dir: String): DataFrame =
+    ext.Similarity.nearestCentroid(Sources.embeddings(s, dir))
+      .orderBy("vec_id")
+
+  /** Cross-tab / pivot: per-symbol average close by calendar month, wide
+    * form. The EXPLICIT pivot value list matters twice: no
+    * distinct-discovery pass over the fact table, and the pivot lowers to
+    * ONE hash aggregate with 12 conditional agg expressions — same single
+    * shuffle as a plain groupBy(symbol), deterministic column order. */
+  def x12Pivot(s: SparkSession, dir: String): DataFrame =
+    rounded(
+      cleanedStock(s, dir)
+        .withColumn("m", concat(lit("m"), month(col("date"))))
+        .groupBy("symbol").pivot("m", (1 to 12).map("m" + _)).agg(avg("close")),
+      (1 to 12).map("m" + _))
+      .orderBy("symbol")
+
   /** view->click->purchase funnel, strict event-time order, per user. */
   def ev1Funnel(s: SparkSession, dir: String): DataFrame =
     Funnel.userFunnel(Sources.events(s, dir))
@@ -823,9 +841,11 @@ object Queries {
     "t10_budget" -> (t10Budget _),
     "t11_vocab" -> (t11Vocab _),
     "t12_tfidf" -> (t12Tfidf _),
-    "t13_unigram_lm" -> (t13UnigramLm _),
+    "t13_unigram" -> (t13UnigramLm _),
     "e1_centroids" -> (e1Centroids _),
+    "e2_rocchio" -> (e2NearestCentroid _),
     "ev1_funnel" -> (ev1Funnel _),
+    "x12_pivot" -> (x12Pivot _),
     "st3_interval_join" -> (st3IntervalJoin _),
     "t2_quality_score" -> (t2QualityScore _),
     "t3_token_count" -> (t3TokenCount _),

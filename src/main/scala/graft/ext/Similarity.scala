@@ -277,6 +277,41 @@ object Similarity {
       .agg(count(lit(1)).as("n_vectors"),
         graft.ops.Num.cround(avg(col("__v").cast("double")), 6).as("centroid"))
 
+  /** Nearest-centroid (Rocchio) classification: assign each vector to the
+    * label whose [[labelCentroids]] centroid is nearest in squared L2 — the
+    * evaluation twin of the centroid table (centroid-classifier accuracy is
+    * the standard sanity check on an embedded, labeled corpus, and the
+    * assignment step of one k-means iteration). Output: (vec_id, label,
+    * predicted, dist2, correct).
+    *
+    * Shape at scale: the centroid table is labels x dims rows (tiny,
+    * broadcast); the corpus explodes to (vec, dim) elements and reduces via
+    * one (vec_id, label) partial-aggregated sum, then one argmin — shuffled
+    * rows are (corpus x labels) score pairs, never pairwise corpus (the
+    * same shape [[learnIvfAnchors]]'s assignment step documents).
+    * Determinism: distances compare tie-safe-ROUNDED (scale 6) with the
+    * label id as tiebreak, so cross-engine summation-order ulps can never
+    * flip a prediction. */
+  def nearestCentroid(emb: DataFrame,
+                      vecCol: String = "embedding"): DataFrame = {
+    val cent = labelCentroids(emb, vecCol)
+      .select(col("label").as("c_label"), col("dim"), col("centroid"))
+    emb
+      .select(col("vec_id"), col("label"),
+        posexplode(col(vecCol)).as(Seq("dim", "__v")))
+      .join(broadcast(cent), "dim")
+      .groupBy("vec_id", "label", "c_label")
+      .agg(graft.ops.Num.cround(
+        sum((col("__v").cast("double") - col("centroid")) *
+          (col("__v").cast("double") - col("centroid"))), 6).as("dist2"))
+      .groupBy("vec_id", "label")
+      .agg(
+        min_by(col("c_label"), struct(col("dist2"), col("c_label")))
+          .as("predicted"),
+        min(col("dist2")).as("dist2"))
+      .withColumn("correct", col("label") === col("predicted"))
+  }
+
   /** Inverse of [[quantizeInt8]]: x_i ~ q_i * scale, as array<double>. */
   def dequantizeInt8(qVecCol: String = "q_vec",
                      scaleCol: String = "q_scale"): Column =

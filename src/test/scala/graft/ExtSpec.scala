@@ -592,4 +592,26 @@ class ExtSpec extends AnyFunSuite {
     assert(math.abs(out((0, 1))._2 - 3.0) < 1e-6)
     assert(out((1, 0)) == ((1L, 5.0)) && out((1, 1)) == ((1L, 6.0)))
   }
+
+  test("nearest-centroid classification flags vectors nearer a foreign centroid") {
+    import spark.implicits._
+    // label 0 clusters near (0, 0), label 1 near (10, 10); vec 4 carries
+    // label 0 but sits on top of label 1's cluster -> predicted 1, wrong.
+    // (vec 4 drags label 0's centroid to (2.67, 2.67) — still nearest for
+    // the two true label-0 vectors.)
+    val emb = Seq(
+      (0L, Array(0.0f, 0.0f), 0),
+      (1L, Array(1.0f, 1.0f), 0),
+      (2L, Array(10.0f, 10.0f), 1),
+      (3L, Array(11.0f, 11.0f), 1),
+      (4L, Array(7.0f, 7.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.nearestCentroid(emb).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Int]("predicted"), r.getAs[Boolean]("correct"))).toMap
+    assert(out(0L) == ((0, true)) && out(1L) == ((0, true)))
+    assert(out(2L) == ((1, true)) && out(3L) == ((1, true)))
+    assert(out(4L) == ((1, false)),
+      "the mislabeled vector must be assigned to the nearer foreign centroid")
+  }
 }
