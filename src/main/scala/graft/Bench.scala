@@ -102,7 +102,16 @@ object Bench {
         if (v >= 10) "%.0f" else if (v >= 0.1) "%.1f" else "%.2f", Double.box(v))
       if (s.contains('.')) s.replaceAll("0+$", "").replaceAll("\\.$", "") else s
     }
-    val qs = medians.map { case (k, v) => "\"" + k + "\":" + f2(v) }
+    // Per-query JSON keys are the queries' UNIQUE id prefixes ("d4" =
+    // d4_ngram_jaccard, "pipeline" = pipeline_features): the full-name map
+    // outgrew the 2000-char stdout tail at 93 queries (1907 chars at 92,
+    // plus ~74 chars of sbt [success] suffix, left no room to ever add a
+    // query). Every full name begins with its prefix, so the mapping is
+    // recoverable by inspection; SparkEntrySpec asserts the prefixes stay
+    // unique, and the full names print with full precision on stderr each
+    // pass.
+    def short(name: String): String = name.takeWhile(_ != '_')
+    val qs = medians.map { case (k, v) => "\"" + short(k) + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val total = medians.map(_._2).filter(_ >= 0).sum
     // ONE compact line, last on stdout (sbt appends ~74 chars of [success]).
@@ -120,8 +129,6 @@ object Bench {
     // "total_med" = total of per-query medians (was "total_of_medians";
     // shortened with the 92-query map pressing against the tail budget —
     // the driver JSON-parses the line generically, the name is free-form).
-    // Next lever if the map outgrows the tail: shorten query keys to their
-    // unique id prefixes ("d4", "t13", ...) and document the mapping.
     val line = s"""{"metric":"total_med","value":${f2(total)},"unit":"sec"$itersField,"queries":$qs$failedField,"sf":"$sfShort"}"""
     if (line.length > 1915)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — driver tail is 2000; shrink before adding queries")

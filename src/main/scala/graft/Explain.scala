@@ -23,7 +23,8 @@ object Explain {
       "j5_asof_join", "j6_range_join", "a12_heavy_hitters",
       "t6_pack_sequences", "d7_keep_first",
       "c1_decontam", "t8_repetition", "t11_vocab", "t12_tfidf",
-      "st3_interval_join", "t13_unigram", "e1_centroids", "ev1_funnel")
+      "st3_interval_join", "t13_unigram", "e1_centroids", "ev1_funnel",
+      "e2_rocchio", "x12_pivot", "t14_best_src")
     val sb = new StringBuilder("# Physical plans (formatted)\n")
     interesting.foreach { name =>
       val plan = Queries.all(name)(spark, sfDir).queryExecution.explainString(

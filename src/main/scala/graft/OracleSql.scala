@@ -1137,6 +1137,26 @@ object OracleSql {
          |      FROM embeddings)
          |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
 
+    // the oracle twin of the native bounded top_k_by aggregate is a plain
+    // per-source row_number over the tie-safe-ROUNDED quality score (t2's
+    // formula) — different algorithm, same semantics.
+    "t14_best_src" -> {
+      val punct = "CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / nullif(length(text), 0)"
+      val stop = s"CAST(len(list_filter(tok, t -> t IN ($enList))) AS DOUBLE) / len(tok)"
+      val score = s"0.4 * LEAST(CAST(len(tok) AS DOUBLE) / 100, 1.0) + 0.3 * (1.0 - $punct) + 0.3 * LEAST($stop * 5, 1.0)"
+      s"""WITH sc AS (
+         |  SELECT doc_id, source, ${R(score, 6)} AS q
+         |  FROM (SELECT doc_id, source, text, string_split(text, ' ') AS tok
+         |        FROM documents)),
+         |r AS (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY source ORDER BY q DESC, doc_id) AS rank
+         |  FROM sc WHERE q IS NOT NULL)
+         |SELECT source, CAST(rank AS INTEGER) AS rank, doc_id,
+         |       q AS quality_score
+         |FROM r WHERE rank <= 3 ORDER BY source, rank""".stripMargin
+    },
+
     // centroids are the tie-safe-ROUNDED means (same as labelCentroids /
     // e1), so both engines measure distances against identical centroid
     // values; dist2 is rounded the same way before the argmin, with the

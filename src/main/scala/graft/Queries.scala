@@ -770,6 +770,24 @@ object Queries {
     Funnel.userFunnel(Sources.events(s, dir))
       .orderBy("user_id")
 
+  /** Top-3 quality documents per source via the native bounded `top_k_by`
+    * aggregate — a quality-ranked per-domain cap (RefinedWeb-style) with NO
+    * per-source window sort: each map partition reduces to <= k pairs per
+    * source before the shuffle (see [[graft.functions.TopKByScore]]).
+    * Scores are tie-safe rounded BEFORE ranking so the (score desc, doc_id
+    * asc) order is engine-stable. */
+  def t14BestPerSource(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    ext.TextOps.withQualityScore(Sources.documents(s, dir))
+      .withColumn("q", Num.cround(col("quality_score"), 6))
+      .groupBy("source")
+      .agg(expr("top_k_by(q, doc_id, 3)").as("tk"))
+      .select(col("source"), posexplode(col("tk")).as(Seq("r", "t")))
+      .select(col("source"), (col("r") + 1).cast("int").as("rank"),
+        col("t.id").as("doc_id"), col("t.score").as("quality_score"))
+      .orderBy("source", "rank")
+  }
+
   def m1MultimodalMeta(s: SparkSession, dir: String): DataFrame =
     ext.Multimodal.decodeMeta(s,
       ext.Multimodal.asMediaTable(Sources.documents(s, dir)))
@@ -842,6 +860,7 @@ object Queries {
     "t11_vocab" -> (t11Vocab _),
     "t12_tfidf" -> (t12Tfidf _),
     "t13_unigram" -> (t13UnigramLm _),
+    "t14_best_src" -> (t14BestPerSource _),
     "e1_centroids" -> (e1Centroids _),
     "e2_rocchio" -> (e2NearestCentroid _),
     "ev1_funnel" -> (ev1Funnel _),

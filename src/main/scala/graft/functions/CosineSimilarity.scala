@@ -92,7 +92,10 @@ object GraftFunctions {
     "cosine_similarity" ->
       ((children: Seq[Expression]) => CosineSimilarity(children(0), children(1))),
     "heavy_hitters" ->
-      ((children: Seq[Expression]) => HeavyHitters(children(0), children(1))))
+      ((children: Seq[Expression]) => HeavyHitters(children(0), children(1))),
+    "top_k_by" ->
+      ((children: Seq[Expression]) =>
+        TopKByScore(children(0), children(1), children(2))))
 
   // replace-always: after register(), SQL text resolves these names to the
   // native expressions even if something else claimed them earlier. The

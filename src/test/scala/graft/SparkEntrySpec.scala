@@ -14,6 +14,15 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(q.diff(o).isEmpty, s"queries missing oracle SQL: ${q.diff(o)}")
   }
 
+  test("query id prefixes are unique (bench JSON key contract)") {
+    // Bench compacts each query name to its id prefix (before the first
+    // '_') in the reporting JSON; a collision would silently merge two
+    // queries' timings in the driver's BENCH file.
+    val byPrefix = SparkEntry.queries.keySet.groupBy(_.takeWhile(_ != '_'))
+    val dups = byPrefix.filter(_._2.size > 1)
+    assert(dups.isEmpty, s"colliding bench key prefixes: $dups")
+  }
+
   test("entry() returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).limit(5).count() > 0)
   }
