@@ -96,6 +96,92 @@ object Multimodal {
     media.as[MediaRow].mapPartitions(_.map(stubResize(_, width, height)))
   }
 
+  case class PHashRow(doc_id: Long, format: String, ok: Boolean, phash: Long)
+
+  /** Average-hash (aHash) perceptual fingerprint on the bundled JDK only:
+    * ImageIO decode -> 8x8 grayscale downscale (Graphics2D bilinear) ->
+    * threshold each cell against the mean luminance -> 64-bit hash. Images
+    * within small edits (recompression, light noise, small local changes)
+    * land within a few bits of each other; hamming distance <= t is the
+    * standard near-dup test for image dedup in a multimodal corpus. A
+    * non-decodable payload reports ok=false, phash=0 (and is excluded from
+    * pair search). Bit order: bit (8*y + x), row-major; a cell sets its bit
+    * iff its luminance is STRICTLY above the mean (deterministic on ties —
+    * a uniform image hashes to 0). */
+  def aHash(row: MediaRow): PHashRow = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.payload))
+      catch { case _: Exception => null }
+    if (img == null) PHashRow(row.doc_id, row.format, ok = false, 0L)
+    else {
+      val small = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val g = small.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, 8, 8, null)
+      g.dispose()
+      val raster = small.getRaster
+      val px = Array.tabulate(64)(i => raster.getSample(i % 8, i / 8, 0))
+      val mean = px.sum / 64.0
+      var h = 0L
+      var i = 0
+      while (i < 64) { if (px(i) > mean) h |= (1L << i); i += 1 }
+      PHashRow(row.doc_id, row.format, ok = true, h)
+    }
+  }
+
+  /** Distributed perceptual hashing (decoder init once per partition). */
+  def perceptualHashes(spark: SparkSession, media: DataFrame): Dataset[PHashRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.map(aHash))
+  }
+
+  /** Near-duplicate image pairs: hamming(phash_a, phash_b) <= maxBits.
+    *
+    * Scale shape — multi-index pigeonhole banding, NEVER all-pairs: the
+    * 64-bit hash splits into maxBits+1 disjoint bands, and any pair within
+    * maxBits differing bits must agree EXACTLY on at least one band
+    * (pigeonhole), so candidates come from an equi-join on (band index,
+    * band value) — the same bucketed-join discipline as MinHash-LSH
+    * (Dedup.lshCandidatePairs) — and only candidates pay the bit_count
+    * verification. Hot buckets (e.g. the all-zero hash of uniform images)
+    * are capped like LSH buckets to bound the worst-case pair blowup. */
+  def nearDupImagePairs(spark: SparkSession, media: DataFrame,
+                        maxBits: Int = 3,
+                        maxPerBucket: Int = 128): DataFrame = {
+    require(maxBits >= 0 && maxBits <= 15, "maxBits must be in [0, 15]")
+    val nBands = maxBits + 1
+    val bandBits = 64 / nBands
+    val mask = (1L << bandBits) - 1
+    val hashed = perceptualHashes(spark, media).toDF
+      .filter(col("ok")).select("doc_id", "phash")
+    // the LAST band absorbs the remainder bits when nBands does not divide
+    // 64 — every hash bit must belong to some band or the pigeonhole
+    // guarantee silently breaks for pairs differing only in uncovered bits
+    val bands = hashed.select(col("doc_id"), col("phash"), explode(array(
+      (0 until nBands).map { b =>
+        val v = if (b == nBands - 1) expr(s"shiftright(phash, ${b * bandBits})")
+                else expr(s"shiftright(phash, ${b * bandBits}) & ${mask}L")
+        struct(lit(b).as("band"), v.as("value"))
+      }: _*)).as("bv"))
+      .select(col("doc_id"), col("phash"),
+        col("bv.band").as("band"), col("bv.value").as("value"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "value").orderBy("doc_id")
+    val capped = bands
+      .withColumn("__bn", row_number().over(wB))
+      .filter(col("__bn") <= maxPerBucket)
+      .drop("__bn")
+    capped.as("a").join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.value") === col("b.value") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.phash ^ b.phash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxBits)
+  }
+
   case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
   /** Frame sampling: treat the payload as a sequence of fixed-size frame

@@ -394,6 +394,48 @@ class ExtSpec extends AnyFunSuite {
       "a real JPEG must decode to its true dimensions")
   }
 
+  test("multimodal: perceptual aHash finds near-dup images, not distinct ones") {
+    import spark.implicits._
+    // deterministic 64x64 gradient-checker image; `tweak` nudges a few
+    // pixels (a light edit a recompression might cause), `invert` flips
+    // luminance everywhere (a genuinely different image)
+    def encode(tweak: Boolean, invert: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val base = ((x / 8 + y / 8) % 2) * 200 + (x + y) % 40
+        val v0 = if (invert) 255 - base else base
+        val v = math.min(255, math.max(0,
+          if (tweak && x < 3 && y < 3) v0 + 25 else v0))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      buf.toByteArray
+    }
+    val media = Seq(
+      (0L, encode(tweak = false, invert = false), "png"),
+      (1L, encode(tweak = true, invert = false), "png"),  // near-dup of 0
+      (2L, encode(tweak = false, invert = true), "png"),  // different
+      (3L, "broken".getBytes("UTF-8"), "png"))            // non-decodable
+      .toDF("doc_id", "payload", "format")
+
+    val hashes = Multimodal.perceptualHashes(spark, media).collect()
+      .map(h => h.doc_id -> h).toMap
+    assert(hashes(0L).ok && hashes(2L).ok && !hashes(3L).ok)
+    assert(hashes(0L).phash != hashes(2L).phash,
+      "inverted image must hash differently")
+    assert(java.lang.Long.bitCount(hashes(0L).phash ^ hashes(2L).phash) > 3,
+      "inverted image is far in hamming distance")
+    assert(java.lang.Long.bitCount(hashes(0L).phash ^ hashes(1L).phash) <= 3,
+      "lightly edited image stays within 3 bits")
+
+    val pairs = Multimodal.nearDupImagePairs(spark, media, maxBits = 3)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.toSet == Set((0L, 1L)),
+      s"only the tweaked pair is a near-dup, got ${pairs.toSet}")
+  }
+
   test("decontamination flags a planted 8-gram leak, counts exactly") {
     import spark.implicits._
     // benchmark doc = exactly one 8-gram; corpus doc 0 embeds it in a
