@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
   * order a production pretraining pipeline runs them —
   *
   *   exact dedup -> near dedup (MinHash/LSH + clustering) ->
-  *   quality + language filters -> benchmark decontamination ->
+  *   quality + language filters [-> unigram-LM surprise filter] ->
+  *   benchmark decontamination [-> per-source quality cap] ->
   *   source mixing -> sequence packing
   *
   * Exact dedup goes first (cheapest pass, biggest volume win on crawled
@@ -37,7 +38,13 @@ object CorpusPipeline {
       sourceStrides: Map[String, Int] = Map.empty,
       packBudgetTokens: Int = 2048,
       redact: Boolean = true,
-      decontamNgram: Int = 8)
+      decontamNgram: Int = 8,
+      // CCNet-style LM filter: drop docs whose mean token surprise under
+      // the survivors' own unigram LM exceeds the ceiling (None = skip)
+      maxSurprise: Option[Double] = None,
+      // RefinedWeb-style per-source cap: keep only the k best-quality docs
+      // of each source (None = unlimited)
+      perSourceCap: Option[Int] = None)
 
   /** Row counts after each stage — the shrinkage funnel every corpus run
     * reports. Computing it costs one count action per stage (each cheap:
@@ -48,7 +55,9 @@ object CorpusPipeline {
       afterExactDedup: Long,
       afterNearDedup: Long,
       afterFilters: Long,
+      afterLmFilter: Long,
       afterDecontam: Long,
+      afterCap: Long,
       afterMix: Long,
       nPacks: Long)
 
@@ -91,6 +100,20 @@ object CorpusPipeline {
       .select(docs.columns.map(col): _*)
       .localCheckpoint(true)
 
+    // 3b. optional unigram-LM surprise filter (CCNet-style): the LM is the
+    // filter survivors' OWN unigram distribution — no external model
+    // artifact — and a doc whose mean token surprise exceeds the ceiling
+    // is dropped as out-of-distribution noise. Runs after the heuristic
+    // filters so the LM trains on already-plausible text.
+    val lmFiltered = cfg.maxSurprise match {
+      case Some(ceiling) =>
+        TextOps.withUnigramLogProb(filtered)
+          .filter(col("avg_neg_logprob") <= ceiling)
+          .select(docs.columns.map(col): _*)
+          .localCheckpoint(true)
+      case None => filtered
+    }
+
     // 4. benchmark decontamination: drop filter survivors sharing an
     // n-gram with the held-out eval set. Runs AFTER redaction (both sides
     // hash normalized text) and BEFORE mixing, so a leak can never ride a
@@ -100,18 +123,37 @@ object CorpusPipeline {
     val decontaminated = benchmark match {
       case Some(bench) =>
         val contaminated = Decontaminate.contamination(
-          filtered, if (cfg.redact) TextOps.redact(bench) else bench,
+          lmFiltered, if (cfg.redact) TextOps.redact(bench) else bench,
           cfg.decontamNgram).select(col("doc_id"))
-        filtered.join(contaminated, Seq("doc_id"), "left_anti")
+        lmFiltered.join(contaminated, Seq("doc_id"), "left_anti")
           .localCheckpoint(true)
-      case None => filtered
+      case None => lmFiltered
+    }
+
+    // 4b. optional per-source cap: keep the k best-quality docs of each
+    // source via the bounded top_k_by aggregate — each map partition
+    // reduces to <= k (score, id) pairs per source before the shuffle, so
+    // there is NO per-source window sort (functions/TopKByScore); the
+    // survivors come back by payload-free doc_id semi-join. Runs after
+    // decontamination so caps fill with clean documents.
+    val capped = cfg.perSourceCap match {
+      case Some(cap) =>
+        graft.functions.GraftFunctions.register(docs.sparkSession)
+        val best = TextOps.withQualityScore(decontaminated)
+          .withColumn("__q", graft.ops.Num.cround(col("quality_score"), 6))
+          .groupBy("source")
+          .agg(expr(s"top_k_by(__q, doc_id, $cap)").as("tk"))
+          .select(explode(col("tk.id")).as("doc_id"))
+        decontaminated.join(best, Seq("doc_id"), "left_semi")
+          .localCheckpoint(true)
+      case None => decontaminated
     }
 
     // 5. source mixing, 6. packing (1:1 with the mixed survivors).
     // Checkpoint between them: each sharded prefix sum reads its input
     // from two branches (local cumsum + shard totals), so an unbroken
     // mix->pack lineage would recompute the mix join four times.
-    val mixed = TextOps.sourceMix(decontaminated, cfg.sourceStrides)
+    val mixed = TextOps.sourceMix(capped, cfg.sourceStrides)
       .localCheckpoint(true)
     val packed = TextOps.packSequences(mixed, cfg.packBudgetTokens)
       .localCheckpoint(true)
@@ -121,7 +163,9 @@ object CorpusPipeline {
       afterExactDedup = exactUnique.count(),
       afterNearDedup = nearUnique.count(),
       afterFilters = filtered.count(),
+      afterLmFilter = lmFiltered.count(),
       afterDecontam = decontaminated.count(),
+      afterCap = capped.count(),
       afterMix = packed.count(), // packing is row-preserving
       nPacks = packed.select("source", "pack_id").distinct().count())
     (packed, report)
