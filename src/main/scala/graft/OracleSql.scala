@@ -390,6 +390,27 @@ object OracleSql {
          |  FROM dedup)
          |WHERE rn <= 5 ORDER BY symbol, "date"""".stripMargin),
 
+    "w10_drawdown" -> withCtes(stockCte, cleanCte, dedupCte)(
+      s"""SELECT symbol, "date", ${R("close", 6)} AS close,
+         |       ${R("cummax", 6)} AS cummax,
+         |       ${R("close / cummax - 1", 6)} AS drawdown
+         |FROM (
+         |  SELECT symbol, "date", close,
+         |         MAX(close) OVER (PARTITION BY symbol ORDER BY "date"
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cummax
+         |  FROM dedup)
+         |ORDER BY symbol, "date"""".stripMargin),
+
+    // engine-agnostic UNION ALL rendering of the melt (DuckDB's UNPIVOT
+    // keyword would work too; the union form is self-evidently the same
+    // relation as Spark's unpivot)
+    "u3_unpivot" -> withCtes(stockCte, cleanCte, dedupCte)(
+      s"""SELECT symbol, "date", 'open' AS field, ${R("open", 6)} AS value FROM dedup
+         |UNION ALL SELECT symbol, "date", 'high', ${R("high", 6)} FROM dedup
+         |UNION ALL SELECT symbol, "date", 'low', ${R("low", 6)} FROM dedup
+         |UNION ALL SELECT symbol, "date", 'close', ${R("close", 6)} FROM dedup
+         |ORDER BY symbol, "date", field""".stripMargin),
+
     "o1_sort_date" -> withCtes(stockCte)(
       s"""SELECT "date", rid, ${R("close", 6)} AS close
          |FROM stock ORDER BY "date", rid LIMIT 500""".stripMargin),

@@ -562,6 +562,32 @@ object Queries {
       .orderBy("symbol")
   }
 
+  /** Running maximum + drawdown per symbol — the classic "how far below
+    * the all-time high" series. One cumulative window over the same
+    * (symbol, date) sort every other w-query uses. */
+  def w10Drawdown(s: SparkSession, dir: String): DataFrame =
+    windowQuery(s, dir)(df => rounded(df.select(col("symbol"), col("date"),
+      col("close"),
+      max("close").over(w.rowsBetween(Window.unboundedPreceding, 0)).as("cummax"),
+      (col("close") / max("close").over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+        .as("drawdown")),
+      Seq("close", "cummax", "drawdown")))
+
+  /** Unpivot/melt — the inverse of x12's pivot: OHLC columns stack into
+    * (field, value) rows. Zero shuffle: unpivot is a generate-style
+    * projection (each input row emits 4 output rows in place); the only
+    * exchange is the final presentation sort. */
+  def u3Unpivot(s: SparkSession, dir: String): DataFrame =
+    rounded(cleanedStock(s, dir)
+      .select(col("symbol"), col("date"), col("open"), col("high"),
+        col("low"), col("close"))
+      .unpivot(
+        Array(col("symbol"), col("date")),
+        Array(col("open"), col("high"), col("low"), col("close")),
+        "field", "value"),
+      Seq("value"))
+      .orderBy("symbol", "date", "field")
+
   def w8TrailingK(s: SparkSession, dir: String): DataFrame = {
     val wDesc = Window.partitionBy("symbol").orderBy(col("date").desc)
     rounded(cleanedStock(s, dir).drop("rid")
@@ -886,6 +912,8 @@ object Queries {
     "s2_overview_join" -> (s2OverviewJoin _),
     "w7_latest_row" -> (w7LatestRow _),
     "w8_trailing_k" -> (w8TrailingK _),
+    "w10_drawdown" -> (w10Drawdown _),
+    "u3_unpivot" -> (u3Unpivot _),
     "o1_sort_date" -> (o1SortDate _),
     "o2_composite_sort" -> (o2CompositeSort _),
     "o5_sort_measure_desc" -> (o5SortMeasureDesc _)
