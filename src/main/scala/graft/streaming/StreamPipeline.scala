@@ -130,6 +130,29 @@ object StreamPipeline {
       .dropDuplicatesWithinWatermark("__digest")
       .drop("__digest")
 
+  /** Streaming windowed top-k: per (hour, event_type), the k highest-value
+    * events via the native bounded [[graft.functions.TopKByScore]]
+    * aggregate running INSIDE streaming state. The aggregate's
+    * serialize/deserialize contract is exactly what the state store needs,
+    * so the same bound that caps the batch shuffle caps streaming state: a
+    * window's state never exceeds k (score, id) pairs per type regardless
+    * of event volume within the window — the leaderboard query an
+    * unbounded deployment can actually keep running. Deterministic ties
+    * (value, then smaller event_id) as everywhere. */
+  def windowedTopK(events: DataFrame, k: Int = 3,
+                   watermark: String = "2 hours"): DataFrame = {
+    graft.functions.GraftFunctions.register(events.sparkSession)
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(expr(s"top_k_by(value, event_id, $k)").as("tk"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        posexplode(col("tk")).as(Seq("r", "t")))
+      .select(col("window_start"), col("event_type"),
+        (col("r") + 1).cast("int").as("rank"),
+        col("t.id").as("event_id"), col("t.score").as("value"))
+  }
+
   /** Stream-static enrichment: broadcast-join a static dimension into the
     * stream (left join — events with no dimension row pass through with
     * nulls, they are facts either way). Stateless: no streaming state is

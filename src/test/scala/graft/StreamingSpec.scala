@@ -141,6 +141,31 @@ class StreamingSpec extends AnyFunSuite {
       "streamed attribution rows diverge from the batch twin")
   }
 
+  test("native top_k_by aggregate runs inside streaming state, matches batch") {
+    val dir = "/root/testdata/sf0.001"
+    val landing = java.nio.file.Files.createTempDirectory("graft-events-topk")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      landing.resolve("part-0.parquet"))
+    // complete mode: bounded one-shot batch, compare ALL windows (append
+    // would hold back windows the watermark has not finalized)
+    val q = StreamPipeline.windowedTopK(
+        StreamPipeline.readEvents(spark, landing.toString))
+      .writeStream.format("memory").queryName("windowed_topk_test")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("windowed_topk_test")
+
+    val batch = StreamPipeline.windowedTopK(Sources.events(spark, dir))
+    assert(batch.count() > 0)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "streamed per-window top-k diverges from the batch twin")
+  }
+
   test("streaming ingest dedup drops re-delivered content, keeps first") {
     import spark.implicits._
     // two micro-batches: batch 2 re-delivers doc 1's CONTENT under a new
