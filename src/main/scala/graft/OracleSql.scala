@@ -607,6 +607,39 @@ object OracleSql {
          |GROUP BY ROLLUP (r_name, c_mktsegment)
          |ORDER BY r_name, c_mktsegment""".stripMargin,
 
+    "j7_cube" ->
+      s"""SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+         |       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+         |       COUNT(*) AS n_orders, ${R("SUM(o_totalprice)", 2)} AS revenue
+         |FROM orders
+         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "j8_full_outer" ->
+      s"""WITH a AS (
+         |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         |         ${R("SUM(o_totalprice)", 2)} AS order_revenue
+         |  FROM orders
+         |  WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-08-31'
+         |  GROUP BY 1),
+         |b AS (
+         |  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+         |         ${R("SUM(l_extendedprice)", 2)} AS shipped_value
+         |  FROM lineitem
+         |  WHERE l_shipdate BETWEEN DATE '1995-05-01' AND DATE '1996-02-28'
+         |  GROUP BY 1)
+         |SELECT month, order_revenue, shipped_value
+         |FROM a FULL JOIN b USING (month)
+         |ORDER BY month""".stripMargin,
+
+    "w11_range_mean" -> withCtes(stockCte, cleanCte, dedupCte)(
+      s"""SELECT symbol, "date", ${R("rm", 2)} AS range_ma7 FROM (
+         |  SELECT symbol, "date",
+         |         AVG(close) OVER (PARTITION BY symbol ORDER BY "date"
+         |           RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS rm
+         |  FROM dedup)
+         |ORDER BY symbol, "date"""".stripMargin),
+
     "st1_tumbling_window" ->
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
          |       event_type, COUNT(*) AS n_events,

@@ -367,6 +367,50 @@ object Queries {
          |ORDER BY r_name, c_mktsegment""".stripMargin)
   }
 
+  /** CUBE over (status, priority): all four grouping sets in one Expand +
+    * one hash aggregate — the full cross-dimensional subtotal lattice
+    * (rollup's j4 covers the hierarchical prefix sets). No join upstream,
+    * so Dataset.cube resolves directly. */
+  def j7Cube(s: SparkSession, dir: String): DataFrame =
+    rounded(Sources.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("revenue"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("n_orders"), col("revenue")),
+      Seq("revenue"), 2)
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  /** Full outer join of two monthly series with PARTLY-overlapping date
+    * ranges — both exclusive branches are genuinely exercised (months with
+    * orders but no shipments, months with shipments but no orders, and the
+    * overlap). */
+  def j8FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val a = Sources.orders(s, dir)
+      .filter(col("o_orderdate").between("1995-01-01", "1995-08-31"))
+      .groupBy(trunc(col("o_orderdate"), "month").as("month"))
+      .agg(sum("o_totalprice").as("order_revenue"))
+    val b = Sources.lineitem(s, dir)
+      .filter(col("l_shipdate").between("1995-05-01", "1996-02-28"))
+      .groupBy(trunc(col("l_shipdate"), "month").as("month"))
+      .agg(sum("l_extendedprice").as("shipped_value"))
+    rounded(a.join(b, Seq("month"), "full_outer"),
+      Seq("order_revenue", "shipped_value"), 2)
+      .orderBy("month")
+  }
+
+  /** RANGE-frame rolling mean: the trailing-7-CALENDAR-DAY average close —
+    * unlike the ROWS frames of w3/w4, the frame follows the date VALUE, so
+    * gaps in the trading calendar shrink the window instead of reaching
+    * further back. Ordering by unix_date keeps the range arithmetic in
+    * exact integer days. */
+  def w11RangeMean(s: SparkSession, dir: String): DataFrame = {
+    val wr = Window.partitionBy("symbol").orderBy(expr("unix_date(date)"))
+      .rangeBetween(-6, 0)
+    windowQuery(s, dir)(df => rounded(df.select(col("symbol"), col("date"),
+      avg("close").over(wr).as("range_ma7")), Seq("range_ma7"), 2))
+  }
+
   /** As-of join (backward): attach to every price bar the most recent
     * order-book mark at or before the bar date, per symbol. The naive form
     * is a theta join (BroadcastNestedLoopJoin, quadratic per key);
@@ -865,6 +909,9 @@ object Queries {
     "st1_tumbling_window" -> (st1TumblingWindow _),
     "st2_sessionize" -> (st2Sessionize _),
     "j4_rollup" -> (j4Rollup _),
+    "j7_cube" -> (j7Cube _),
+    "j8_full_outer" -> (j8FullOuter _),
+    "w11_range_mean" -> (w11RangeMean _),
     "d1_dedup_exact" -> (d1DedupExact _),
     "d7_keep_first" -> (d7KeepFirst _),
     "d2_minhash_lsh" -> (d2MinhashLsh _),
