@@ -120,4 +120,22 @@ class PlanSpec extends AnyFunSuite {
       || rng.contains("ShuffledHashJoin"),
       "range join must key on the time bucket")
   }
+
+  test("per-source top-k aggregates partially before the shuffle — no window sort") {
+    val p = plan("t14_best_src")
+    // the bounded aggregate must plan as partial -> exchange -> final
+    // ObjectHashAggregate; a Window node would mean the per-source
+    // row_number sort crept back in (the single-reducer trap t14 exists
+    // to avoid)
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      "top_k_by should plan two-level ObjectHashAggregate")
+    assert(!p.contains("Window"), "t14 must not plan a per-source window sort")
+  }
+
+  test("funnel runs every stage over one user_id exchange") {
+    val p = plan("ev1_funnel")
+    val userExchanges = "hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(userExchanges == 1,
+      s"expected exactly one user_id hash exchange, got $userExchanges")
+  }
 }
