@@ -219,6 +219,18 @@ object OracleSql {
     "u2_distinct" -> withCtes(stockCte)(
       "SELECT DISTINCT symbol FROM stock ORDER BY symbol"),
 
+    "u4_intersect" -> withCtes(stockCte)(
+      """SELECT symbol FROM stock WHERE "date" BETWEEN DATE '1995-01-01' AND DATE '1995-06-30'
+        |INTERSECT
+        |SELECT symbol FROM stock WHERE "date" BETWEEN DATE '1995-07-01' AND DATE '1995-12-31'
+        |ORDER BY symbol""".stripMargin),
+
+    "u5_except" -> withCtes(stockCte)(
+      """SELECT symbol FROM stock WHERE "date" BETWEEN DATE '1995-01-01' AND DATE '1995-06-30'
+        |EXCEPT
+        |SELECT symbol FROM stock WHERE "date" BETWEEN DATE '1995-07-01' AND DATE '1995-12-31'
+        |ORDER BY symbol""".stripMargin),
+
     "w1_lag_diff" -> withCtes(stockCte, cleanCte, dedupCte)(
       s"""SELECT symbol, "date",
          |  ${R("close - LAG(close) OVER w", 6)} AS daily_change

@@ -99,6 +99,26 @@ object Queries {
   def u2Distinct(s: SparkSession, dir: String): DataFrame =
     Sources.stockFromLineitem(s, dir).select("symbol").distinct().orderBy("symbol")
 
+  /** Symbols trading in BOTH halves of 1995 (INTERSECT) — Catalyst plans
+    * set intersection as aggregate + left-semi hash join, one shuffle per
+    * side on the compared columns. */
+  def u4Intersect(s: SparkSession, dir: String): DataFrame = {
+    val stock = Sources.stockFromLineitem(s, dir)
+    stock.filter(col("date").between("1995-01-01", "1995-06-30")).select("symbol")
+      .intersect(
+        stock.filter(col("date").between("1995-07-01", "1995-12-31")).select("symbol"))
+      .orderBy("symbol")
+  }
+
+  /** Symbols trading in H1 1995 but NOT H2 (EXCEPT) — the anti-join twin. */
+  def u5Except(s: SparkSession, dir: String): DataFrame = {
+    val stock = Sources.stockFromLineitem(s, dir)
+    stock.filter(col("date").between("1995-01-01", "1995-06-30")).select("symbol")
+      .except(
+        stock.filter(col("date").between("1995-07-01", "1995-12-31")).select("symbol"))
+      .orderBy("symbol")
+  }
+
   // ===== window functions (W1-W5) ==========================================
 
   private def windowQuery(s: SparkSession, dir: String)(expr: DataFrame => DataFrame): DataFrame =
@@ -873,6 +893,8 @@ object Queries {
     "f4_dedup_keep_last" -> (f4DedupKeepLast _),
     "u1_union_all" -> (u1UnionAll _),
     "u2_distinct" -> (u2Distinct _),
+    "u4_intersect" -> (u4Intersect _),
+    "u5_except" -> (u5Except _),
     "w1_lag_diff" -> (w1LagDiff _),
     "w2_pct_change" -> (w2PctChange _),
     "w3_ma5" -> (w3Ma5 _),
