@@ -1078,6 +1078,38 @@ object OracleSql {
          |ORDER BY doc_id""".stripMargin
     },
 
+    // filter and argmax both use the tie-safe-ROUNDED cosine (same as the
+    // Spark side), so threshold-straddling and rank-flipping ulps are
+    // impossible by construction
+    "c2_embed_decontam" -> {
+      val cos = R("dp / (nc.nv * nb.nv)", 6)
+      s"""WITH u AS (
+         |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         |         generate_subscripts(embedding, 1) AS i
+         |  FROM embeddings),
+         |nrm AS (SELECT vec_id, SQRT(SUM(v * v)) AS nv FROM u GROUP BY 1),
+         |dt AS (
+         |  SELECT c.vec_id, b.vec_id AS bench_id, SUM(c.v * b.v) AS dp
+         |  FROM u c JOIN u b ON c.i = b.i
+         |    AND b.vec_id % 37 = 0 AND c.vec_id % 37 <> 0
+         |  GROUP BY 1, 2),
+         |f AS (
+         |  SELECT dt.vec_id, dt.bench_id, $cos AS cosine
+         |  FROM dt JOIN nrm nc ON nc.vec_id = dt.vec_id
+         |          JOIN nrm nb ON nb.vec_id = dt.bench_id
+         |  WHERE $cos >= 0.3),
+         |r AS (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY vec_id ORDER BY cosine DESC, bench_id) AS rn
+         |  FROM f)
+         |SELECT g.vec_id, g.n_matches, g.max_cosine, r.bench_id AS best_bench_id
+         |FROM (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+         |             MAX(cosine) AS max_cosine
+         |      FROM f GROUP BY 1) g
+         |JOIN r ON r.vec_id = g.vec_id AND r.rn = 1
+         |ORDER BY g.vec_id""".stripMargin
+    },
+
     "t8_repetition" -> {
       val ttf = "CAST(max_c AS DOUBLE) / n_tokens"
       val dbf = "1.0 - CAST(distinct_bigrams AS DOUBLE) / n_bigrams"

@@ -781,6 +781,20 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Semantic decontamination twin of c1: corpus vectors too close in
+    * cosine to the held-out slice (vec_id % 37 plays the eval set). The
+    * 0.3 threshold matches d5's near-dup regime — the synthetic embeddings
+    * are not semantically clustered, so the production ~0.9 paraphrase
+    * threshold would match nothing at this scale. */
+  def c2EmbedDecontam(s: SparkSession, dir: String): DataFrame = {
+    val emb = Sources.embeddings(s, dir)
+    ext.Similarity.embeddingContamination(
+      corpus = emb.filter(col("vec_id") % 37 =!= 0),
+      benchmark = emb.filter(col("vec_id") % 37 === 0),
+      threshold = 0.3)
+      .orderBy("vec_id")
+  }
+
   def t8Repetition(s: SparkSession, dir: String): DataFrame =
     ext.TextOps.withRepetitionStats(Sources.documents(s, dir))
       .select("doc_id", "n_tokens", "distinct_tokens", "top_tok_frac",
@@ -949,6 +963,7 @@ object Queries {
     "t6_pack_sequences" -> (t6PackSequences _),
     "t7_source_mix" -> (t7SourceMix _),
     "c1_decontam" -> (c1Decontam _),
+    "c2_embed_decontam" -> (c2EmbedDecontam _),
     "t8_repetition" -> (t8Repetition _),
     "t9_split" -> (t9Split _),
     "t10_budget" -> (t10Budget _),

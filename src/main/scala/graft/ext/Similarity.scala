@@ -277,6 +277,37 @@ object Similarity {
       .agg(count(lit(1)).as("n_vectors"),
         graft.ops.Num.cround(avg(col("__v").cast("double")), 6).as("centroid"))
 
+  /** Semantic decontamination: corpus vectors within cosine >= threshold
+    * of ANY benchmark vector — catches paraphrased eval-set leakage that
+    * n-gram overlap ([[Decontaminate]]) cannot see; the two run as
+    * complementary stages of the same hygiene pass. Per flagged vector:
+    * match count, best cosine, and the benchmark vector responsible
+    * (deterministic argmax on the tie-safe-ROUNDED cosine, ties to the
+    * smaller bench id). The filter also compares the rounded cosine, so a
+    * threshold-straddling ulp can never flag differently across engines.
+    *
+    * Shape at scale: the benchmark (an eval set) is small and broadcasts;
+    * the corpus never shuffles — one linear pass with the fused codegen
+    * cosine, then a vec_id-partial aggregate. Production paraphrase
+    * detection runs at ~0.9+; the driver fixture's synthetic embeddings
+    * are not semantically clustered, so its query uses the d5 near-dup
+    * threshold instead. */
+  def embeddingContamination(corpus: DataFrame, benchmark: DataFrame,
+                             threshold: Double = 0.9): DataFrame = {
+    val c = withDoubles(corpus).select(col("vec_id"), col("emb_d"))
+    val b = withDoubles(benchmark)
+      .select(col("vec_id").as("bench_id"), col("emb_d").as("b_emb"))
+    c.crossJoin(broadcast(b))
+      .withColumn("cosine", graft.ops.Num.cround(
+        nativeCosine(col("emb_d"), col("b_emb")), 6))
+      .filter(col("cosine") >= threshold)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_matches"),
+        max(col("cosine")).as("max_cosine"),
+        max_by(col("bench_id"), struct(col("cosine"), -col("bench_id")))
+          .as("best_bench_id"))
+  }
+
   /** Nearest-centroid (Rocchio) classification: assign each vector to the
     * label whose [[labelCentroids]] centroid is nearest in squared L2 — the
     * evaluation twin of the centroid table (centroid-classifier accuracy is
