@@ -24,7 +24,8 @@ object Explain {
       "t6_pack_sequences", "d7_keep_first",
       "c1_decontam", "t8_repetition", "t11_vocab", "t12_tfidf",
       "st3_interval_join", "t13_unigram", "e1_centroids", "ev1_funnel",
-      "e2_rocchio", "x12_pivot", "t14_best_src")
+      "e2_rocchio", "x12_pivot", "t14_best_src", "c2_embed_decontam",
+      "j7_cube", "j8_full_outer", "w11_range_mean", "u4_intersect")
     val sb = new StringBuilder("# Physical plans (formatted)\n")
     interesting.foreach { name =>
       val plan = Queries.all(name)(spark, sfDir).queryExecution.explainString(

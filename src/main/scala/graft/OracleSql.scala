@@ -219,6 +219,10 @@ object OracleSql {
     "u2_distinct" -> withCtes(stockCte)(
       "SELECT DISTINCT symbol FROM stock ORDER BY symbol"),
 
+    "o7_paginate" -> withCtes(stockCte, cleanCte, dedupCte)(
+      s"""SELECT symbol, "date", ${R("close", 6)} AS close
+         |FROM dedup ORDER BY symbol, "date" LIMIT 500 OFFSET 1000""".stripMargin),
+
     "u4_intersect" -> withCtes(stockCte)(
       """SELECT symbol FROM stock WHERE "date" BETWEEN DATE '1995-01-01' AND DATE '1995-06-30'
         |INTERSECT

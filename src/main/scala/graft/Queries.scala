@@ -431,6 +431,16 @@ object Queries {
       avg("close").over(wr).as("range_ma7")), Seq("range_ma7"), 2))
   }
 
+  /** Keyset-free pagination: page 3 of the (symbol, date) ordering via
+    * OFFSET + LIMIT (Dataset.offset, Spark 3.4+). A global sort is
+    * unavoidable for positional pagination; the limit still caps what
+    * reaches the driver side of the collect-limit. */
+  def o7Paginate(s: SparkSession, dir: String): DataFrame =
+    rounded(cleanedStock(s, dir)
+      .select(col("symbol"), col("date"), col("close"))
+      .orderBy("symbol", "date")
+      .offset(1000).limit(500), Seq("close"))
+
   /** As-of join (backward): attach to every price bar the most recent
     * order-book mark at or before the bar date, per symbol. The naive form
     * is a theta join (BroadcastNestedLoopJoin, quadratic per key);
@@ -929,6 +939,7 @@ object Queries {
     "o3_sort_limit" -> (o3SortLimit _),
     "o4_top_k" -> (o4TopK _),
     "o6_stride_sample" -> (o6StrideSample _),
+    "o7_paginate" -> (o7Paginate _),
     "s4_scan_limit" -> (s4ScanLimit _),
     "x2_calendar" -> (x2Calendar _),
     "x3_date_arith" -> (x3DateArith _),
