@@ -291,6 +291,14 @@ object OracleSql {
          |       ${R("AVG(daily_change_percent)", 2)} AS avg_daily_change_percent
          |FROM dcp""".stripMargin),
 
+    "a13_corr" -> withCtes(stockCte, cleanCte, dedupCte)(
+      s"""SELECT symbol,
+         |  ${R("corr(close, volume)", 6)} AS corr_cv,
+         |  ${R("covar_samp(close, volume)", 2)} AS covar_cv,
+         |  ${R("regr_slope(close, volume)", 2)} AS slope,
+         |  ${R("regr_intercept(close, volume)", 2)} AS intercept
+         |FROM dedup GROUP BY symbol ORDER BY symbol""".stripMargin),
+
     "a5_quantiles" -> withCtes(stockCte, cleanCte, dedupCte)(
       s"""SELECT symbol,
          |  ${R("quantile_cont(volume, 0.25)", 6)} AS vol_q1,

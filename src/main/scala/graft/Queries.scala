@@ -177,6 +177,26 @@ object Queries {
     rounded(Derive.volumeQuartiles(cleanedStock(s, dir)),
       Seq("vol_q1", "vol_q2", "vol_q3")).orderBy("symbol")
 
+  /** Bivariate statistics per symbol: Pearson correlation, sample
+    * covariance, and the OLS slope/intercept of close on volume — the
+    * exploratory-stats aggregate family, one hash aggregate. The unit-free
+    * correlation rounds at 6; the price-scaled co-moments (covar, slope,
+    * intercept) follow the multi-term-float-aggregation convention and
+    * round at 2 — both far above the engines' one-pass co-moment
+    * summation-order noise. */
+  def a13Corr(s: SparkSession, dir: String): DataFrame =
+    rounded(
+      rounded(cleanedStock(s, dir)
+        .groupBy("symbol")
+        .agg(
+          corr(col("close"), col("volume")).as("corr_cv"),
+          covar_samp(col("close"), col("volume")).as("covar_cv"),
+          regr_slope(col("close"), col("volume")).as("slope"),
+          regr_intercept(col("close"), col("volume")).as("intercept")),
+        Seq("corr_cv")),
+      Seq("covar_cv", "slope", "intercept"), 2)
+      .orderBy("symbol")
+
   def a7Stddev(s: SparkSession, dir: String): DataFrame = {
     val f = cleanedStock(s, dir).drop("rid")
       .withColumn("dcp", (col("close") / lag("close", 1).over(w) - 1) * 100)
@@ -953,6 +973,7 @@ object Queries {
     "j5_asof_join" -> (j5AsofJoin _),
     "j6_range_join" -> (j6RangeJoin _),
     "a12_heavy_hitters" -> (a12HeavyHitters _),
+    "a13_corr" -> (a13Corr _),
     "st1_tumbling_window" -> (st1TumblingWindow _),
     "st2_sessionize" -> (st2Sessionize _),
     "j4_rollup" -> (j4Rollup _),
