@@ -40,6 +40,20 @@ class TopKByScoreSpec extends AnyFunSuite {
     assert(topk(rows, 7)("g") == expect)
   }
 
+  test("randomized equivalence with the brute-force sort, ties exercised") {
+    // 500 rows, 7 groups, only 50 distinct scores -> heavy ties; the
+    // aggregate must equal the (score desc, id asc) sort's prefix for
+    // every group under any partial-merge order. Seeded = reproducible.
+    val rnd = new scala.util.Random(42)
+    val rows = (0L until 500L).map(i =>
+      (s"g${rnd.nextInt(7)}", i, rnd.nextInt(50) / 10.0))
+    val expected = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.sortBy { case (_, id, s) => (-s, id) }
+        .take(9).map { case (_, id, s) => (id, s) }
+    }
+    assert(topk(rows, 9) == expected)
+  }
+
   test("null and NaN scores are ignored") {
     import spark.implicits._
     val out = Seq(("g", 1L, Some(0.5)), ("g", 2L, None))
