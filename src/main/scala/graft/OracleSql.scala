@@ -1247,6 +1247,20 @@ object OracleSql {
          |      FROM embeddings)
          |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
 
+    // DuckDB list slicing toks[a:b] is 1-based INCLUSIVE of b, so
+    // toks[s+1 : s+64] is exactly Spark's slice(toks, s+1, 64)
+    "t15_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents)
+        |SELECT doc_id, CAST(s // 48 AS INTEGER) AS chunk_id,
+        |       CAST(LEAST(64, n - s) AS INTEGER) AS n_chunk_tokens,
+        |       array_to_string(toks[s+1 : s+64], ' ') AS chunk_text
+        |FROM t CROSS JOIN UNNEST(CASE WHEN n >= 1
+        |    THEN range(0, n, 48) ELSE [] END) AS u(s)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
     // the oracle twin of the native bounded top_k_by aggregate is a plain
     // per-source row_number over the tie-safe-ROUNDED quality score (t2's
     // formula) — different algorithm, same semantics.

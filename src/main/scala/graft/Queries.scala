@@ -904,6 +904,11 @@ object Queries {
     Funnel.userFunnel(Sources.events(s, dir))
       .orderBy("user_id")
 
+  /** RAG chunking of the documents table: 64-token windows, 16 overlap. */
+  def t15Chunks(s: SparkSession, dir: String): DataFrame =
+    ext.TextOps.chunkDocuments(Sources.documents(s, dir))
+      .orderBy("doc_id", "chunk_id")
+
   /** Top-3 quality documents per source via the native bounded `top_k_by`
     * aggregate — a quality-ranked per-domain cap (RefinedWeb-style) with NO
     * per-source window sort: each map partition reduces to <= k pairs per
@@ -1003,6 +1008,7 @@ object Queries {
     "t12_tfidf" -> (t12Tfidf _),
     "t13_unigram" -> (t13UnigramLm _),
     "t14_best_src" -> (t14BestPerSource _),
+    "t15_chunks" -> (t15Chunks _),
     "e1_centroids" -> (e1Centroids _),
     "e2_rocchio" -> (e2NearestCentroid _),
     "ev1_funnel" -> (ev1Funnel _),

@@ -438,6 +438,36 @@ object TextOps {
       .drop("__slog")
   }
 
+  /** RAG-style document chunking: fixed token windows with overlap —
+    * chunk i starts at token i*(chunkTokens-overlap) and spans up to
+    * chunkTokens tokens; every start below the document length emits a
+    * chunk (the langchain-style stride rule), so the final chunk may be a
+    * short tail. Output: (doc_id, chunk_id, n_chunk_tokens, chunk_text).
+    *
+    * Pure codegen'd array builtins (split/sequence/slice/concat_ws) with
+    * one posexplode — a linear generate-style projection, no shuffle, no
+    * UDF; chunk volume is bounded at ~n/stride rows per document. NULL or
+    * empty text emits no chunks (the chunk table is a derived corpus, not
+    * a row-preserving augmentation). */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int = 64,
+                     overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && chunkTokens > overlap,
+      "need chunkTokens > overlap >= 0")
+    val stride = chunkTokens - overlap
+    docs
+      .withColumn("__toks", tokens(col("text")))
+      .withColumn("__n", size(col("__toks")))
+      .select(col("doc_id"), col("__n"), posexplode(expr(
+        s"""CASE WHEN __n >= 1
+           |THEN transform(sequence(0, __n - 1, $stride),
+           |               s -> concat_ws(' ', slice(__toks, s + 1, $chunkTokens)))
+           |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+        .as(Seq("chunk_id", "chunk_text")))
+      .withColumn("n_chunk_tokens",
+        least(lit(chunkTokens), col("__n") - col("chunk_id") * stride))
+      .select("doc_id", "chunk_id", "n_chunk_tokens", "chunk_text")
+  }
+
   /** Document fingerprints: md5 of whitespace-normalized text (exact-dup
     * key) and the minimum shingle hash (a 1-permutation MinHash — stable
     * under small edits, the winnowing-style near-dup key). */

@@ -592,6 +592,25 @@ class ExtSpec extends AnyFunSuite {
       "cumulative totals are per-source prefix sums in doc_id order")
   }
 
+  test("chunking: stride windows with overlap, short tail, null text skipped") {
+    import spark.implicits._
+    // 10 tokens, chunk 4, overlap 1 -> stride 3 -> starts 0,3,6,9:
+    // chunks "a b c d" / "d e f g" / "g h i j" / "j" (1-token tail)
+    val docs = Seq(
+      (0L, "a b c d e f g h i j"),
+      (1L, "x y"),                    // single chunk, shorter than size
+      (2L, null.asInstanceOf[String])) // no chunks
+      .toDF("doc_id", "text")
+    val out = TextOps.chunkDocuments(docs, chunkTokens = 4, overlap = 1)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_id")) ->
+        (r.getAs[Int]("n_chunk_tokens"), r.getAs[String]("chunk_text"))).toMap
+    assert(out.keySet == Set((0L, 0), (0L, 1), (0L, 2), (0L, 3), (1L, 0)))
+    assert(out((0L, 0)) == ((4, "a b c d")))
+    assert(out((0L, 1)) == ((4, "d e f g")), "overlap repeats the boundary token")
+    assert(out((0L, 3)) == ((1, "j")), "the short tail chunk is kept")
+    assert(out((1L, 0)) == ((2, "x y")))
+  }
+
   test("unigram LM scoring: hand-computed surprise, null text survives") {
     import spark.implicits._
     // corpus occurrences: a=2, b=2, c=1; total N=5
