@@ -25,7 +25,8 @@ object Explain {
       "c1_decontam", "t8_repetition", "t11_vocab", "t12_tfidf",
       "st3_interval_join", "t13_unigram", "e1_centroids", "ev1_funnel",
       "e2_rocchio", "x12_pivot", "t14_best_src", "c2_embed_decontam",
-      "j7_cube", "j8_full_outer", "w11_range_mean", "u4_intersect")
+      "j7_cube", "j8_full_outer", "w11_range_mean", "u4_intersect",
+      "t15_chunks", "o7_paginate", "sim4_quantize", "m2_phash_pairs")
     val sb = new StringBuilder("# Physical plans (formatted)\n")
     interesting.foreach { name =>
       val plan = Queries.all(name)(spark, sfDir).queryExecution.explainString(

@@ -1013,6 +1013,35 @@ object OracleSql {
         |  FROM sc)
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
 
+    // int8 quantization round trip: scale = max|x|/127; qi = round(x/scale);
+    // signed + L1 element sums fingerprint the whole quantized vector;
+    // max|qi*scale - x| is the dequantization error; unit_head = x1/||x||.
+    // Zero vectors: scale 0, all-zero q_vec, zero unit vector (CASE arms
+    // mirror the Spark when/otherwise exactly).
+    "sim4_quantize" -> withCtes(
+      embUnnestCte(""),
+      """sc AS (
+        |  SELECT vec_id, MAX(ABS(CAST(v AS DOUBLE))) / 127.0 AS q_scale
+        |  FROM u GROUP BY vec_id)""".stripMargin,
+      """q AS (
+        |  SELECT u.vec_id, u.i, CAST(u.v AS DOUBLE) AS x, sc.q_scale,
+        |         CASE WHEN sc.q_scale = 0 THEN 0
+        |              ELSE CAST(ROUND(CAST(u.v AS DOUBLE) / sc.q_scale, 0) AS BIGINT) END AS qi
+        |  FROM u JOIN sc USING (vec_id))""".stripMargin,
+      """ag AS (
+        |  SELECT vec_id, MAX(q_scale) AS q_scale,
+        |         CAST(SUM(qi) AS BIGINT) AS q_sum,
+        |         CAST(SUM(ABS(qi)) AS BIGINT) AS q_l1,
+        |         MAX(ABS(qi * q_scale - x)) AS max_abs_err,
+        |         SQRT(SUM(x * x)) AS nv
+        |  FROM q GROUP BY vec_id)""".stripMargin,
+      "hd AS (SELECT vec_id, CAST(v AS DOUBLE) AS x1 FROM u WHERE i = 1)")(
+      s"""SELECT ag.vec_id, ${R("q_scale", 6)} AS q_scale, q_sum, q_l1,
+         |  ${R("max_abs_err", 6)} AS max_abs_err,
+         |  ${R("CASE WHEN nv = 0 THEN 0.0 ELSE x1 / nv END", 6)} AS unit_head
+         |FROM ag JOIN hd ON hd.vec_id = ag.vec_id
+         |ORDER BY ag.vec_id""".stripMargin),
+
     "t1_lang_id" -> withCtes(toksCte,
       s"""scs AS (
          |  SELECT doc_id, lang,
@@ -1394,6 +1423,34 @@ object OracleSql {
         |  CAST(CASE WHEN doc_id % 3 IN (0, 1) THEN -1 ELSE octet_length(encode(text)) % 640 + 1 END AS INTEGER) AS width,
         |  CAST(CASE WHEN doc_id % 3 IN (0, 1) THEN -1 ELSE octet_length(encode(text)) % 480 + 1 END AS INTEGER) AS height,
         |  CASE WHEN doc_id % 3 IN (0, 1) THEN FALSE ELSE octet_length(encode(text)) > 0 END AS ok
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Banded-pigeonhole phash pair join over the shared synthetic hash
+    // fixture (graft.ext.Multimodal.syntheticPhashSql renders this same
+    // formula for both engines). maxBits=4 -> 5 bands of 12 bits, band 4
+    // absorbing the 64-60 remainder (shift, NO mask); cap 8 per (band,
+    // value) bucket in doc_id order, mirroring the Spark row_number cap.
+    "m2_phash_pairs" -> withCtes(
+      s"""ph AS (
+         |  SELECT doc_id, ${graft.ext.Multimodal.syntheticPhashSql(
+                "//", (a, b) => s"xor($a, $b)",
+                p => s"(CAST(1 AS BIGINT) << $p)")} AS phash
+         |  FROM documents)""".stripMargin,
+      """bd AS (
+        |  SELECT doc_id, phash, t.band,
+        |         CASE WHEN t.band = 4 THEN phash >> 48
+        |              ELSE (phash >> (CAST(t.band AS INTEGER) * 12)) & 4095 END AS value
+        |  FROM ph, range(0, 5) t(band))""".stripMargin,
+      """cp AS (
+        |  SELECT * FROM (
+        |    SELECT bd.*, ROW_NUMBER() OVER (PARTITION BY band, value ORDER BY doc_id) AS rn
+        |    FROM bd)
+        |  WHERE rn <= 8)""".stripMargin)(
+      """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+        |FROM cp a JOIN cp b
+        |  ON a.band = b.band AND a.value = b.value AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 4
+        |ORDER BY doc_a, doc_b""".stripMargin)
   )
 }

@@ -768,6 +768,29 @@ object Queries {
     ext.Similarity.ivfTopK(Sources.embeddings(s, dir), ext.Similarity.ivfAnchors(s))
       .orderBy("query_id", "rank")
 
+  /** Round-trip verification of the int8 quantization tier
+    * (quantizeInt8 -> dequantizeInt8) plus l2Normalize: per-vector scale,
+    * whole-vector fingerprints of the quantized array (signed + L1 element
+    * sums — any flipped element changes both), the dequantization error
+    * (bounded by scale/2 per element), and the head of the unit vector.
+    * Scalars rather than raw arrays so the DuckDB hash compare stays on
+    * engine-portable types. */
+  def sim4Quantize(s: SparkSession, dir: String): DataFrame = {
+    val q = ext.Similarity.quantizeInt8(Sources.embeddings(s, dir))
+      .withColumn("deq", ext.Similarity.dequantizeInt8())
+      .withColumn("unit", ext.Similarity.l2Normalize())
+    rounded(q.select(
+      col("vec_id"),
+      col("q_scale"),
+      aggregate(col("q_vec"), lit(0L), (a, v) => a + v.cast("long")).as("q_sum"),
+      aggregate(col("q_vec"), lit(0L), (a, v) => a + abs(v.cast("long"))).as("q_l1"),
+      aggregate(zip_with(col("deq"), col("embedding"),
+          (d, x) => abs(d - x.cast("double"))),
+        lit(0.0), (a, v) => greatest(a, v)).as("max_abs_err"),
+      element_at(col("unit"), 1).as("unit_head")),
+      Seq("q_scale", "max_abs_err", "unit_head")).orderBy("vec_id")
+  }
+
   def t1LangId(s: SparkSession, dir: String): DataFrame =
     ext.TextOps.withLangId(Sources.documents(s, dir))
       .select("doc_id", "lang", "score_en", "score_de", "score_es", "score_fr",
@@ -932,6 +955,21 @@ object Queries {
       ext.Multimodal.asMediaTable(Sources.documents(s, dir)))
       .toDF.orderBy("doc_id")
 
+  /** Perceptual-hash near-dup pair join over a synthetic deterministic
+    * (doc_id, phash) table (Multimodal.syntheticPhashSql — one formula,
+    * both engine dialects). maxBits=4 makes nBands=5, which does NOT divide
+    * 64, so the remainder band (the subtle pigeonhole edge) is on the
+    * verified path; maxPerBucket=8 is below the hot every-23rd-doc bucket
+    * size at sf0.01+, so the cap path is verified too. */
+  def m2PhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val hashed = Sources.documents(s, dir).select(col("doc_id"),
+      expr(ext.Multimodal.syntheticPhashSql(
+        "div", (a, b) => s"($a ^ $b)",
+        p => s"shiftleft(CAST(1 AS BIGINT), $p)")).as("phash"))
+    ext.Multimodal.phashNearDupPairs(hashed, maxBits = 4, maxPerBucket = 8)
+      .orderBy("doc_a", "doc_b")
+  }
+
   // ===== registry ==========================================================
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -995,6 +1033,7 @@ object Queries {
     "sim1_cosine_topk" -> (sim1CosineTopk _),
     "sim2_lsh_topk" -> (sim2LshTopk _),
     "sim3_ivf_topk" -> (sim3IvfTopk _),
+    "sim4_quantize" -> (sim4Quantize _),
     "t1_lang_id" -> (t1LangId _),
     "t5_lang_ngram" -> (t5LangNgram _),
     "t6_pack_sequences" -> (t6PackSequences _),
@@ -1018,6 +1057,7 @@ object Queries {
     "t3_token_count" -> (t3TokenCount _),
     "t4_fingerprint" -> (t4Fingerprint _),
     "m1_multimodal_meta" -> (m1MultimodalMeta _),
+    "m2_phash_pairs" -> (m2PhashPairs _),
     "p1_rename" -> (p1Rename _),
     "p2_cast" -> (p2Cast _),
     "p3_literals" -> (p3Literals _),

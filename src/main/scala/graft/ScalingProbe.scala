@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Self-measured scaling probe (round-7 verdict item #1): convert the
+  * "these plans hold at 100×" claim from plan-shape argument into executed
+  * evidence.
+  *
+  * Step 1 — synthesize an sf1.0-equivalent corpus (~6 M lineitem rows) by
+  * replicating the driver's sf0.1 parquet `FACTOR`× with per-replica key
+  * offsets, the same way dbgen scales TPC-H: 10× the entities (symbols,
+  * orders, docs, vectors, users), constant rows-per-entity. Replicas must be
+  * genuinely DISTINCT data, not copies — copies would (a) collapse under the
+  * keep-last dedup instead of scaling it and (b) make every row a
+  * cross-replica near-duplicate, quadratically inflating the LSH/similarity
+  * candidate sets in a way no real corpus does. So:
+  *   - every key column gets `rep * (max_key + 1)` added;
+  *   - document tokens get a per-replica suffix (token counts, shingle
+  *     structure, source mix and WITHIN-replica duplicate rate are
+  *     preserved; ACROSS replicas nothing collides);
+  *   - embeddings get deterministic per-replica sign flips on ~3/7 of their
+  *     coordinates (norms exactly preserved, cross-replica cosine pushed to
+  *     ~0.14, far below every near-dup threshold);
+  *   - nation/region stay fixed (TPC-H dimension semantics).
+  *
+  * Step 2 — time the 10 most expensive registered queries (per the round-6
+  * bench) at sf0.1 and at the synthesized sf1.0, interleaved Bench-style
+  * passes with per-query medians, and report the per-query scaling exponent
+  *   alpha = ln(t_sf1 / t_sf0.1) / ln(FACTOR)
+  * (1.0 = linear, 2.0 = quadratic). Host timing noise is ±36% per query
+  * (COVERAGE.md round 6), i.e. ±0.13 in alpha — plenty to tell linear from
+  * quadratic. Fixed per-job overhead (~0.3 s) deflates alpha slightly for
+  * sub-second queries; the raw times are printed so that bias is visible.
+  *
+  * Usage: runMain graft.ScalingProbe [sf0.1-dir] [sf1.0-out-dir]
+  * Generation is skipped when the output dir already holds a _SUCCESS-ful
+  * lineitem table.
+  */
+object ScalingProbe {
+
+  val FACTOR = 10
+
+  /** The 10 most expensive queries of round 6 (VERDICT.md plan-audit table),
+    * i.e. where a hidden super-linearity would hurt most. */
+  val probeNames: Seq[String] = Seq(
+    "a13_corr", "a11_quality_report", "pipeline_features", "a5_quantiles",
+    "d4_ngram_jaccard", "d2_minhash_lsh", "d6_dup_clusters", "j5_asof_join",
+    "t12_tfidf", "w6_signals")
+
+  /** Quadratic-by-declared-design queries (sampled oracle baselines, not the
+    * scale path) — annotated, not failed, when super-linear. */
+  val quadraticByDesign: Set[String] = Set("d4_ngram_jaccard")
+
+  // ===== generation ========================================================
+
+  private def replicate(df: DataFrame): DataFrame =
+    df.crossJoin(broadcast(
+      org.apache.spark.sql.SparkSession.active.range(FACTOR)
+        .withColumnRenamed("id", "rep")))
+
+  /** `col + rep * (max(col)+1)`, so replica key spaces never collide. */
+  private def offset(df: DataFrame, keys: String*): DataFrame = {
+    val steps: Map[String, Long] = keys.map { k =>
+      k -> (df.agg(max(col(k))).first().getLong(0) + 1L)
+    }.toMap
+    val rep = replicate(df)
+    keys.foldLeft(rep)((d, k) =>
+      d.withColumn(k, col(k) + col("rep") * lit(steps(k))))
+  }
+
+  def generate(spark: SparkSession, src: String, out: String): Unit = {
+    def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String): Unit = {
+      df.drop("rep").write.mode("overwrite").parquet(s"$out/$t.parquet")
+      System.err.println(s"[probe] wrote $t")
+    }
+
+    write(offset(read("lineitem"), "l_orderkey", "l_partkey", "l_suppkey"),
+      "lineitem")
+    write(offset(read("orders"), "o_orderkey", "o_custkey"), "orders")
+    write(offset(read("customer"), "c_custkey"), "customer")
+    write(offset(read("supplier"), "s_suppkey"), "supplier")
+    write(offset(read("part"), "p_partkey"), "part")
+    // fixed-size dimensions: copy once, no replication
+    write(read("nation"), "nation")
+    write(read("region"), "region")
+
+    // documents: distinct token space per replica (suffix every token with
+    // the replica id; replica 0 keeps the original text byte-for-byte).
+    // NULL text stays NULL — concat_ws would quietly turn it into "".
+    write(offset(read("documents"), "doc_id")
+      .withColumn("text", when(col("text").isNull || col("rep") === 0,
+          col("text"))
+        .otherwise(concat_ws(" ",
+          expr("transform(split(text, ' '), t -> concat(t, rep))"))))
+      .withColumn("n_chars", when(col("text").isNull, col("n_chars"))
+        .otherwise(length(col("text")))),
+      "documents")
+
+    // embeddings: norm-preserving deterministic sign flips decorrelate the
+    // replicas (pmod(..., 7) < 3 flips ~3/7 of coordinates -> expected
+    // cross-replica cosine ~ 1 - 2*(3/7) ~ 0.14).
+    write(offset(read("embeddings"), "vec_id")
+      .withColumn("embedding", expr(
+        """CASE WHEN rep = 0 THEN embedding
+          |ELSE transform(embedding, (x, j) ->
+          |  CASE WHEN pmod((j + 1) * 2654435761 + rep * 97, 7) < 3
+          |       THEN -x ELSE x END)
+          |END""".stripMargin).cast("array<float>")),
+      "embeddings")
+
+    // events: ts kept verbatim (nanos-long column round-trips: written back
+    // as BIGINT, Sources.events normalizes either representation).
+    write(offset(read("events"), "event_id", "user_id"), "events")
+  }
+
+  // ===== probing ===========================================================
+
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("target/scaledata/sf1.0")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_PROBE_ITERS", "3").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!new java.io.File(s"$out/lineitem.parquet/_SUCCESS").exists()) {
+      System.err.println(s"[probe] generating sf1.0-equivalent at $out")
+      generate(spark, src, out)
+    } else System.err.println(s"[probe] reusing $out")
+
+    // focused re-adjudication of one noisy query: SPARK_GRAFT_PROBE_QUERIES
+    // (comma-separated names) overrides the default top-10 list
+    val names = sys.env.get("SPARK_GRAFT_PROBE_QUERIES")
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(probeNames)
+    val queries = names.map(n => n -> SparkEntry.queries(n))
+    def run(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    run(queries.head._2, src) // warmup
+
+    // interleaved passes over (query x scale), Bench methodology
+    val samples =
+      scala.collection.mutable.Map.empty[(String, String), List[Double]]
+        .withDefaultValue(Nil)
+    for (pass <- 1 to iters; (name, fn) <- queries; dir <- Seq(src, out)) {
+      val t = run(fn, dir)
+      samples((name, dir)) ::= t
+      System.err.println(f"[probe] pass=$pass ${dir.split('/').last}%-7s $name%-22s $t%.2f s")
+    }
+    def med(xs: List[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
+
+    println(f"| query | sf0.1 s | sf1.0 s | ratio | alpha |")
+    println(f"|---|---|---|---|---|")
+    val rows = queries.map { case (name, _) =>
+      val t0 = med(samples((name, src)))
+      val t1 = med(samples((name, out)))
+      val alpha = math.log(t1 / t0) / math.log(FACTOR.toDouble)
+      val note = if (quadraticByDesign(name)) " (quadratic-by-design)" else ""
+      println(f"| $name | $t0%.2f | $t1%.2f | ${t1 / t0}%.1fx | $alpha%.2f$note |")
+      (name, t0, t1, alpha)
+    }
+    val worst = rows.filterNot(r => quadraticByDesign(r._1)).maxBy(_._4)
+    println(f"worst scale-path alpha: ${worst._1} ${worst._4}%.2f")
+  }
+}

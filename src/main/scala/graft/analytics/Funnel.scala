@@ -47,4 +47,56 @@ object Funnel {
           .when(col("first_view_us").isNotNull, 1)
           .otherwise(0))
   }
+
+  /** Skew-hardened twin of [[userFunnel]] for a dominant user (one bot
+    * account = half the event log). The plain form windows over
+    * `partitionBy(user_id)`, so the hot user's entire history lands in ONE
+    * task's sort. This form never shuffles events by bare user_id at all:
+    * each stage minimum is an algebraic `min`, so it computes as a salted
+    * two-phase aggregate — partial minima over (user_id, salt) spread the
+    * hot user across `saltBuckets` tasks, then the tiny per-user table
+    * merges and BROADCASTS back to gate the next stage's filter. Three
+    * bounded aggregation rounds (stage k's gate needs stage k-1's result —
+    * the strict-order dependency is inherently sequential), each shuffling
+    * at most |users| x saltBuckets partial rows, never raw events.
+    *
+    * Salt is deterministic row content (xxhash64), not
+    * monotonically_increasing_id — a shuffle-retry reorder must not move a
+    * row between buckets (ops/Skew.saltedSumCount, same rule).
+    * SkewSpec proves result equality vs [[userFunnel]] on a fixture where
+    * one user owns ~98% of all events. */
+  def userFunnelSalted(events: DataFrame, saltBuckets: Int = 16): DataFrame = {
+    val base = events.select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("ts_us"))
+      .withColumn("__salt",
+        pmod(xxhash64(col("user_id"), col("event_type"), col("ts_us")),
+          lit(saltBuckets.toLong)))
+
+    // stage 1: first view — salted min
+    val v = base
+      .groupBy("user_id", "__salt")
+      .agg(min(when(col("event_type") === "view", col("ts_us"))).as("pv"))
+      .groupBy("user_id").agg(min("pv").as("first_view_us"))
+    // stage 2: first click strictly after the first view
+    val c = base
+      .join(broadcast(v), Seq("user_id"), "left")
+      .groupBy("user_id", "__salt")
+      .agg(min(when(col("event_type") === "click" &&
+        col("ts_us") > col("first_view_us"), col("ts_us"))).as("pc"))
+      .groupBy("user_id").agg(min("pc").as("first_click_us"))
+    // stage 3: first purchase strictly after that click
+    val p = base
+      .join(broadcast(c), Seq("user_id"), "left")
+      .groupBy("user_id", "__salt")
+      .agg(min(when(col("event_type") === "purchase" &&
+        col("ts_us") > col("first_click_us"), col("ts_us"))).as("pp"))
+      .groupBy("user_id").agg(min("pp").as("first_purchase_us"))
+
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .withColumn("funnel_stage",
+        when(col("first_purchase_us").isNotNull, 3)
+          .when(col("first_click_us").isNotNull, 2)
+          .when(col("first_view_us").isNotNull, 1)
+          .otherwise(0))
+  }
 }

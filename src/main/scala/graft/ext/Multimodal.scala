@@ -149,13 +149,25 @@ object Multimodal {
     * are capped like LSH buckets to bound the worst-case pair blowup. */
   def nearDupImagePairs(spark: SparkSession, media: DataFrame,
                         maxBits: Int = 3,
+                        maxPerBucket: Int = 128): DataFrame =
+    phashNearDupPairs(
+      perceptualHashes(spark, media).toDF
+        .filter(col("ok")).select("doc_id", "phash"),
+      maxBits, maxPerBucket)
+
+  /** The banded pair-join half of [[nearDupImagePairs]], split out so it can
+    * be verified against a precomputed `(doc_id, phash)` frame without any
+    * decoder in the loop (the DuckDB oracle for `m2_phash_pairs` feeds both
+    * engines the same synthetic hash table — the pigeonhole band math,
+    * including the remainder-band edge, is hash-compared, not just
+    * spec-sampled). */
+  def phashNearDupPairs(hashed: DataFrame,
+                        maxBits: Int = 3,
                         maxPerBucket: Int = 128): DataFrame = {
     require(maxBits >= 0 && maxBits <= 15, "maxBits must be in [0, 15]")
     val nBands = maxBits + 1
     val bandBits = 64 / nBands
     val mask = (1L << bandBits) - 1
-    val hashed = perceptualHashes(spark, media).toDF
-      .filter(col("ok")).select("doc_id", "phash")
     // the LAST band absorbs the remainder bits when nBands does not divide
     // 64 — every hash bit must belong to some band or the pigeonhole
     // guarantee silently breaks for pairs differing only in uncovered bits
@@ -180,6 +192,40 @@ object Multimodal {
         expr("bit_count(a.phash ^ b.phash)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxBits)
+  }
+
+  /** Deterministic synthetic phash fixture over a `doc_id` column, rendered
+    * in EITHER engine's SQL dialect from the one formula (OracleSql reuses
+    * this builder, so the two sides cannot drift). Structure, not noise —
+    * the fixture must actually produce near-dup pairs and hot buckets:
+    * groups of 10 consecutive doc_ids share a 56-bit base hash (7
+    * pseudo-random bytes of `doc_id div 10`); member r of a group XOR-flips
+    * min(r, 4) pseudo-random bit positions of the base, so within-group
+    * hamming distances span 0..8 and straddle any maxBits in that range;
+    * every 23rd doc gets one shared constant hash — a hot all-equal bucket
+    * that exceeds small per-bucket caps and exercises the cap path.
+    * 56 bits keeps every intermediate nonnegative and overflow-free in both
+    * engines while still crossing the remainder band when maxBits+1 does
+    * not divide 64.
+    *
+    * @param intDiv     integer-division operator ("div" Spark, "//" DuckDB)
+    * @param xor        bitwise-xor renderer (infix `^` Spark, `xor()` DuckDB)
+    * @param shiftLeft1 renders `1::BIGINT << pos` for a position expression
+    */
+  def syntheticPhashSql(intDiv: String, xor: (String, String) => String,
+                        shiftLeft1: String => String): String = {
+    val g = s"(doc_id $intDiv 10)"
+    val r = "(doc_id % 10)"
+    val base = (0 to 6).map { k =>
+      s"((($g * ${1000003 + 4241 * k} + ${77 + k}) % 251) * ${1L << (8 * k)})"
+    }.mkString("(", " + ", ")")
+    val noisy = (0 to 3).foldLeft(base) { (acc, j) =>
+      val pos = s"CAST((($g * 13 + $r * 17 + ${j * 29}) % 56) AS INTEGER)"
+      val term = s"(CASE WHEN least($r, 4) > $j THEN ${shiftLeft1(pos)} " +
+        "ELSE CAST(0 AS BIGINT) END)"
+      xor(acc, term)
+    }
+    s"(CASE WHEN doc_id % 23 = 0 THEN CAST(1234567 AS BIGINT) ELSE $noisy END)"
   }
 
   case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])

@@ -427,7 +427,15 @@ object TextOps {
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
     val occ = tf.groupBy("token").agg(sum("tf").as("occ"))
-    val lnTotal = math.log(occ.agg(sum("occ")).first().getLong(0).toDouble)
+    // An empty corpus (no docs, or every text NULL/blank) sums to NULL, not
+    // 0 — degrade to the same row-preserving shape the left join below
+    // produces (null stats for unscorable docs) instead of NPE-ing.
+    val totalRow = occ.agg(sum("occ")).first()
+    if (totalRow.isNullAt(0))
+      return docs
+        .withColumn("n_tokens", lit(null).cast("long"))
+        .withColumn("avg_neg_logprob", lit(null).cast("double"))
+    val lnTotal = math.log(totalRow.getLong(0).toDouble)
     val perDoc = tf.join(occ, Seq("token"))
       .groupBy("doc_id").agg(
         sum("tf").as("n_tokens"),

@@ -638,6 +638,28 @@ class ExtSpec extends AnyFunSuite {
       nul.isNullAt(nul.fieldIndex("avg_neg_logprob")))
   }
 
+  test("unigram LM scoring: empty corpus degrades to null stats, no crash") {
+    import spark.implicits._
+    // Every text NULL -> the corpus token total is NULL, not 0; the stage
+    // must degrade to the row-preserving null-stats shape (ADVICE r6: the
+    // NPE here crashed CorpusPipeline.curate when upstream filters dropped
+    // every document).
+    // (an empty string is NOT an empty corpus: split("", " ") = [""], one
+    // empty token — only NULL text contributes nothing)
+    val allNull = Seq((0L, null.asInstanceOf[String]),
+      (1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextOps.withUnigramLogProb(allNull).collect()
+    assert(out.length == 2, "rows survive")
+    out.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("n_tokens")) &&
+        r.isNullAt(r.fieldIndex("avg_neg_logprob")))
+    }
+    // zero-row input: same schema, zero rows, still no crash
+    val empty = TextOps.withUnigramLogProb(
+      allNull.where(lit(false)))
+    assert(empty.columns.contains("avg_neg_logprob") && empty.count() == 0)
+  }
+
   test("label centroids: elementwise means per label in (label, dim) form") {
     import spark.implicits._
     val emb = Seq(

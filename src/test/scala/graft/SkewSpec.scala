@@ -35,4 +35,42 @@ class SkewSpec extends AnyFunSuite {
     assert(top.getAs[String]("k") == "HOT")
     assert(math.abs(top.getAs[Double]("share") - 0.9) < 1e-9)
   }
+
+  test("salted funnel equals the window funnel on a dominant-user fixture") {
+    // one bot user owns ~98% of all events (the funnel/window family's skew
+    // trap: partitionBy(user_id) puts that user's whole history in one
+    // task); the salted three-round form must agree row-for-row
+    val hot = spark.range(30000).select(
+      lit(1L).as("user_id"),
+      element_at(
+        array(lit("view"), lit("click"), lit("purchase"), lit("other")),
+        (pmod(col("id"), lit(4)) + 1).cast("int")).as("event_type"),
+      expr("timestamp_micros(1700000000000000 + id * 1000000)").as("ts"))
+    // 50 cold users; the id%50 x id%4 cycle gives each user only TWO event
+    // types, so partial funnels (stage 0/1/2) are well represented
+    val cold = spark.range(500).select(
+      (pmod(col("id"), lit(50)) + 2).as("user_id"),
+      element_at(
+        array(lit("view"), lit("click"), lit("purchase"), lit("other")),
+        (pmod(col("id"), lit(4)) + 1).cast("int")).as("event_type"),
+      expr("timestamp_micros(1700000000000000 + id * 3000000)").as("ts"))
+    val events = hot.unionAll(cold)
+
+    val cols = Seq("user_id", "first_view_us", "first_click_us",
+      "first_purchase_us", "funnel_stage")
+    val window = graft.analytics.Funnel.userFunnel(events)
+      .select(cols.map(col): _*)
+    val salted = graft.analytics.Funnel.userFunnelSalted(events, saltBuckets = 8)
+      .select(cols.map(col): _*)
+
+    // the salted plan must not contain a Window at all — the mitigation IS
+    // replacing the per-user window with salted aggregation rounds
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"salted funnel still plans a Window:\n$plan")
+
+    assert(window.count() == 51 && salted.count() == 51)
+    assert(salted.exceptAll(window).count() == 0 &&
+      window.exceptAll(salted).count() == 0,
+      "salted funnel diverges from the window funnel")
+  }
 }

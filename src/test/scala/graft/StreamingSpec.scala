@@ -255,4 +255,57 @@ class StreamingSpec extends AnyFunSuite {
       streamed.exceptAll(batch).count() == 0,
       "in-order multi-batch streaming must lose no match to eviction")
   }
+
+  test("stateful streaming funnel matches the batch funnel across micro-batches") {
+    // ev1's streaming twin: three time-ordered micro-batches through the
+    // flatMapGroupsWithState funnel; the latest per-user snapshot must
+    // equal the batch window-funnel over the whole fixture.
+    val dir = "/root/testdata/sf0.001"
+    val landing = java.nio.file.Files.createTempDirectory("graft-events-funnel")
+    val src = spark.read.parquet(s"$dir/events.parquet")
+      .orderBy("ts", "event_id").cache()
+    val n = src.count()
+    import scala.jdk.CollectionConverters._
+    val thirds = src.collect().grouped((n / 3 + 1).toInt).toSeq
+    thirds.zipWithIndex.foreach { case (rows, i) =>
+      val sliceDir = landing.resolve(f"stage-$i%02d")
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1), src.schema)
+        .write.parquet(sliceDir.toString)
+      val part = java.nio.file.Files.list(sliceDir).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(part, landing.resolve(f"slice-$i%02d.parquet"))
+    }
+    val fileStream = spark.readStream
+      .schema(StreamPipeline.eventsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "slice-*.parquet")
+      .parquet(landing.toString)
+    val q = graft.streaming.StreamingFunnel.userFunnelStream(spark,
+        graft.streaming.StreamingFunnel.toFunnelEvents(spark, fileStream))
+      .writeStream.format("memory").queryName("funnel_stream_test")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.lastProgress.batchId >= 2,
+      s"expected >= 3 micro-batches, saw ${q.lastProgress.batchId + 1}")
+
+    // latest snapshot per user = the row with the highest n_events_seen
+    val latest = spark.table("funnel_stream_test")
+      .groupBy("user_id")
+      .agg(max_by(
+        struct(col("first_view_us"), col("first_click_us"),
+          col("first_purchase_us"), col("funnel_stage")),
+        col("n_events_seen")).as("s"))
+      .select(col("user_id"), col("s.first_view_us"), col("s.first_click_us"),
+        col("s.first_purchase_us"), col("s.funnel_stage"))
+    val batch = graft.analytics.Funnel.userFunnel(Sources.events(spark, dir))
+      .select("user_id", "first_view_us", "first_click_us",
+        "first_purchase_us", "funnel_stage")
+    assert(batch.count() > 0 && latest.count() == batch.count())
+    assert(latest.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(latest).count() == 0,
+      "incremental funnel snapshots diverge from the batch funnel")
+  }
 }
