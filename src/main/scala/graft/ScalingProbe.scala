@@ -49,8 +49,11 @@ object ScalingProbe {
     "t12_tfidf", "w6_signals")
 
   /** Quadratic-by-declared-design queries (sampled oracle baselines, not the
-    * scale path) — annotated, not failed, when super-linear. */
-  val quadraticByDesign: Set[String] = Set("d4_ngram_jaccard")
+    * scale path) — annotated, not failed, when super-linear. d4/d5 are the
+    * documented quadratic sample paths (LSH is the scale path); sim1 is the
+    * brute-force ANN truth baseline (LSH/IVF are the scale path). */
+  val quadraticByDesign: Set[String] =
+    Set("d4_ngram_jaccard", "d5_embedding_neardup", "sim1_cosine_topk")
 
   // ===== generation ========================================================
 

@@ -254,6 +254,11 @@ class ExtSpec extends AnyFunSuite {
     info(f"recall@5 fixed=$fixed%.3f learned=$learned%.3f")
     assert(learned >= fixed,
       f"k-means codebook recall $learned%.3f below fixed codebook $fixed%.3f")
+    // tracked metric (round 7 measured: fixed=0.280, learned=0.280 on the
+    // sf0.01 fixture, deterministic): an absolute floor so a codebook or
+    // assignment regression is loud even if it drags BOTH numbers down
+    assert(learned >= 0.25,
+      f"learned-codebook recall@5 regressed: $learned%.3f < 0.25 (r7: 0.280)")
   }
 
   test("quality score components are in [0, 1]") {

@@ -138,4 +138,24 @@ class PlanSpec extends AnyFunSuite {
     assert(userExchanges == 1,
       s"expected exactly one user_id hash exchange, got $userExchanges")
   }
+
+  test("phash pair join stays a (band, value) equi-join — never a cartesian") {
+    val p = plan("m2_phash_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "pigeonhole candidate join degenerated into all-pairs")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "candidate join must key on (band, value)")
+  }
+
+  test("quantization round trip is a pure projection — zero exchanges") {
+    // quantize/dequantize/normalize are per-row array math; any Exchange
+    // here would mean a stray shuffle crept into the ingest-path transform
+    // (the oracle ORDER BY's rangepartitioning exchange is expected; a
+    // HASH exchange would be the stray shuffle)
+    val p = plan("sim4_quantize")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"per-row quantization must not shuffle:\n$p")
+  }
 }
