@@ -1290,6 +1290,40 @@ object OracleSql {
         |    THEN range(0, n, 48) ELSE [] END) AS u(s)
         |ORDER BY doc_id, chunk_id""".stripMargin,
 
+    // C4-style duplicate-span removal: same span windows as t15 (8-token,
+    // no overlap), global keep-first election via row_number over the span
+    // digest (the Spark side's min(struct) election, different algorithm,
+    // same semantics), reassembly via ordered string_agg. NULL-text docs
+    // re-enter by union with 0/0 counts; all-spans-dropped docs come back
+    // as ''.
+    "t16_span_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, CAST(sv // 8 AS INTEGER) AS chunk_id,
+        |         array_to_string(toks[sv+1 : sv+8], ' ') AS span
+        |  FROM t CROSS JOIN UNNEST(CASE WHEN n >= 1
+        |      THEN range(0, n, 8) ELSE [] END) AS u(sv)),
+        |w AS (
+        |  SELECT doc_id, chunk_id, span,
+        |         ROW_NUMBER() OVER (PARTITION BY md5(span)
+        |                            ORDER BY doc_id, chunk_id) = 1 AS keep
+        |  FROM s),
+        |g AS (
+        |  SELECT doc_id,
+        |         coalesce(string_agg(CASE WHEN keep THEN span END, ' '
+        |                             ORDER BY chunk_id), '') AS cleaned_text,
+        |         CAST(count(*) AS INTEGER) AS n_spans,
+        |         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS INTEGER) AS n_kept
+        |  FROM w GROUP BY doc_id)
+        |SELECT doc_id, cleaned_text, n_spans, n_kept FROM g
+        |UNION ALL
+        |SELECT doc_id, NULL AS cleaned_text, 0 AS n_spans, 0 AS n_kept
+        |FROM documents WHERE text IS NULL
+        |ORDER BY doc_id""".stripMargin,
+
     // the oracle twin of the native bounded top_k_by aggregate is a plain
     // per-source row_number over the tie-safe-ROUNDED quality score (t2's
     // formula) — different algorithm, same semantics.

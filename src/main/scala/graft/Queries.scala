@@ -932,6 +932,10 @@ object Queries {
     ext.TextOps.chunkDocuments(Sources.documents(s, dir))
       .orderBy("doc_id", "chunk_id")
 
+  def t16SpanDedup(s: SparkSession, dir: String): DataFrame =
+    ext.TextOps.dedupSpans(Sources.documents(s, dir))
+      .orderBy("doc_id")
+
   /** Top-3 quality documents per source via the native bounded `top_k_by`
     * aggregate — a quality-ranked per-domain cap (RefinedWeb-style) with NO
     * per-source window sort: each map partition reduces to <= k pairs per
@@ -1048,6 +1052,7 @@ object Queries {
     "t13_unigram" -> (t13UnigramLm _),
     "t14_best_src" -> (t14BestPerSource _),
     "t15_chunks" -> (t15Chunks _),
+    "t16_span_dedup" -> (t16SpanDedup _),
     "e1_centroids" -> (e1Centroids _),
     "e2_rocchio" -> (e2NearestCentroid _),
     "ev1_funnel" -> (ev1Funnel _),

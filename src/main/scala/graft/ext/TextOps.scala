@@ -446,6 +446,62 @@ object TextOps {
       .drop("__slog")
   }
 
+  /** C4-style duplicate-span removal: split every document into
+    * consecutive `spanTokens`-token spans (the C4 paper drops repeated
+    * three-sentence spans corpus-wide; token spans are the fixture's
+    * analog), keep only the globally FIRST occurrence of each distinct
+    * span — earliest (doc_id, span index) wins — and reassemble each
+    * document from its surviving spans in order. The boilerplate killer
+    * that exact/near doc-dedup cannot express: a repeated header/footer
+    * paragraph disappears from every document but its first.
+    *
+    * Output (row-preserving): (doc_id, cleaned_text, n_spans, n_kept).
+    * NULL text stays NULL with 0/0; a document whose every span lost its
+    * election comes back as ''.
+    *
+    * Shape at scale — three exchanges, only one of which carries text:
+    *  1. winner election over a (doc_id, chunk_id, md5) projection — only
+    *     16-byte digests + two ints ride the span-key shuffle (the d7
+    *     payload-free discipline), ONE min(struct) hash aggregate with
+    *     map-side partials;
+    *  2. winners regroup to per-doc kept-chunk arrays — rows bounded by
+    *     distinct spans, a contraction of (1);
+    *  3. spans join the kept-sets on doc_id and the final reassembly
+    *     groupBy(doc_id) REUSES that exchange (same key) — the one
+    *     unavoidable text-carrying shuffle, linear in corpus size.
+    * No window over the span key (a hot boilerplate span is a hot KEY;
+    * min(struct) partial-aggregates it away before the shuffle, where a
+    * row_number would sort the whole hot group in one task). */
+  def dedupSpans(docs: DataFrame, spanTokens: Int = 8): DataFrame = {
+    val spans = chunkDocuments(docs, chunkTokens = spanTokens, overlap = 0)
+    val winners = spans
+      .select(col("doc_id"), col("chunk_id"), md5(col("chunk_text")).as("__h"))
+      .groupBy("__h")
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("__w"))
+    val keepSets = winners
+      .groupBy(col("__w.doc_id").as("doc_id"))
+      .agg(collect_set(col("__w.chunk_id")).as("__kept"))
+    val rebuilt = spans.join(keepSets, Seq("doc_id"), "left")
+      .withColumn("__keep", array_contains(
+        coalesce(col("__kept"), expr("CAST(array() AS ARRAY<INT>)")),
+        col("chunk_id")))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_spans"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).cast("int").as("n_kept"),
+        concat_ws(" ", expr(
+          """transform(
+            |  array_sort(collect_list(
+            |    CASE WHEN __keep THEN struct(chunk_id, chunk_text) END)),
+            |  s -> s.chunk_text)""".stripMargin)).as("cleaned_text"))
+      .select("doc_id", "cleaned_text", "n_spans", "n_kept")
+    // NULL-text docs emit no spans; resurrect them by union (a filter, not
+    // another doc_id join) so the op stays row-preserving
+    rebuilt.unionAll(docs.filter(col("text").isNull).select(col("doc_id"),
+      lit(null).cast("string").as("cleaned_text"),
+      lit(0).as("n_spans"), lit(0).as("n_kept")))
+  }
+
   /** RAG-style document chunking: fixed token windows with overlap —
     * chunk i starts at token i*(chunkTokens-overlap) and spans up to
     * chunkTokens tokens; every start below the document length emits a

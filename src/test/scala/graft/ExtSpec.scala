@@ -643,6 +643,29 @@ class ExtSpec extends AnyFunSuite {
       nul.isNullAt(nul.fieldIndex("avg_neg_logprob")))
   }
 
+  test("span dedup: global keep-first, reassembly order, null text, all-dropped doc") {
+    import spark.implicits._
+    // spans of 4 tokens; doc 10 defines "a b c d" and "e f g h"; doc 20
+    // re-uses "a b c d" (dropped) between its own spans; doc 30 is ENTIRELY
+    // spans seen earlier (comes back as ''); doc 40 is null text
+    val docs = Seq(
+      (10L, "a b c d e f g h"),
+      (20L, "x y z w a b c d q r s t"),
+      (30L, "a b c d e f g h"),
+      (40L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextOps.dedupSpans(docs, spanTokens = 4).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("cleaned_text"), r.getAs[Int]("n_spans"),
+          r.getAs[Int]("n_kept"))).toMap
+    assert(out.size == 4, "row-preserving")
+    assert(out(10L) == (("a b c d e f g h", 2, 2)), "first definitions all kept")
+    assert(out(20L) == (("x y z w q r s t", 3, 2)),
+      "the re-used middle span drops, remaining spans rejoin in order")
+    assert(out(30L) == (("", 2, 0)), "an all-duplicate doc comes back empty")
+    assert(out(40L)._1 == null && out(40L)._2 == 0 && out(40L)._3 == 0,
+      "null text survives as null with 0/0")
+  }
+
   test("unigram LM scoring: empty corpus degrades to null stats, no crash") {
     import spark.implicits._
     // Every text NULL -> the corpus token total is NULL, not 0; the stage

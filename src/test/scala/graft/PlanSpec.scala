@@ -149,6 +149,18 @@ class PlanSpec extends AnyFunSuite {
       "candidate join must key on (band, value)")
   }
 
+  test("span dedup: digest election aggregates, reassembly reuses the doc_id exchange") {
+    val p = plan("t16_span_dedup")
+    // no window over the span digest (hot boilerplate span = hot key; the
+    // election must be the partial-aggregating min(struct), not row_number)
+    assert(!p.contains("Window"), "span election must not plan a window sort")
+    // the text-carrying side shuffles on doc_id exactly once for the join;
+    // the final reassembly groupBy(doc_id) must REUSE it, not add another
+    val docExchanges = "hashpartitioning\\(doc_id".r.findAllIn(p).length
+    assert(docExchanges <= 2,
+      s"expected <= 2 doc_id exchanges (join sides only), got $docExchanges:\n$p")
+  }
+
   test("quantization round trip is a pure projection — zero exchanges") {
     // quantize/dequantize/normalize are per-row array math; any Exchange
     // here would mean a stray shuffle crept into the ingest-path transform
