@@ -666,6 +666,45 @@ class ExtSpec extends AnyFunSuite {
       "null text survives as null with 0/0")
   }
 
+  test("span dedup agrees with a brute-force reference on random corpora") {
+    import spark.implicits._
+    // tiny token alphabet -> frequent genuine span collisions; random null
+    // docs; short docs whose single span is shorter than spanTokens
+    val rnd = new scala.util.Random(90210)
+    val alphabet = Seq("a", "b", "c")
+    for (trial <- 1 to 5) {
+      val docs: Seq[(Long, String)] = (0L until 30L).map { id =>
+        if (rnd.nextInt(10) == 0) (id, null.asInstanceOf[String])
+        else (id, Seq.fill(rnd.nextInt(10) + 1)(
+          alphabet(rnd.nextInt(alphabet.size))).mkString(" "))
+      }
+      val k = rnd.nextInt(3) + 2 // spanTokens in 2..4
+      // brute-force reference: scan spans in (doc_id, chunk_id) order,
+      // first occurrence of each span text wins
+      val spans = docs.filter(_._2 != null).flatMap { case (id, text) =>
+        text.split(" ").grouped(k).zipWithIndex
+          .map { case (g, i) => (id, i, g.mkString(" ")) }
+      }.sortBy(s => (s._1, s._2))
+      val seen = scala.collection.mutable.Set.empty[String]
+      val kept = spans.filter { case (_, _, span) =>
+        if (seen(span)) false else { seen += span; true }
+      }.groupBy(_._1)
+      val want = docs.map { case (id, text) =>
+        if (text == null) id -> ((null: String, 0, 0))
+        else {
+          val all = spans.count(_._1 == id)
+          val mine = kept.getOrElse(id, Nil)
+          id -> ((mine.sortBy(_._2).map(_._3).mkString(" "), all, mine.size))
+        }
+      }.toMap
+      val got = TextOps.dedupSpans(docs.toDF("doc_id", "text"), spanTokens = k)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("cleaned_text"), r.getAs[Int]("n_spans"),
+            r.getAs[Int]("n_kept")))).toMap
+      assert(got == want, s"trial $trial (k=$k): $docs")
+    }
+  }
+
   test("unigram LM scoring: empty corpus degrades to null stats, no crash") {
     import spark.implicits._
     // Every text NULL -> the corpus token total is NULL, not 0; the stage

@@ -48,4 +48,37 @@ class FunnelSpec extends AnyFunSuite {
     // user 4 never viewed: all stage timestamps null
     assert(out(4L).isNullAt(out(4L).fieldIndex("first_view_us")))
   }
+
+  test("window, salted, and stateful-stream funnels agree on random event logs") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // tie-heavy random logs (8 users, only 12 distinct timestamps) — the
+    // three implementations use different machinery (whole-partition
+    // windows / salted two-phase minima / per-group sequential state) and
+    // must agree everywhere, including same-instant stage collisions
+    val rnd = new scala.util.Random(777)
+    val types = Seq("view", "click", "purchase", "other")
+    val cols = Seq("user_id", "first_view_us", "first_click_us",
+      "first_purchase_us", "funnel_stage")
+    for (trial <- 1 to 6) {
+      val rows = Seq.fill(120)(
+        (rnd.nextInt(8) + 1L, types(rnd.nextInt(4)), ts(rnd.nextInt(12) + 1L)))
+      val events = rows.toDF("user_id", "event_type", "ts")
+      val window = Funnel.userFunnel(events).select(cols.map(col): _*)
+      val salted = Funnel.userFunnelSalted(events, saltBuckets = 4)
+        .select(cols.map(col): _*)
+      val stream = graft.streaming.StreamingFunnel.userFunnelStream(spark,
+          graft.streaming.StreamingFunnel.toFunnelEvents(spark, events))
+        .toDF.select(col("user_id"), col("first_view_us"),
+          col("first_click_us"), col("first_purchase_us"), col("funnel_stage"))
+      assert(window.count() == salted.count() && window.count() == stream.count(),
+        s"trial $trial: row counts diverge")
+      assert(salted.exceptAll(window).count() == 0 &&
+        window.exceptAll(salted).count() == 0,
+        s"trial $trial: salted != window on $rows")
+      assert(stream.exceptAll(window).count() == 0 &&
+        window.exceptAll(stream).count() == 0,
+        s"trial $trial: stateful != window on $rows")
+    }
+  }
 }
