@@ -35,6 +35,10 @@ object CorpusPipeline {
       minQuality: Double = 0.3,
       nHashes: Int = 16,
       nBands: Int = 8,
+      // exact-Jaccard floor for verifying LSH candidates before clustering
+      // (K-M signature correlation makes boilerplate-sharing docs collide
+      // on every band at tiny true overlap — see Dedup.jaccardVerifyPairs)
+      minJaccard: Double = 0.5,
       sourceStrides: Map[String, Int] = Map.empty,
       packBudgetTokens: Int = 2048,
       redact: Boolean = true,
@@ -42,6 +46,10 @@ object CorpusPipeline {
       // CCNet-style LM filter: drop docs whose mean token surprise under
       // the survivors' own unigram LM exceeds the ceiling (None = skip)
       maxSurprise: Option[Double] = None,
+      // C4-style duplicate-span removal: strip every repeated spanTokens-
+      // token span (keep-first corpus-wide) and drop docs left empty —
+      // the boilerplate pass document dedup can't express (None = skip)
+      spanDedupTokens: Option[Int] = None,
       // RefinedWeb-style per-source cap: keep only the k best-quality docs
       // of each source (None = unlimited)
       perSourceCap: Option[Int] = None)
@@ -54,6 +62,7 @@ object CorpusPipeline {
       input: Long,
       afterExactDedup: Long,
       afterNearDedup: Long,
+      afterSpanDedup: Long,
       afterFilters: Long,
       afterLmFilter: Long,
       afterDecontam: Long,
@@ -88,13 +97,37 @@ object CorpusPipeline {
     // corpus scale that double-reads and double-hashes every document.
     val signatures = Dedup.minhashSignatures(exactUnique, cfg.nHashes)
       .localCheckpoint(true)
-    val pairs = Dedup.lshCandidatePairs(signatures, cfg.nBands)
+    // candidates are VERIFIED with exact Jaccard before clustering: false
+    // candidates (correlated-signature boilerplate collisions) must not
+    // merge distinct documents — that would silently delete real content
+    val pairs = Dedup.jaccardVerifyPairs(exactUnique,
+      Dedup.lshCandidatePairs(signatures, cfg.nBands), cfg.minJaccard)
     val nearUnique = Dedup.dedupByClusters(
       exactUnique, Dedup.duplicateClusters(pairs))
 
+    // 2b. optional C4-style span dedup: repeated boilerplate spans vanish
+    // corpus-wide (keep-first), documents rebuilt from survivors; docs left
+    // EMPTY by the scrub drop here (they carry no trainable text). Runs
+    // after doc-level dedup — the span election then never pays for clone
+    // documents — and before the filters, so quality/language scores see
+    // the boilerplate-free text they'll actually train on. NULL-text docs
+    // pass through (the filters own that drop).
+    val boilerplateFree = cfg.spanDedupTokens match {
+      case Some(k) =>
+        val rebuilt = TextOps.dedupSpans(nearUnique, k)
+          .filter(col("cleaned_text").isNull || col("cleaned_text") =!= "")
+          .select(col("doc_id"), col("cleaned_text"))
+        nearUnique.drop("text")
+          .join(rebuilt, Seq("doc_id"))
+          .withColumnRenamed("cleaned_text", "text")
+          .select(docs.columns.map(col): _*)
+          .localCheckpoint(true)
+      case None => nearUnique
+    }
+
     // 3. quality + language filters (regex-heavy scoring: checkpoint so the
     // mix/pack stages and the report each read it once)
-    val filtered = TextOps.withQualityScore(TextOps.withLangId(nearUnique))
+    val filtered = TextOps.withQualityScore(TextOps.withLangId(boilerplateFree))
       .filter(col("detected_lang").isin(cfg.langs.toSeq: _*) &&
         col("quality_score") >= cfg.minQuality)
       .select(docs.columns.map(col): _*)
@@ -162,6 +195,7 @@ object CorpusPipeline {
       input = docs.count(),
       afterExactDedup = exactUnique.count(),
       afterNearDedup = nearUnique.count(),
+      afterSpanDedup = boilerplateFree.count(),
       afterFilters = filtered.count(),
       afterLmFilter = lmFiltered.count(),
       afterDecontam = decontaminated.count(),

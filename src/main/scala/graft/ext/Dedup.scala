@@ -113,6 +113,49 @@ object Dedup {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** Exact-Jaccard verification of LSH candidate pairs — the guard between
+    * candidate generation and cluster merge. Kirsch-Mitzenmacher double
+    * hashing makes the signature components CORRELATED: one globally-
+    * minimal shared shingle (a boilerplate footer every page carries) can
+    * dominate every component of every document containing it, colliding
+    * ALL bands for pairs whose true overlap is tiny (measured here: four
+    * docs sharing one 4-token footer produced 8/8-band candidates at true
+    * J ~ 0.14). Feeding unverified candidates to connected components
+    * would MERGE those documents and dedup away real content — silent data
+    * loss at corpus scale. Verification is exact and bounded by the
+    * candidate set: only candidate docs' distinct shingles shuffle (8-byte
+    * xxhash64 per shingle, payload-free), the intersection is an equi-join
+    * on (pair, shingle hash), set sizes are one aggregate.
+    *
+    * Returns the pairs that pass `minJaccard` with their exact `jaccard`
+    * appended. */
+  def jaccardVerifyPairs(docs: DataFrame, pairs: DataFrame,
+                         minJaccard: Double = 0.5): DataFrame = {
+    val candDocs = pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val sh = docs.join(candDocs, Seq("doc_id"), "left_semi")
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"), col("toks"), explode(expr(
+        "CASE WHEN size(toks) >= 3 THEN sequence(0, size(toks) - 3) ELSE CAST(array() AS ARRAY<INT>) END")).as("i"))
+      .select(col("doc_id"), xxhash64(expr(
+        "concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2), ' ', element_at(toks, i + 3))")).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs.select("doc_a", "doc_b")
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("__na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("__nb")), Seq("doc_b"))
+      .withColumn("jaccard",
+        coalesce(col("n_common"), lit(0L)).cast("double") /
+          (col("__na") + col("__nb") - coalesce(col("n_common"), lit(0L))))
+      .filter(col("jaccard") >= minJaccard)
+      .drop("__na", "__nb", "n_common")
+  }
+
   /** Connected components over candidate pairs -> duplicate clusters: the
     * step a corpus dedup pipeline runs AFTER LSH, turning pairwise
     * candidates into groups with one canonical representative (the minimum

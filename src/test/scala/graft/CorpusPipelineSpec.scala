@@ -133,6 +133,42 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(off.afterLmFilter == off.afterFilters)
   }
 
+  test("span-dedup stage strips repeated boilerplate and drops emptied docs") {
+    import org.apache.spark.sql.functions.col
+    // docs 1-3 share the same 4-token footer; doc 4 is NOTHING BUT that
+    // footer (a cookie banner page) and must vanish at the span stage
+    // bodies are 12 distinct tokens each so the shared footer's shingles
+    // stay a small minority — the LSH stage upstream must NOT merge these
+    // docs (no verification pass runs on candidates)
+    val footer = "all rights reserved corp"
+    val body1 = "the cat sat on a warm mat and then it slept deeply"
+    val body2 = "the dog ran across a wide field chasing one big red ball"
+    val body3 = "the bird flew over two tall trees toward its very own nest"
+    val docs = Seq(
+      (1L, "s1", s"$body1 $footer"),
+      (2L, "s1", s"$body2 $footer"),
+      (3L, "s1", s"$body3 $footer"),
+      (4L, "s1", footer)
+    ).toDF("doc_id", "source", "text")
+    val base = CurationConfig(langs = Set("en"), minQuality = 0.0,
+      packBudgetTokens = 64)
+    val (packed, report) = CorpusPipeline.curate(docs,
+      base.copy(spanDedupTokens = Some(4)))
+    // doc 1 keeps its footer (first occurrence); 2 and 3 lose theirs; 4 is
+    // emptied and dropped
+    assert(report.afterNearDedup == 4 && report.afterSpanDedup == 3,
+      s"the footer-only doc must drop at the span stage: $report")
+    val texts = packed.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toMap
+    assert(texts(1L) == s"$body1 $footer", "first occurrence keeps the footer")
+    assert(texts(2L) == body2 && texts(3L) == body3,
+      s"later docs lose the boilerplate: $texts")
+
+    // disabled -> stage is a no-op and the counts agree
+    val (_, off) = CorpusPipeline.curate(docs, base)
+    assert(off.afterSpanDedup == off.afterNearDedup)
+  }
+
   test("per-source cap keeps the k best-quality docs of each source") {
     // s1 has three docs of sharply different quality (length + stopword
     // ratio drive the score); s2 has one. cap=2 keeps s1's two best and

@@ -643,6 +643,37 @@ class ExtSpec extends AnyFunSuite {
       nul.isNullAt(nul.fieldIndex("avg_neg_logprob")))
   }
 
+  test("jaccard verification kills correlated-signature false candidates, keeps true near-dups") {
+    import spark.implicits._
+    // K-M double hashing lets ONE shared boilerplate shingle dominate every
+    // signature component: these four footer-sharing docs collide on all 8
+    // bands (verified below) at true J ~ 0.14 — unverified clustering
+    // would merge them and delete three real documents
+    val footer = "all rights reserved corp"
+    val docs = Seq(
+      (1L, s"the cat sat on a warm mat and then it slept deeply $footer"),
+      (2L, s"the dog ran across a wide field chasing one big red ball $footer"),
+      (3L, s"the bird flew over two tall trees toward its very own nest $footer"),
+      (4L, footer),
+      // 5/6: a TRUE near-dup pair (one token differs) that must survive
+      (5L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (6L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.lshCandidatePairs(Dedup.minhashSignatures(docs, 16), 8)
+    val candidates = pairs.select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    assert(candidates.contains((1L, 4L)),
+      "fixture must reproduce the correlated-signature false candidate")
+    val verified = Dedup.jaccardVerifyPairs(docs, pairs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(verified == Set((5L, 6L)),
+      s"only the true near-dup pair survives verification: $verified")
+    val j = Dedup.jaccardVerifyPairs(docs, pairs)
+      .select("jaccard").as[Double].head()
+    // docs 5/6: 8 shingles each, 7 shared -> J = 7/9
+    assert(math.abs(j - 7.0 / 9.0) < 1e-9, s"exact jaccard: $j")
+  }
+
   test("span dedup: global keep-first, reassembly order, null text, all-dropped doc") {
     import spark.implicits._
     // spans of 4 tokens; doc 10 defines "a b c d" and "e f g h"; doc 20
