@@ -1098,6 +1098,25 @@ object OracleSql {
         |WHERE (__rn - 1) % (CASE source WHEN 'src0' THEN 4 WHEN 'src1' THEN 2 ELSE 1 END) = 0
         |ORDER BY doc_id""".stripMargin,
 
+    // Temperature-flattened language mixture, tau=2: stride_g =
+    // floor((n_g/n_min)^(1 - 1/2) + 0.5 - 1e-9) floored at 1, keep every
+    // stride-th doc per lang in doc_id rank order (same stride rule as
+    // t7). The 1e-9 tie guard keeps the stride stable across libm pow
+    // implementations.
+    "t17_temp_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS ns FROM documents GROUP BY lang),
+        |m AS (SELECT MIN(ns) AS nmin FROM c),
+        |s AS (SELECT lang,
+        |         GREATEST(1, CAST(FLOOR(POWER(CAST(ns AS DOUBLE) / nmin, 1 - 1.0/2.0)
+        |                                + 0.5 - 1e-9) AS BIGINT)) AS stride
+        |       FROM c, m),
+        |r AS (SELECT doc_id, lang,
+        |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |       FROM documents)
+        |SELECT r.doc_id, r.lang FROM r JOIN s USING (lang)
+        |WHERE (rn - 1) % stride = 0
+        |ORDER BY doc_id""".stripMargin,
+
     // Joins on the n-gram STRINGS — the Spark side's xxhash64 is an
     // internal key-compression step that never reaches the output, so the
     // string join is the exact semantic oracle (and would catch a hash

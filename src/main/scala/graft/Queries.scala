@@ -943,6 +943,14 @@ object Queries {
     ext.TextOps.dedupSpans(Sources.documents(s, dir))
       .orderBy("doc_id")
 
+  /** Temperature-flattened LANGUAGE mixture (tau=2) — the lang column is
+    * the corpus's one genuinely skewed grouping (en is ~3.4x fr), so the
+    * oracle verifies real downsampling, not a uniform no-op. */
+  def t17TempMix(s: SparkSession, dir: String): DataFrame =
+    ext.TextOps.temperatureMix(Sources.documents(s, dir), "lang", tau = 2.0)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
   /** Top-3 quality documents per source via the native bounded `top_k_by`
     * aggregate — a quality-ranked per-domain cap (RefinedWeb-style) with NO
     * per-source window sort: each map partition reduces to <= k pairs per
@@ -1060,6 +1068,7 @@ object Queries {
     "t14_best_src" -> (t14BestPerSource _),
     "t15_chunks" -> (t15Chunks _),
     "t16_span_dedup" -> (t16SpanDedup _),
+    "t17_temp_mix" -> (t17TempMix _),
     "e1_centroids" -> (e1Centroids _),
     "e2_rocchio" -> (e2NearestCentroid _),
     "ev1_funnel" -> (ev1Funnel _),

@@ -40,6 +40,10 @@ object CorpusPipeline {
       // on every band at tiny true overlap — see Dedup.jaccardVerifyPairs)
       minJaccard: Double = 0.5,
       sourceStrides: Map[String, Int] = Map.empty,
+      // temperature-flattened source mixing (XLM-R/LLaMA-style): derive
+      // the strides from the survivors' own source counts at this tau
+      // instead of hand-picking sourceStrides (Some overrides the map)
+      mixTemperature: Option[Double] = None,
       packBudgetTokens: Int = 2048,
       redact: Boolean = true,
       decontamNgram: Int = 8,
@@ -186,8 +190,10 @@ object CorpusPipeline {
     // Checkpoint between them: each sharded prefix sum reads its input
     // from two branches (local cumsum + shard totals), so an unbroken
     // mix->pack lineage would recompute the mix join four times.
-    val mixed = TextOps.sourceMix(capped, cfg.sourceStrides)
-      .localCheckpoint(true)
+    val mixed = (cfg.mixTemperature match {
+      case Some(tau) => TextOps.temperatureMix(capped, "source", tau)
+      case None => TextOps.sourceMix(capped, cfg.sourceStrides)
+    }).localCheckpoint(true)
     val packed = TextOps.packSequences(mixed, cfg.packBudgetTokens)
       .localCheckpoint(true)
 

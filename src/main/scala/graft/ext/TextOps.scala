@@ -165,31 +165,32 @@ object TextOps {
     * scan; either beats shuffling payload rows into one task per source. */
   private[ext] def shardedPrefixSum(docs: DataFrame, valueCol: String,
                                     outCol: String,
-                                    shardBlock: Long): DataFrame = {
+                                    shardBlock: Long,
+                                    groupCol: String = "source"): DataFrame = {
     require(shardBlock >= 1, "shardBlock must be >= 1")
     val sharded = docs.withColumn("__shard", expr(s"doc_id div ${shardBlock}L"))
-    val wLocal = Window.partitionBy("source", "__shard").orderBy("doc_id")
+    val wLocal = Window.partitionBy(groupCol, "__shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // Exclusive prefix over shard totals: one row per populated shard, so
-    // this per-source window is over numDocs/shardBlock rows — tiny, and
+    // this per-group window is over numDocs/shardBlock rows — tiny, and
     // itself shardable recursively if a corpus ever outgrew it.
-    val wOffsets = Window.partitionBy("source").orderBy("__shard")
+    val wOffsets = Window.partitionBy(groupCol).orderBy("__shard")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = sharded.groupBy("source", "__shard")
+    val offsets = sharded.groupBy(groupCol, "__shard")
       .agg(sum(col(valueCol)).as("__shard_total"))
       .withColumn("__offset", coalesce(sum("__shard_total").over(wOffsets), lit(0L)))
-      .select(col("source").as("__o_source"), col("__shard").as("__o_shard"),
+      .select(col(groupCol).as("__o_group"), col("__shard").as("__o_shard"),
         col("__offset"))
-    // null-safe source equality: a NULL source is a legitimate group (the
+    // null-safe group equality: a NULL group is a legitimate partition (the
     // replaced Window.partitionBy treated it as its own partition); a
     // null-unsafe equi-join would silently drop those rows. EqualNullSafe
     // is still a hash-joinable key.
     sharded
       .withColumn("__local_cum", sum(col(valueCol)).over(wLocal))
-      .join(offsets, col("source") <=> col("__o_source") &&
+      .join(offsets, col(groupCol) <=> col("__o_group") &&
         col("__shard") === col("__o_shard"))
       .withColumn(outCol, col("__local_cum") + col("__offset"))
-      .drop("__o_source", "__o_shard", "__shard", "__local_cum", "__offset")
+      .drop("__o_group", "__o_shard", "__shard", "__local_cum", "__offset")
   }
 
   /** Docs per prefix-sum shard. 64Ki docs keeps a shard's sort comfortably
@@ -233,6 +234,41 @@ object TextOps {
     shardedPrefixSum(docs.withColumn("__one", lit(1L)), "__one", "__rn", shardBlock)
       .filter((col("__rn") - 1) % strideCol === 0)
       .drop("__rn", "__one")
+  }
+
+  /** Temperature-flattened group mixture — the multilingual/pretraining
+    * sampling recipe (XLM-R exponential smoothing, LLaMA data mixes):
+    * group g keeps docs at rate proportional to share^(1/tau), so tau = 1
+    * is the natural mix and tau -> inf flattens every group toward the
+    * smallest one. Deterministic derivation: stride_g = round-half-up of
+    * (n_g / n_min)^(1 - 1/tau), floored at 1 (the smallest group always
+    * keeps everything), with [[sourceMix]]'s keep-every-stride-th rule over
+    * the sharded prefix-sum rank. The tie-guarded rounding
+    * (floor(x + 0.5 - 1e-9)) keeps the stride engine-stable when the
+    * oracle recomputes the power in a different libm.
+    *
+    * Everything is declarative — counts and strides live in a broadcast
+    * frame (bounded by group cardinality), nothing collects to the driver;
+    * the corpus pays the prefix-sum exchange plus one broadcast join.
+    * NULL group values rank in their own partition and join null-safely,
+    * so they mix like any other group. Two corpus scans (counts + rank) —
+    * checkpoint upstream if the input lineage is expensive. */
+  def temperatureMix(docs: DataFrame, groupCol: String = "source",
+                     tau: Double = 2.0,
+                     shardBlock: Long = defaultShardBlock): DataFrame = {
+    require(tau >= 1.0, "tau must be >= 1 (tau = 1 keeps the natural mix)")
+    val counts = docs.groupBy(groupCol).agg(count(lit(1)).as("__ns"))
+    val strides = counts
+      .crossJoin(broadcast(counts.agg(min("__ns").as("__nmin"))))
+      .withColumn("__stride", greatest(lit(1L),
+        floor(pow(col("__ns").cast("double") / col("__nmin"),
+          lit(1.0 - 1.0 / tau)) + lit(0.5) - lit(1e-9)).cast("long")))
+      .select(col(groupCol).as("__g"), col("__stride"))
+    shardedPrefixSum(docs.withColumn("__one", lit(1L)), "__one", "__rn",
+        shardBlock, groupCol)
+      .join(broadcast(strides), col(groupCol) <=> col("__g"))
+      .filter((col("__rn") - 1) % col("__stride") === 0)
+      .drop("__rn", "__one", "__stride", "__g")
   }
 
   /** Gopher-style repetition statistics per document — the signals a

@@ -169,6 +169,23 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(off.afterSpanDedup == off.afterNearDedup)
   }
 
+  test("temperature mixing flattens the source mix from the survivors' own counts") {
+    import spark.implicits._
+    // s1 has 9 english docs, s2 has 1 -> tau=2 strides (9)^0.5=3 and 1:
+    // s1 keeps its 1st/4th/7th surviving docs, s2 keeps its one
+    val docs = ((1L to 9L).map(i =>
+      (i, "s1", s"the w$i cat k$i sat q$i on z$i the v$i mat")) ++
+      Seq((10L, "s2", "the last doc is about the family dinner")))
+      .toDF("doc_id", "source", "text")
+    val (packed, report) = CorpusPipeline.curate(docs,
+      CurationConfig(langs = Set("en"), minQuality = 0.0,
+        packBudgetTokens = 64, mixTemperature = Some(2.0)))
+    assert(report.afterFilters == 10, s"all docs reach the mix: $report")
+    val kept = packed.select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 7L, 10L),
+      s"tau=2 must keep s1 3:1 and all of s2: $kept")
+  }
+
   test("per-source cap keeps the k best-quality docs of each source") {
     // s1 has three docs of sharply different quality (length + stopword
     // ratio drive the score); s2 has one. cap=2 keeps s1's two best and

@@ -643,6 +643,22 @@ class ExtSpec extends AnyFunSuite {
       nul.isNullAt(nul.fieldIndex("avg_neg_logprob")))
   }
 
+  test("temperature mix flattens a skewed group distribution deterministically") {
+    import spark.implicits._
+    // groups a:9, b:4, c:1; tau=2 -> strides (9/1)^0.5=3, (4/1)^0.5=2, 1
+    // -> keep a ranks {1,4,7}, b ranks {1,3}, c rank {1}
+    val docs = ((1L to 9L).map(i => (i, "a")) ++
+      (10L to 13L).map(i => (i, "b")) ++ Seq((14L, "c")))
+      .toDF("doc_id", "source")
+    val kept = TextOps.temperatureMix(docs, "source", tau = 2.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 7L, 10L, 12L, 14L),
+      s"expected flattened 3/2/1 mix, got $kept")
+    // tau = 1 is the natural mix: a no-op
+    val all = TextOps.temperatureMix(docs, "source", tau = 1.0).count()
+    assert(all == 14, "tau=1 must keep everything")
+  }
+
   test("jaccard verification kills correlated-signature false candidates, keeps true near-dups") {
     import spark.implicits._
     // K-M double hashing lets ONE shared boilerplate shingle dominate every
