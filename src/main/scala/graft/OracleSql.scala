@@ -845,6 +845,33 @@ object OracleSql {
 
   private lazy val enList = "'the', 'a', 'of', 'and', 'to', 'in', 'is'"
 
+  /** Strict-order funnel oracle — shared by ev1 (window form) and ev2
+    * (salted form): same semantics, different physical plan. */
+  private lazy val funnelSql: String =
+    """WITH v AS (
+      |  SELECT user_id, MIN(ts) AS fv FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, MIN(e.ts) AS fc
+      |  FROM events e JOIN v USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > v.fv GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, MIN(e.ts) AS fp
+      |  FROM events e JOIN c USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.fc GROUP BY 1)
+      |SELECT u.user_id,
+      |       epoch_us(v.fv) AS first_view_us,
+      |       epoch_us(c.fc) AS first_click_us,
+      |       epoch_us(p.fp) AS first_purchase_us,
+      |       CAST(CASE WHEN p.fp IS NOT NULL THEN 3
+      |                 WHEN c.fc IS NOT NULL THEN 2
+      |                 WHEN v.fv IS NOT NULL THEN 1
+      |                 ELSE 0 END AS INTEGER) AS funnel_stage
+      |FROM (SELECT DISTINCT user_id FROM events) u
+      |LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+      |LEFT JOIN p USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
   private lazy val extSql: Map[String, String] = Map(
     "d1_dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_docs
@@ -861,6 +888,37 @@ object OracleSql {
         |FROM capped a JOIN capped b
         |  ON a.band = b.band AND a.band_value = b.band_value AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin),
+
+    // exact-Jaccard verification of the LSH candidates (the guard between
+    // candidate generation and cluster merge): intersection of DISTINCT
+    // trigram shingle sets per candidate pair, J = |I| / (|A|+|B|-|I|).
+    // Joins on shingle STRINGS (the Spark side's xxhash64 is internal key
+    // compression — the string join is the exact semantic oracle). The
+    // >= 0.5 filter compares the RAW division: both engines divide the
+    // same exact integers, so the quotient is bit-identical and cannot
+    // straddle the threshold differently.
+    "d8_verified_pairs" -> withCtes(toksCte, shCte, shxCte, sigCte, bandsCte,
+      cappedCte,
+      """cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM capped a JOIN capped b
+        |    ON a.band = b.band AND a.band_value = b.band_value AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)""".stripMargin,
+      "dsh AS (SELECT DISTINCT doc_id, shingle FROM shx)",
+      "sz AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id)",
+      """iv AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        |  FROM cand c JOIN dsh a ON a.doc_id = c.doc_a
+        |               JOIN dsh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        |  GROUP BY 1, 2)""".stripMargin)(
+      s"""SELECT c.doc_a, c.doc_b,
+         |  ${R("CAST(coalesce(iv.n_common, 0) AS DOUBLE) / (za.n + zb.n - coalesce(iv.n_common, 0))", 6)} AS jaccard
+         |FROM cand c
+         |LEFT JOIN iv ON iv.doc_a = c.doc_a AND iv.doc_b = c.doc_b
+         |JOIN sz za ON za.doc_id = c.doc_a
+         |JOIN sz zb ON zb.doc_id = c.doc_b
+         |WHERE CAST(coalesce(iv.n_common, 0) AS DOUBLE) / (za.n + zb.n - coalesce(iv.n_common, 0)) >= 0.5
+         |ORDER BY 1, 2""".stripMargin),
 
     // connected components over the LSH candidate pairs: transitive closure
     // by recursive CTE (the oracle twin of Dedup.duplicateClusters' min-label
@@ -1401,30 +1459,12 @@ object OracleSql {
 
     // strict-order funnel: each stage's first ts must be AFTER the previous
     // stage's first ts; stages emit exact epoch-microsecond longs.
-    "ev1_funnel" ->
-      """WITH v AS (
-        |  SELECT user_id, MIN(ts) AS fv FROM events
-        |  WHERE event_type = 'view' GROUP BY 1),
-        |c AS (
-        |  SELECT e.user_id, MIN(e.ts) AS fc
-        |  FROM events e JOIN v USING (user_id)
-        |  WHERE e.event_type = 'click' AND e.ts > v.fv GROUP BY 1),
-        |p AS (
-        |  SELECT e.user_id, MIN(e.ts) AS fp
-        |  FROM events e JOIN c USING (user_id)
-        |  WHERE e.event_type = 'purchase' AND e.ts > c.fc GROUP BY 1)
-        |SELECT u.user_id,
-        |       epoch_us(v.fv) AS first_view_us,
-        |       epoch_us(c.fc) AS first_click_us,
-        |       epoch_us(p.fp) AS first_purchase_us,
-        |       CAST(CASE WHEN p.fp IS NOT NULL THEN 3
-        |                 WHEN c.fc IS NOT NULL THEN 2
-        |                 WHEN v.fv IS NOT NULL THEN 1
-        |                 ELSE 0 END AS INTEGER) AS funnel_stage
-        |FROM (SELECT DISTINCT user_id FROM events) u
-        |LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
-        |LEFT JOIN p USING (user_id)
-        |ORDER BY user_id""".stripMargin,
+    "ev1_funnel" -> funnelSql,
+    // the salted funnel is semantically IDENTICAL to ev1 (different plan:
+    // salted two-phase minima + broadcast-back instead of per-user
+    // windows), so it verifies against the same oracle — a hash-equal
+    // result here proves the skew path changes the plan, not the answer
+    "ev2_funnel_salted" -> funnelSql,
 
     "st3_interval_join" ->
       """WITH clicks AS (

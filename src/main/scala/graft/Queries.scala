@@ -745,6 +745,19 @@ object Queries {
         .localCheckpoint(true))
       .orderBy("doc_a", "doc_b")
 
+  /** Exact-Jaccard verification of the d2 candidates — the correlated-
+    * signature guard (Dedup.jaccardVerifyPairs) hash-verified end-to-end:
+    * only candidates with true trigram Jaccard >= 0.5 survive, with the
+    * exact value attached. */
+  def d8VerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(s, dir)
+    val pairs = ext.Dedup.lshCandidatePairs(
+      ext.Dedup.minhashSignatures(docs).localCheckpoint(true))
+    rounded(ext.Dedup.jaccardVerifyPairs(docs, pairs)
+      .select("doc_a", "doc_b", "jaccard"), Seq("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   def d6DupClusters(s: SparkSession, dir: String): DataFrame =
     ext.Dedup.duplicateClusters(
       ext.Dedup.lshCandidatePairs(
@@ -934,6 +947,13 @@ object Queries {
     Funnel.userFunnel(Sources.events(s, dir))
       .orderBy("user_id")
 
+  /** The skew-hardened funnel, verified against the SAME oracle as ev1 —
+    * hash equality proves the salted plan changes the shuffle shape, not
+    * the answer. */
+  def ev2FunnelSalted(s: SparkSession, dir: String): DataFrame =
+    Funnel.userFunnelSalted(Sources.events(s, dir))
+      .orderBy("user_id")
+
   /** RAG chunking of the documents table: 64-token windows, 16 overlap. */
   def t15Chunks(s: SparkSession, dir: String): DataFrame =
     ext.TextOps.chunkDocuments(Sources.documents(s, dir))
@@ -1045,6 +1065,7 @@ object Queries {
     "d1_dedup_exact" -> (d1DedupExact _),
     "d7_keep_first" -> (d7KeepFirst _),
     "d2_minhash_lsh" -> (d2MinhashLsh _),
+    "d8_verified_pairs" -> (d8VerifiedPairs _),
     "d3_simhash" -> (d3Simhash _),
     "d6_dup_clusters" -> (d6DupClusters _),
     "d4_ngram_jaccard" -> (d4NgramJaccard _),
@@ -1072,6 +1093,7 @@ object Queries {
     "e1_centroids" -> (e1Centroids _),
     "e2_rocchio" -> (e2NearestCentroid _),
     "ev1_funnel" -> (ev1Funnel _),
+    "ev2_funnel_salted" -> (ev2FunnelSalted _),
     "x12_pivot" -> (x12Pivot _),
     "st3_interval_join" -> (st3IntervalJoin _),
     "t2_quality_score" -> (t2QualityScore _),
