@@ -83,6 +83,13 @@ class PlanSpec extends AnyFunSuite {
         s"$name: expected exactly one source-only exchange (the tiny " +
           s"offsets window), got $sourceOnly")
     }
+    // t17 runs the same machinery over the lang grouping, plus a broadcast
+    // stride join — the strides must NOT arrive via a shuffled join
+    val p17 = plan("t17_temp_mix")
+    assert("hashpartitioning\\(lang[#0-9L]*, __shard".r.findFirstIn(p17).isDefined,
+      "t17: fact rows must hash on (lang, __shard)")
+    assert(p17.contains("BroadcastHashJoin"),
+      "t17: the per-group stride table must broadcast")
   }
 
   test("exact dedup winner election never shuffles document payloads") {
