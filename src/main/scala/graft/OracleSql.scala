@@ -1071,6 +1071,57 @@ object OracleSql {
         |  FROM sc)
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
 
+    // SemDeDup clusters: IVF nearest-anchor assignment (same an/anorm/
+    // sc0/scr CTE text as sim3 — fixed md5-derived anchors), capped
+    // within-list pairs with tie-safe-rounded cosine >= 0.3, then the d6
+    // recursive transitive closure; a node's representative is the min
+    // reachable vec_id.
+    "d9_semantic_clusters" -> ("WITH RECURSIVE " + Seq(
+      embUnnestCte(""), normCte,
+      """an AS (
+        |  SELECT c, d,
+        |    (CAST(('0x' || substr(md5(CAST(c AS VARCHAR) || '~' || CAST(d AS VARCHAR)), 1, 8)) AS BIGINT)
+        |     % 2001 - 1000) / 1000.0 AS w
+        |  FROM range(0, 16) t1(c), range(1, 65) t2(d))""".stripMargin,
+      "anorm AS (SELECT c, SQRT(SUM(w * w)) AS anorm FROM an GROUP BY c)",
+      """sc0 AS (
+        |  SELECT u.vec_id, an.c, SUM(CAST(u.v AS DOUBLE) * an.w) AS adot
+        |  FROM u JOIN an ON an.d = u.i GROUP BY 1, 2)""".stripMargin,
+      """scr AS (
+        |  SELECT vec_id, c, adot / anorm AS score,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY adot / anorm DESC, c) AS rnk
+        |  FROM sc0 JOIN anorm USING (c))""".stripMargin,
+      "assigned AS (SELECT vec_id, c AS list_id FROM scr WHERE rnk = 1)",
+      """cl AS (
+        |  SELECT vec_id, list_id FROM (
+        |    SELECT a.*, ROW_NUMBER() OVER (PARTITION BY list_id ORDER BY vec_id) AS rn
+        |    FROM assigned a)
+        |  WHERE rn <= 1024)""".stripMargin,
+      """cd AS (
+        |  SELECT x.vec_id AS va, y.vec_id AS vb,
+        |         SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dp
+        |  FROM cl x JOIN cl y ON x.list_id = y.list_id AND x.vec_id < y.vec_id
+        |       JOIN u a ON a.vec_id = x.vec_id
+        |       JOIN u b ON b.vec_id = y.vec_id AND b.i = a.i
+        |  GROUP BY 1, 2)""".stripMargin,
+      s"""pairs AS (
+         |  SELECT va AS doc_a, vb AS doc_b
+         |  FROM cd JOIN nrm na ON na.vec_id = va
+         |          JOIN nrm nb ON nb.vec_id = vb
+         |  WHERE ${R("dp / (na.nv * nb.nv)", 6)} >= 0.3)""".stripMargin,
+      """edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT doc_b AS src, doc_a AS dst FROM pairs)""".stripMargin,
+      """reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)""".stripMargin)
+      .mkString(",\n") +
+      """
+        |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_rep
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin),
+
     // int8 quantization round trip: scale = max|x|/127; qi = round(x/scale);
     // signed + L1 element sums fingerprint the whole quantized vector;
     // max|qi*scale - x| is the dequantization error; unit_head = x1/||x||.

@@ -788,6 +788,18 @@ object Queries {
     ext.Similarity.ivfTopK(Sources.embeddings(s, dir), ext.Similarity.ivfAnchors(s))
       .orderBy("query_id", "rank")
 
+  /** SemDeDup-style semantic duplicate clusters over the embeddings: IVF
+    * list assignment -> within-list tie-safe cosine pairs -> min-label
+    * connected components (the d6 machinery on an embedding pair graph).
+    * theta=0.3 because the synthetic embeddings carry no planted
+    * high-cosine twins (max pairwise cosine ~0.51) — at 0.3 the graph has
+    * ~hundreds of real edges, so the oracle verifies genuine clustering
+    * work, not two empty sets. */
+  def d9SemanticClusters(s: SparkSession, dir: String): DataFrame =
+    ext.Similarity.semanticClusters(Sources.embeddings(s, dir),
+      ext.Similarity.ivfAnchors(s))
+      .orderBy("doc_id")
+
   /** Round-trip verification of the int8 quantization tier
     * (quantizeInt8 -> dequantizeInt8) plus l2Normalize: per-vector scale,
     * whole-vector fingerprints of the quantized array (signed + L1 element
@@ -1066,6 +1078,7 @@ object Queries {
     "d7_keep_first" -> (d7KeepFirst _),
     "d2_minhash_lsh" -> (d2MinhashLsh _),
     "d8_verified_pairs" -> (d8VerifiedPairs _),
+    "d9_semantic_clusters" -> (d9SemanticClusters _),
     "d3_simhash" -> (d3Simhash _),
     "d6_dup_clusters" -> (d6DupClusters _),
     "d4_ngram_jaccard" -> (d4NgramJaccard _),

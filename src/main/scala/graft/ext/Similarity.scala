@@ -216,6 +216,53 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "list_id", "cosine")
   }
 
+  /** SemDeDup-style semantic duplicate clusters (Abbas et al. 2023: cluster
+    * the embedding space, then pairwise-compare WITHIN clusters only):
+    * assign every vector to its nearest IVF anchor, form within-list pairs
+    * with tie-safe-rounded cosine >= `minCos`, and run the d6 min-label
+    * connected-components pass over them. Returns the (doc_id, cluster_rep)
+    * map for every vector in the pair graph — `semanticDedup` keeps one
+    * representative per cluster.
+    *
+    * Scale shape: the pairwise step is quadratic PER LIST, never global —
+    * lists are the partition bound, and `maxPerList` caps any hot list
+    * exactly like the LSH hot-bucket cap (deterministic smallest-ids
+    * survivors). At production scale the anchor count grows with the
+    * corpus (SemDeDup uses ~100k clusters for ~100M docs) so the per-list
+    * population stays flat; the anchors broadcast, the corpus shuffles
+    * once on list_id. */
+  def semanticClusters(emb: DataFrame, anchors: DataFrame,
+                       minCos: Double = 0.3,
+                       maxPerList: Int = 1024): DataFrame = {
+    val scores = anchorScores(emb, anchors)
+    val wBest = Window.partitionBy("vec_id").orderBy(desc("score"), col("c"))
+    val assigned = scores.withColumn("rnk", row_number().over(wBest))
+      .filter(col("rnk") === 1).select(col("vec_id"), col("c").as("list_id"))
+    val wList = Window.partitionBy("list_id").orderBy("vec_id")
+    val capped = withDoubles(emb).join(assigned, "vec_id")
+      .withColumn("__ln", row_number().over(wList))
+      .filter(col("__ln") <= maxPerList)
+      .select("vec_id", "list_id", "emb_d")
+    val pairs = capped.as("a").join(capped.as("b"),
+        col("a.list_id") === col("b.list_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine", graft.ops.Num.cround(
+        nativeCosine(col("a.emb_d"), col("b.emb_d")), 6))
+      .filter(col("cosine") >= minCos)
+      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
+    Dedup.duplicateClusters(pairs)
+  }
+
+  /** Keep one representative per semantic cluster (the min vec_id), plus
+    * every unclustered vector — the dedup half of [[semanticClusters]]. */
+  def semanticDedup(emb: DataFrame, anchors: DataFrame,
+                    minCos: Double = 0.3,
+                    maxPerList: Int = 1024): DataFrame = {
+    val cl = semanticClusters(emb, anchors, minCos, maxPerList)
+    emb.join(cl.filter(col("doc_id") =!= col("cluster_rep"))
+      .select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_anti")
+  }
+
   /** LSH-bucketed cosine top-k: only candidates in the query's bucket are
     * scored. The 2^nPlanes buckets bound the self-join; per-bucket top-k
     * keeps the shuffle payload at k rows per query. */

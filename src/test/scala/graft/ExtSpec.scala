@@ -643,6 +643,24 @@ class ExtSpec extends AnyFunSuite {
       nul.isNullAt(nul.fieldIndex("avg_neg_logprob")))
   }
 
+  test("semantic dedup clusters planted twins, keeps the min representative") {
+    import spark.implicits._
+    // vecs 1/2 identical (cosine 1 -> same list, pair, cluster); vec 3
+    // far from both (negated pattern) -> unclustered, kept
+    val base = Array.tabulate(64)(i => math.sin(i * 0.7).toFloat)
+    val other = base.map(x => -x)
+    val emb = Seq((1L, base, 0), (2L, base, 0), (3L, other, 1))
+      .toDF("vec_id", "embedding", "label")
+    val anchors = Similarity.ivfAnchors(spark)
+    val clusters = Similarity.semanticClusters(emb, anchors, minCos = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L),
+      s"twins cluster under rep 1, vec 3 stays out: $clusters")
+    val kept = Similarity.semanticDedup(emb, anchors, minCos = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L), s"one twin survives, the loner survives: $kept")
+  }
+
   test("temperature mix flattens a skewed group distribution deterministically") {
     import spark.implicits._
     // groups a:9, b:4, c:1; tau=2 -> strides (9/1)^0.5=3, (4/1)^0.5=2, 1
