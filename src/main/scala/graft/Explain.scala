@@ -27,7 +27,8 @@ object Explain {
       "e2_rocchio", "x12_pivot", "t14_best_src", "c2_embed_decontam",
       "j7_cube", "j8_full_outer", "w11_range_mean", "u4_intersect",
       "t15_chunks", "o7_paginate", "sim4_quantize", "m2_phash_pairs",
-      "t16_span_dedup", "t17_temp_mix")
+      "t16_span_dedup", "t17_temp_mix",
+      "d8_verified_pairs", "d9_semantic_clusters", "ev2_funnel_salted")
     val sb = new StringBuilder("# Physical plans (formatted)\n")
     interesting.foreach { name =>
       val plan = Queries.all(name)(spark, sfDir).queryExecution.explainString(

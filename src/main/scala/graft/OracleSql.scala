@@ -1222,7 +1222,8 @@ object OracleSql {
         |r AS (SELECT doc_id, lang,
         |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
         |       FROM documents)
-        |SELECT r.doc_id, r.lang FROM r JOIN s USING (lang)
+        |SELECT r.doc_id, r.lang
+        |FROM r JOIN s ON r.lang IS NOT DISTINCT FROM s.lang
         |WHERE (rn - 1) % stride = 0
         |ORDER BY doc_id""".stripMargin,
 

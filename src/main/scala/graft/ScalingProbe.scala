@@ -62,10 +62,13 @@ object ScalingProbe {
       org.apache.spark.sql.SparkSession.active.range(FACTOR)
         .withColumnRenamed("id", "rep")))
 
-  /** `col + rep * (max(col)+1)`, so replica key spaces never collide. */
+  /** `col + rep * (max(col)+1)`, so replica key spaces never collide.
+    * The max is cast to long so int-typed keys work, and an empty table
+    * (null max) degenerates to step 1 instead of an NPE. */
   private def offset(df: DataFrame, keys: String*): DataFrame = {
     val steps: Map[String, Long] = keys.map { k =>
-      k -> (df.agg(max(col(k))).first().getLong(0) + 1L)
+      val m = df.agg(max(col(k)).cast("long")).first()
+      k -> (Option(m.get(0)).fold(0L)(_.asInstanceOf[Long]) + 1L)
     }.toMap
     val rep = replicate(df)
     keys.foldLeft(rep)((d, k) =>
@@ -90,13 +93,16 @@ object ScalingProbe {
     write(read("region"), "region")
 
     // documents: distinct token space per replica (suffix every token with
-    // the replica id; replica 0 keeps the original text byte-for-byte).
+    // '§'+replica id; replica 0 keeps the original text byte-for-byte).
+    // The '§' separator cannot appear in corpus tokens, so a token that
+    // already ends in digits ("w1" in replica 0) can never equal another
+    // token's suffixed form ("w"+"1" in replica 1).
     // NULL text stays NULL — concat_ws would quietly turn it into "".
     write(offset(read("documents"), "doc_id")
       .withColumn("text", when(col("text").isNull || col("rep") === 0,
           col("text"))
         .otherwise(concat_ws(" ",
-          expr("transform(split(text, ' '), t -> concat(t, rep))"))))
+          expr("transform(split(text, ' '), t -> concat(t, '§', rep))"))))
       .withColumn("n_chars", when(col("text").isNull, col("n_chars"))
         .otherwise(length(col("text")))),
       "documents")
@@ -121,8 +127,18 @@ object ScalingProbe {
   // ===== probing ===========================================================
 
   def main(args: Array[String]): Unit = {
-    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
-    val out = args.lift(1).getOrElse("target/scaledata/sf1.0")
+    // Decade selection: default probes sf0.1 -> sf1.0; SPARK_GRAFT_PROBE_LO /
+    // _HI select another pair, e.g. LO=target/scaledata/sf1.0,
+    // HI=target/scaledata/sf10 for the second decade. Synthesized corpora
+    // chain: sf1.0 is generated from the driver's sf0.1, sf10 from sf1.0.
+    val base = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val src = sys.env.getOrElse("SPARK_GRAFT_PROBE_LO", base)
+    val out = sys.env.getOrElse("SPARK_GRAFT_PROBE_HI",
+      args.lift(1).getOrElse("target/scaledata/sf1.0"))
+    // each synthesized dir's generation source (10x per step)
+    val chain: Map[String, String] = Map(
+      "target/scaledata/sf1.0" -> base,
+      "target/scaledata/sf10" -> "target/scaledata/sf1.0")
     val iters = sys.env.getOrElse("SPARK_GRAFT_PROBE_ITERS", "3").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -134,10 +150,15 @@ object ScalingProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (!new java.io.File(s"$out/lineitem.parquet/_SUCCESS").exists()) {
-      System.err.println(s"[probe] generating sf1.0-equivalent at $out")
-      generate(spark, src, out)
-    } else System.err.println(s"[probe] reusing $out")
+    def ensure(dir: String): Unit =
+      if (chain.contains(dir) &&
+          !new java.io.File(s"$dir/lineitem.parquet/_SUCCESS").exists()) {
+        ensure(chain(dir))
+        System.err.println(s"[probe] generating 10x of ${chain(dir)} at $dir")
+        generate(spark, chain(dir), dir)
+      } else System.err.println(s"[probe] reusing $dir")
+    ensure(src)
+    ensure(out)
 
     // focused re-adjudication of one noisy query: SPARK_GRAFT_PROBE_QUERIES
     // (comma-separated names) overrides the default top-10 list
@@ -163,7 +184,7 @@ object ScalingProbe {
     }
     def med(xs: List[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
 
-    println(f"| query | sf0.1 s | sf1.0 s | ratio | alpha |")
+    println(s"| query | ${src.split('/').last} s | ${out.split('/').last} s | ratio | alpha |")
     println(f"|---|---|---|---|---|")
     val rows = queries.map { case (name, _) =>
       val t0 = med(samples((name, src)))

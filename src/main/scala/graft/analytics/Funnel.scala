@@ -64,8 +64,20 @@ object Funnel {
     * monotonically_increasing_id — a shuffle-retry reorder must not move a
     * row between buckets (ops/Skew.saltedSumCount, same rule).
     * SkewSpec proves result equality vs [[userFunnel]] on a fixture where
-    * one user owns ~98% of all events. */
-  def userFunnelSalted(events: DataFrame, saltBuckets: Int = 16): DataFrame = {
+    * one user owns ~98% of all events.
+    *
+    * Gate-table distribution: the per-user gate tables (v, c) are |users|
+    * rows. With `broadcastGates=true` (default) they broadcast — right for
+    * the common case where |users| fits the broadcast limit. At
+    * hundreds-of-millions-of-users scale set `broadcastGates=false`: the
+    * gates then join via an ordinary shuffle on user_id, which is safe —
+    * the gate side has exactly one row per user, and the events side's
+    * hot-user partition is the one case AQE skew-join splits handle
+    * (only the salted AGGREGATES must avoid a bare user_id exchange; a
+    * join probe against a 1-row-per-key build side is fine to split). */
+  def userFunnelSalted(events: DataFrame, saltBuckets: Int = 16,
+      broadcastGates: Boolean = true): DataFrame = {
+    def gate(df: DataFrame): DataFrame = if (broadcastGates) broadcast(df) else df
     val base = events.select(col("user_id"), col("event_type"),
         expr("unix_micros(ts)").as("ts_us"))
       .withColumn("__salt",
@@ -79,14 +91,14 @@ object Funnel {
       .groupBy("user_id").agg(min("pv").as("first_view_us"))
     // stage 2: first click strictly after the first view
     val c = base
-      .join(broadcast(v), Seq("user_id"), "left")
+      .join(gate(v), Seq("user_id"), "left")
       .groupBy("user_id", "__salt")
       .agg(min(when(col("event_type") === "click" &&
         col("ts_us") > col("first_view_us"), col("ts_us"))).as("pc"))
       .groupBy("user_id").agg(min("pc").as("first_click_us"))
     // stage 3: first purchase strictly after that click
     val p = base
-      .join(broadcast(c), Seq("user_id"), "left")
+      .join(gate(c), Seq("user_id"), "left")
       .groupBy("user_id", "__salt")
       .agg(min(when(col("event_type") === "purchase" &&
         col("ts_us") > col("first_click_us"), col("ts_us"))).as("pp"))

@@ -78,22 +78,51 @@ object Multimodal {
   case class ResizedMedia(doc_id: Long, format: String,
                           width: Int, height: Int, payload: Array[Byte])
 
-  /** STUB resize — stands in for an image scaler. The fake clamps the
-    * payload to width*height/8 bytes so output row size is bounded by the
-    * TARGET dimensions, which is the property that matters at scale: a
-    * resize-to-thumbnail stage must shrink shuffle/write volume no matter
-    * how large the inputs are. Swap only this function for a real scaler. */
+  /** Fallback for NON-decodable payloads (formats with no JDK reader, wrong
+    * magic): clamps the payload to width*height/8 bytes so output row size
+    * is still bounded by the TARGET dimensions — a resize-to-thumbnail
+    * stage must shrink shuffle/write volume even for rows it cannot decode.
+    * Decodable images take [[resizeImage]]'s real path instead. */
   def stubResize(row: MediaRow, width: Int, height: Int): ResizedMedia = {
     val target = math.max(1, width * height / 8)
     ResizedMedia(row.doc_id, row.format, width, height,
       java.util.Arrays.copyOf(row.payload, math.min(target, math.max(1, row.payload.length))))
   }
 
+  /** REAL resize on the bundled JDK only: ImageIO decode -> Graphics2D
+    * bilinear resample to (width, height) RGB — the same interpolation
+    * kernel [[aHash]] uses for its 8x8 grayscale grid, generalized to
+    * arbitrary RGB target dimensions — -> lossless PNG re-encode
+    * (javax.imageio ships a PNG writer), so output bytes are deterministic
+    * for a given input. A payload ImageIO cannot parse falls back to
+    * [[stubResize]] so the stage stays total; either way the output row is
+    * bounded by the target dimensions, which is the property that matters
+    * at scale. */
+  def resizeImage(row: MediaRow, width: Int, height: Int): ResizedMedia = {
+    require(width > 0 && height > 0, "target dimensions must be positive")
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.payload))
+      catch { case _: Exception => null }
+    if (img == null) stubResize(row, width, height)
+    else {
+      val out = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, width, height, null)
+      g.dispose()
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", buf)
+      ResizedMedia(row.doc_id, "png", width, height, buf.toByteArray)
+    }
+  }
+
   /** Distributed resize: one scaler init per partition, bounded output rows. */
   def resize(spark: SparkSession, media: DataFrame,
              width: Int, height: Int): Dataset[ResizedMedia] = {
     import spark.implicits._
-    media.as[MediaRow].mapPartitions(_.map(stubResize(_, width, height)))
+    media.as[MediaRow].mapPartitions(_.map(resizeImage(_, width, height)))
   }
 
   case class PHashRow(doc_id: Long, format: String, ok: Boolean, phash: Long)

@@ -233,7 +233,17 @@ object Similarity {
     * once on list_id. */
   def semanticClusters(emb: DataFrame, anchors: DataFrame,
                        minCos: Double = 0.3,
-                       maxPerList: Int = 1024): DataFrame = {
+                       maxPerList: Int = 1024): DataFrame =
+    Dedup.duplicateClusters(semanticPairs(emb, anchors, minCos, maxPerList))
+
+  /** The candidate-pair half of [[semanticClusters]], split out so PlanSpec
+    * can audit its shuffle shape directly (the cluster half checkpoints its
+    * iterations, which truncates the visible plan): assign each vector to
+    * its best anchor list, cap hot lists, then self-join WITHIN lists only
+    * — the one corpus-wide exchange is keyed on list_id. */
+  def semanticPairs(emb: DataFrame, anchors: DataFrame,
+                    minCos: Double = 0.3,
+                    maxPerList: Int = 1024): DataFrame = {
     val scores = anchorScores(emb, anchors)
     val wBest = Window.partitionBy("vec_id").orderBy(desc("score"), col("c"))
     val assigned = scores.withColumn("rnk", row_number().over(wBest))
@@ -243,14 +253,13 @@ object Similarity {
       .withColumn("__ln", row_number().over(wList))
       .filter(col("__ln") <= maxPerList)
       .select("vec_id", "list_id", "emb_d")
-    val pairs = capped.as("a").join(capped.as("b"),
+    capped.as("a").join(capped.as("b"),
         col("a.list_id") === col("b.list_id") &&
           col("a.vec_id") < col("b.vec_id"))
       .withColumn("cosine", graft.ops.Num.cround(
         nativeCosine(col("a.emb_d"), col("b.emb_d")), 6))
       .filter(col("cosine") >= minCos)
       .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
-    Dedup.duplicateClusters(pairs)
   }
 
   /** Keep one representative per semantic cluster (the min vec_id), plus

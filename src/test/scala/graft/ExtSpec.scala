@@ -336,8 +336,38 @@ class ExtSpec extends AnyFunSuite {
     assert(z.getSeq[Double](z.fieldIndex("deq")).forall(_ == 0.0))
   }
 
+  test("multimodal: resize REALLY resamples a decodable image (dims + corner pixels)") {
+    // 8x8 PNG with four solid 4x4 quadrant colors; bilinear downscale to
+    // 4x4 must keep each corner pixel exactly its quadrant's color (the
+    // corner samples sit strictly inside a solid region, so interpolation
+    // is exact there), and the payload must re-decode at the target dims.
+    val (red, green, blue, white) = (0xFF0000, 0x00FF00, 0x0000FF, 0xFFFFFF)
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 8; y <- 0 until 8)
+      img.setRGB(x, y,
+        if (x < 4 && y < 4) red else if (x >= 4 && y < 4) green
+        else if (x < 4) blue else white)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+
+    val out = Multimodal.resizeImage(
+      Multimodal.MediaRow(42L, buf.toByteArray, "png"), 4, 4)
+    assert(out.width == 4 && out.height == 4 && out.format == "png")
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.payload))
+    assert(back.getWidth == 4 && back.getHeight == 4,
+      "re-encoded payload decodes at the target dimensions")
+    def rgb(x: Int, y: Int) = back.getRGB(x, y) & 0xFFFFFF
+    assert(rgb(0, 0) == red && rgb(3, 0) == green &&
+      rgb(0, 3) == blue && rgb(3, 3) == white,
+      "corner pixels keep their quadrant colors through the bilinear resample")
+  }
+
   test("multimodal: resize bounds output size, frame sampling strides the payload") {
     val media = Multimodal.asMediaTable(docs)
+    // the media fixture is text bytes (no image magic), so every row takes
+    // the bounded stub fallback — the size-bound property under test
     val resized = Multimodal.resize(spark, media, 64, 32).collect()
     assert(resized.forall(_.payload.length <= 64 * 32 / 8),
       "resized payloads are bounded by the target dimensions")

@@ -92,6 +92,30 @@ class PlanSpec extends AnyFunSuite {
       "t17: the per-group stride table must broadcast")
   }
 
+  test("d9 semantic pairs: within-list self-join keys on list_id, no cartesian") {
+    // The full d9 query checkpoints its cluster iterations (truncating the
+    // visible plan), so audit the candidate-pair half directly: the one
+    // corpus-wide exchange of vectors must be keyed on list_id (the IVF
+    // list is the partition bound for the quadratic-per-list step), the
+    // self-join must be an equi-join on it, and nothing may degenerate to
+    // an all-pairs nested loop.
+    val df = ext.Similarity.semanticPairs(
+      io.Sources.embeddings(spark, dir), ext.Similarity.ivfAnchors(spark))
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // The assignment step DOES plan a BroadcastNestedLoopJoin — that's the
+    // tiny fixed anchor table broadcast against every vector (a k-row
+    // build side, by design). The corpus-vs-corpus step must not.
+    assert(!p.contains("CartesianProduct"),
+      "d9 pair generation degenerated into a cartesian")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      "d9: the within-list self-join must be an equi-join")
+    assert("Left keys \\[1\\]: \\[list_id".r.findFirstIn(p).isDefined,
+      "d9: the self-join must key on list_id alone")
+    assert("hashpartitioning\\(list_id".r.findFirstIn(p).isDefined,
+      "d9: vectors must exchange on list_id before the within-list self-join")
+  }
+
   test("exact dedup winner election never shuffles document payloads") {
     // curate step 1: the digest exchange must carry (digest, doc_id) only
     // — full text riding a shuffle keyed on md5(text) is the 100 TB

@@ -185,7 +185,11 @@ class StreamingSpec extends AnyFunSuite {
       import scala.jdk.CollectionConverters._
       val part = java.nio.file.Files.list(landing.resolve(f"stage-$i%02d"))
         .iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
-      java.nio.file.Files.move(part, landing.resolve(f"docs-$i%02d.parquet"))
+      val dest = landing.resolve(f"docs-$i%02d.parquet")
+      java.nio.file.Files.move(part, dest)
+      // pin strictly increasing mtimes (FileStreamSource orders by mtime)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
     }
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
@@ -231,7 +235,14 @@ class StreamingSpec extends AnyFunSuite {
         .write.parquet(sliceDir.toString)
       val part = java.nio.file.Files.list(sliceDir).iterator().asScala
         .find(_.getFileName.toString.endsWith(".parquet")).get
-      java.nio.file.Files.move(part, landing.resolve(f"slice-$i%02d.parquet"))
+      val dest = landing.resolve(f"slice-$i%02d.parquet")
+      java.nio.file.Files.move(part, dest)
+      // FileStreamSource orders by mtime; the slice writes land within
+      // milliseconds, so pin strictly increasing mtimes explicitly —
+      // coarse-mtime filesystems could otherwise deliver slices out of
+      // event-time order and flake the equivalence.
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
     }
     val fileStream = spark.readStream
       .schema(StreamPipeline.eventsSchema)
@@ -274,7 +285,14 @@ class StreamingSpec extends AnyFunSuite {
         .write.parquet(sliceDir.toString)
       val part = java.nio.file.Files.list(sliceDir).iterator().asScala
         .find(_.getFileName.toString.endsWith(".parquet")).get
-      java.nio.file.Files.move(part, landing.resolve(f"slice-$i%02d.parquet"))
+      val dest = landing.resolve(f"slice-$i%02d.parquet")
+      java.nio.file.Files.move(part, dest)
+      // FileStreamSource orders by mtime; the slice writes land within
+      // milliseconds, so pin strictly increasing mtimes explicitly —
+      // coarse-mtime filesystems could otherwise deliver slices out of
+      // event-time order and flake the equivalence.
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
     }
     val fileStream = spark.readStream
       .schema(StreamPipeline.eventsSchema)
