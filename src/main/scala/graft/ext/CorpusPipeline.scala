@@ -109,6 +109,37 @@ object CorpusPipeline {
     val nearUnique = Dedup.dedupByClusters(
       exactUnique, Dedup.duplicateClusters(pairs))
 
+    val (packed, t) = curateTail(docs.columns.toSeq, nearUnique, cfg, benchmark)
+    val report = CurationReport(
+      input = docs.count(),
+      afterExactDedup = exactUnique.count(),
+      afterNearDedup = nearUnique.count(),
+      afterSpanDedup = t.afterSpanDedup,
+      afterFilters = t.afterFilters,
+      afterLmFilter = t.afterLmFilter,
+      afterDecontam = t.afterDecontam,
+      afterCap = t.afterCap,
+      afterMix = t.afterMix,
+      nPacks = t.nPacks)
+    (packed, report)
+  }
+
+  /** Stage counts of the post-dedup tail ([[curateTail]]). */
+  private[ext] case class TailCounts(
+      afterSpanDedup: Long, afterFilters: Long, afterLmFilter: Long,
+      afterDecontam: Long, afterCap: Long, afterMix: Long, nPacks: Long)
+
+  /** Stages 2b-6 of [[curate]] — everything downstream of document-level
+    * dedup. Split out so [[IncrementalCuration]] can run the identical
+    * tail over its incrementally-deduplicated survivor snapshot: the tail
+    * stages (span dedup, filters, decontamination, caps, mixing, packing)
+    * are global functions of the survivor set, so batch and incremental
+    * curation share them by construction. `outCols` is the caller's
+    * document column set (the stages are shape-preserving). */
+  private[ext] def curateTail(outCols: Seq[String], nearUnique: DataFrame,
+      cfg: CurationConfig,
+      benchmark: Option[DataFrame]): (DataFrame, TailCounts) = {
+
     // 2b. optional C4-style span dedup: repeated boilerplate spans vanish
     // corpus-wide (keep-first), documents rebuilt from survivors; docs left
     // EMPTY by the scrub drop here (they carry no trainable text). Runs
@@ -124,7 +155,7 @@ object CorpusPipeline {
         nearUnique.drop("text")
           .join(rebuilt, Seq("doc_id"))
           .withColumnRenamed("cleaned_text", "text")
-          .select(docs.columns.map(col): _*)
+          .select(outCols.map(col): _*)
           .localCheckpoint(true)
       case None => nearUnique
     }
@@ -134,7 +165,7 @@ object CorpusPipeline {
     val filtered = TextOps.withQualityScore(TextOps.withLangId(boilerplateFree))
       .filter(col("detected_lang").isin(cfg.langs.toSeq: _*) &&
         col("quality_score") >= cfg.minQuality)
-      .select(docs.columns.map(col): _*)
+      .select(outCols.map(col): _*)
       .localCheckpoint(true)
 
     // 3b. optional unigram-LM surprise filter (CCNet-style): the LM is the
@@ -146,7 +177,7 @@ object CorpusPipeline {
       case Some(ceiling) =>
         TextOps.withUnigramLogProb(filtered)
           .filter(col("avg_neg_logprob") <= ceiling)
-          .select(docs.columns.map(col): _*)
+          .select(outCols.map(col): _*)
           .localCheckpoint(true)
       case None => filtered
     }
@@ -175,7 +206,7 @@ object CorpusPipeline {
     // decontamination so caps fill with clean documents.
     val capped = cfg.perSourceCap match {
       case Some(cap) =>
-        graft.functions.GraftFunctions.register(docs.sparkSession)
+        graft.functions.GraftFunctions.register(decontaminated.sparkSession)
         val best = TextOps.withQualityScore(decontaminated)
           .withColumn("__q", graft.ops.Num.cround(col("quality_score"), 6))
           .groupBy("source")
@@ -197,17 +228,13 @@ object CorpusPipeline {
     val packed = TextOps.packSequences(mixed, cfg.packBudgetTokens)
       .localCheckpoint(true)
 
-    val report = CurationReport(
-      input = docs.count(),
-      afterExactDedup = exactUnique.count(),
-      afterNearDedup = nearUnique.count(),
+    (packed, TailCounts(
       afterSpanDedup = boilerplateFree.count(),
       afterFilters = filtered.count(),
       afterLmFilter = lmFiltered.count(),
       afterDecontam = decontaminated.count(),
       afterCap = capped.count(),
       afterMix = packed.count(), // packing is row-preserving
-      nPacks = packed.select("source", "pack_id").distinct().count())
-    (packed, report)
+      nPacks = packed.select("source", "pack_id").distinct().count()))
   }
 }
