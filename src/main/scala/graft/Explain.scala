@@ -28,7 +28,8 @@ object Explain {
       "j7_cube", "j8_full_outer", "w11_range_mean", "u4_intersect",
       "t15_chunks", "o7_paginate", "sim4_quantize", "m2_phash_pairs",
       "t16_span_dedup", "t17_temp_mix",
-      "d8_verified_pairs", "d9_semantic_clusters", "ev2_funnel_salted")
+      "d8_verified_pairs", "d9_semantic_clusters", "ev2_funnel_salted",
+      "sim5_prefix_rerank", "t18_strat_sample")
     val sb = new StringBuilder("# Physical plans (formatted)\n")
     interesting.foreach { name =>
       val plan = Queries.all(name)(spark, sfDir).queryExecution.explainString(

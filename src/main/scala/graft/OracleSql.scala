@@ -1071,6 +1071,47 @@ object OracleSql {
         |  FROM sc)
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
 
+    // Two-stage prefix rerank: stage 1 ranks every candidate by the
+    // 16-dim-prefix cosine (rounded, vec_id tiebreak — identical shortlist
+    // boundary to the engine's top_k_by), stage 2 reranks the 20-deep
+    // shortlist by full-dimension cosine.
+    "sim5_prefix_rerank" -> withCtes(
+      embUnnestCte(""), normCte,
+      """pnrm AS (
+        |  SELECT vec_id, SQRT(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS pv
+        |  FROM u WHERE i <= 16 GROUP BY vec_id)""".stripMargin,
+      """ppd AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |         SUM(CAST(q.v AS DOUBLE) * CAST(c.v AS DOUBLE)) AS dp
+        |  FROM u q JOIN u c ON q.i = c.i AND q.i <= 16 AND c.i <= 16
+        |       AND q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id
+        |  GROUP BY 1, 2)""".stripMargin,
+      s"""ps AS (
+         |  SELECT query_id, ppd.vec_id,
+         |         ${R("dp / (pq.pv * pc.pv)", 6)} AS pre_cosine
+         |  FROM ppd JOIN pnrm pq ON pq.vec_id = query_id
+         |           JOIN pnrm pc ON pc.vec_id = ppd.vec_id)""".stripMargin,
+      """sl AS (
+        |  SELECT query_id, vec_id, pre_cosine FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY pre_cosine DESC, vec_id) AS __rn
+        |    FROM ps WHERE pre_cosine IS NOT NULL)
+        |  WHERE __rn <= 20)""".stripMargin,
+      """fd AS (
+        |  SELECT s.query_id, s.vec_id, s.pre_cosine,
+        |         SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dp
+        |  FROM sl s JOIN u a ON a.vec_id = s.query_id
+        |            JOIN u b ON b.vec_id = s.vec_id AND b.i = a.i
+        |  GROUP BY 1, 2, 3)""".stripMargin,
+      s"""sc AS (
+         |  SELECT query_id, fd.vec_id, pre_cosine,
+         |         ${R("dp / (nq.nv * nc.nv)", 6)} AS cosine
+         |  FROM fd JOIN nrm nq ON nq.vec_id = query_id
+         |           JOIN nrm nc ON nc.vec_id = fd.vec_id)""".stripMargin)(
+      """SELECT query_id, rank, vec_id, cosine, pre_cosine FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM sc)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
     // SemDeDup clusters: IVF nearest-anchor assignment (same an/anorm/
     // sc0/scr CTE text as sim3 — fixed md5-derived anchors), capped
     // within-list pairs with tie-safe-rounded cosine >= 0.3, then the d6
@@ -1226,6 +1267,20 @@ object OracleSql {
         |FROM r JOIN s ON r.lang IS NOT DISTINCT FROM s.lang
         |WHERE (rn - 1) % stride = 0
         |ORDER BY doc_id""".stripMargin,
+
+    // Bottom-k-by-hash per stratum: the oracle twin of the bounded
+    // top_k_by(-h) aggregate is a plain per-source window rank over the
+    // md5-derived priority (same '0x'+substr(md5) recipe as the sim2
+    // hyperplane weights — proven cross-engine).
+    "t18_strat_sample" -> withCtes(
+      """hs AS (
+        |  SELECT source, doc_id,
+        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+        |  FROM documents)""".stripMargin)(
+      """SELECT source, CAST(rank AS INTEGER) AS rank, doc_id, h AS smp_hash FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rank
+        |  FROM hs)
+        |WHERE rank <= 5 ORDER BY source, rank""".stripMargin),
 
     // Joins on the n-gram STRINGS — the Spark side's xxhash64 is an
     // internal key-compression step that never reaches the output, so the

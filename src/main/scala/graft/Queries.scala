@@ -780,6 +780,14 @@ object Queries {
     ext.Similarity.bruteForceTopK(Sources.embeddings(s, dir))
       .orderBy("query_id", "rank")
 
+  /** Two-stage Matryoshka-style retrieval: coarse rank on the first 16
+    * dims (4x fewer multiplies on the corpus-wide pass), exact rerank of a
+    * 20-deep shortlist on all 64 — see
+    * [[graft.ext.Similarity.prefixRerankTopK]]. */
+  def sim5PrefixRerank(s: SparkSession, dir: String): DataFrame =
+    ext.Similarity.prefixRerankTopK(Sources.embeddings(s, dir))
+      .orderBy("query_id", "rank")
+
   def sim2LshTopk(s: SparkSession, dir: String): DataFrame =
     ext.Similarity.lshTopK(Sources.embeddings(s, dir), ext.Similarity.planes(s))
       .orderBy("query_id", "rank")
@@ -983,6 +991,11 @@ object Queries {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  /** Deterministic per-source eval sample (bottom-5-by-hash per stratum) —
+    * see [[graft.ext.TextOps.stratifiedSample]]. */
+  def t18StratSample(s: SparkSession, dir: String): DataFrame =
+    ext.TextOps.stratifiedSample(Sources.documents(s, dir), "source", k = 5)
+
   /** Top-3 quality documents per source via the native bounded `top_k_by`
     * aggregate — a quality-ranked per-domain cap (RefinedWeb-style) with NO
     * per-source window sort: each map partition reduces to <= k pairs per
@@ -1087,6 +1100,7 @@ object Queries {
     "sim2_lsh_topk" -> (sim2LshTopk _),
     "sim3_ivf_topk" -> (sim3IvfTopk _),
     "sim4_quantize" -> (sim4Quantize _),
+    "sim5_prefix_rerank" -> (sim5PrefixRerank _),
     "t1_lang_id" -> (t1LangId _),
     "t5_lang_ngram" -> (t5LangNgram _),
     "t6_pack_sequences" -> (t6PackSequences _),
@@ -1103,6 +1117,7 @@ object Queries {
     "t15_chunks" -> (t15Chunks _),
     "t16_span_dedup" -> (t16SpanDedup _),
     "t17_temp_mix" -> (t17TempMix _),
+    "t18_strat_sample" -> (t18StratSample _),
     "e1_centroids" -> (e1Centroids _),
     "e2_rocchio" -> (e2NearestCentroid _),
     "ev1_funnel" -> (ev1Funnel _),

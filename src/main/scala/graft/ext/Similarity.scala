@@ -86,6 +86,62 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "cosine")
   }
 
+  /** Two-stage prefix-dimension rerank top-k — the Matryoshka-retrieval
+    * pattern (coarse rank on a short embedding prefix, exact rerank on the
+    * full vector; Kusupati et al., "Matryoshka Representation Learning",
+    * NeurIPS 2022):
+    *
+    *   stage 1 scores the WHOLE corpus with only the first `pdims`
+    *   dimensions (a pdims/dims fraction of the multiply-add work of the
+    *   brute-force scan) and keeps a per-query `shortlist` via the bounded
+    *   native `top_k_by` aggregate — partial aggregation reduces every map
+    *   partition to <= shortlist pairs per query BEFORE the shuffle, so no
+    *   per-query sort ever sees the corpus;
+    *
+    *   stage 2 re-scores ONLY the shortlist (n_queries x shortlist rows,
+    *   broadcast back against the corpus to fetch full vectors) with
+    *   full-dimension cosine and ranks the final k. The stage-2 window runs
+    *   over that bounded shortlist table, never corpus-sized partitions.
+    *
+    * Both stages rank by the tie-safe-ROUNDED cosine with vec_id as
+    * tiebreak, so the shortlist boundary and the final ranking are
+    * engine-reproducible. A zero-norm prefix scores NULL in stage 1
+    * ([[nativeCosine]] semantics) and drops from the shortlist.
+    *
+    * This is approximate by design: a candidate whose prefix disagrees with
+    * its full vector can miss the shortlist (ExtSpec proves both the miss
+    * and that widening the shortlist recovers it). At shortlist >= corpus
+    * and pdims = dims it degenerates to [[bruteForceTopK]] exactly. */
+  def prefixRerankTopK(emb: DataFrame, pdims: Int = 16, shortlist: Int = 20,
+                       queryMod: Int = 100, k: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    val base = withDoubles(emb)
+    val pre = base.select(col("vec_id"),
+      slice(col("emb_d"), 1, pdims).as("emb_p"))
+    val pQueries = pre.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("emb_p").as("q_p"))
+    val short = pre.join(broadcast(pQueries), col("vec_id") =!= col("query_id"))
+      .withColumn("pre_cosine", graft.ops.Num.cround(
+        nativeCosine(col("emb_p"), col("q_p")), 6))
+      .groupBy("query_id")
+      .agg(expr(s"top_k_by(pre_cosine, vec_id, $shortlist)").as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("t"))
+      .select(col("query_id"), col("t.id").as("vec_id"),
+        col("t.score").as("pre_cosine"))
+    val qFull = base.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("emb_d").as("q_d"))
+    val scored = base.join(broadcast(short), "vec_id")
+      .join(broadcast(qFull), "query_id")
+      .withColumn("cosine", graft.ops.Num.cround(
+        nativeCosine(col("emb_d"), col("q_d")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cosine", "pre_cosine")
+  }
+
   /** Deterministic pseudo-random hyperplanes: weight(plane p, dim d) =
     * (md5-derived integer in [-1000, 1000]) / 1000. Reproducible from public
     * md5 alone — no RNG state to ship to executors. */

@@ -349,6 +349,42 @@ object TextOps {
           .otherwise("test"))
   }
 
+  /** Deterministic stratified held-out sample: the k docs of each stratum
+    * with the SMALLEST md5-derived priority hash — a per-stratum bottom-k
+    * (min-wise) sample, the standard mergeable uniform-without-replacement
+    * sketch (Cohen & Kaplan, "Summarizing data using bottom-k sketches",
+    * PODC 2007). Eval-set construction needs exactly this shape: a fixed
+    * per-source quota (a plain percentage split under-represents small
+    * sources, see [[withSplitAssignment]]), reproducible from doc_id alone,
+    * and insensitive to row order.
+    *
+    * Scale shape: the priority is a per-row hash and the per-stratum
+    * bottom-k runs on the bounded native `top_k_by` aggregate (negated
+    * score), so every map partition reduces to <= k pairs per stratum
+    * before the shuffle — no per-stratum window sort, no task ever holds a
+    * whole stratum. The same hash-priority construction extends to a
+    * weighted sample (priority = h^(1/w)) without changing the plan shape.
+    *
+    * Output: (stratum, rank, doc_id, smp_hash), rank 1 = smallest hash,
+    * ties broken by the smaller doc_id. */
+  def stratifiedSample(docs: DataFrame, strataCol: String = "source",
+                       k: Int = 5): DataFrame = {
+    require(k > 0, "sample quota k must be positive")
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    docs.select(col(strataCol), col("doc_id"))
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"))
+      .groupBy(strataCol)
+      .agg(expr(s"top_k_by(-CAST(h AS DOUBLE), doc_id, $k)").as("tk"))
+      .select(col(strataCol), posexplode(col("tk")).as(Seq("r", "t")))
+      .select(col(strataCol), (col("r") + 1).cast("int").as("rank"),
+        col("t.id").as("doc_id"),
+        (-col("t.score")).cast("long").as("smp_hash"))
+      .orderBy(strataCol, "rank")
+  }
+
   /** Token-budget sampling: keep each source's documents (in doc_id order)
     * while the running token total stays within `budgetTokens` — the
     * deterministic form of capping a source's contribution to a training

@@ -859,4 +859,72 @@ class ExtSpec extends AnyFunSuite {
     assert(out(4L) == ((1, false)),
       "the mislabeled vector must be assigned to the nearer foreign centroid")
   }
+
+  test("prefix rerank degenerates to brute force at full prefix + wide shortlist") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 1.0f, 1.0f)),
+      (1L, Seq(1.0f, 0.0f, -1.0f, -1.0f)),
+      (2L, Seq(0.1f, 0.9f, 1.0f, 1.0f)),
+      (3L, Seq(-1.0f, 0.5f, 0.2f, 0.0f)),
+      (4L, Seq(0.3f, 0.3f, 0.9f, 1.1f)))
+      .toDF("vec_id", "embedding")
+    val two = Similarity.prefixRerankTopK(emb, pdims = 4, shortlist = 10,
+        queryMod = 100, k = 3)
+      .select("query_id", "rank", "vec_id", "cosine")
+      .collect().map(_.toSeq).toSeq
+    val brute = Similarity.bruteForceTopK(emb, queryMod = 100, k = 3)
+      .collect().map(_.toSeq).toSeq
+    assert(two == brute,
+      "pdims = dims and shortlist >= corpus must reproduce brute force exactly")
+  }
+
+  test("prefix rerank: a prefix-discordant winner misses a narrow shortlist and a wider one recovers it") {
+    import spark.implicits._
+    // query 0 = [1,0 | 1,1]; vec 1 agrees on the 2-dim prefix (cos = 1.0)
+    // but opposes on the full vector; vec 2's prefix barely correlates but
+    // its full cosine is the true best.
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 1.0f, 1.0f)),
+      (1L, Seq(1.0f, 0.0f, -1.0f, -1.0f)),
+      (2L, Seq(0.1f, 0.9f, 1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    def top1(shortlist: Int): Long =
+      Similarity.prefixRerankTopK(emb, pdims = 2, shortlist = shortlist,
+        queryMod = 100, k = 1).collect().head.getAs[Long]("vec_id")
+    assert(top1(1) == 1L,
+      "shortlist 1 keeps only the prefix winner — the documented approximation")
+    assert(top1(2) == 2L,
+      "widening the shortlist lets the full-dimension rerank surface the true winner")
+  }
+
+  test("stratified sample takes min(k, stratum size) per stratum, ranked by hash") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = (0L until 7L).map(i => (i, "a")) ++ (7L until 10L).map(i => (i, "b"))
+    val df = docs.toDF("doc_id", "source")
+    val out = TextOps.stratifiedSample(df, "source", k = 5)
+    val counts = out.groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    assert(counts == Map("a" -> 5L, "b" -> 3L))
+
+    // window-rank twin over the same priority hash — same rows, same order
+    val expected = df
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("source").orderBy(col("h"), col("doc_id"))).cast("int"))
+      .filter(col("rank") <= 5)
+      .select(col("source"), col("rank"), col("doc_id"), col("h").as("smp_hash"))
+      .orderBy("source", "rank")
+      .collect().map(_.toSeq).toSeq
+    assert(out.collect().map(_.toSeq).toSeq == expected,
+      "bounded top_k_by sample must equal the window-rank form")
+
+    // deterministic: a second evaluation returns the identical sample
+    val again = TextOps.stratifiedSample(df, "source", k = 5)
+      .collect().map(_.toSeq).toSeq
+    assert(again == expected)
+  }
 }

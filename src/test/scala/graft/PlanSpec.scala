@@ -161,6 +161,30 @@ class PlanSpec extends AnyFunSuite {
     assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
       "top_k_by should plan two-level ObjectHashAggregate")
     assert(!p.contains("Window"), "t14 must not plan a per-source window sort")
+
+    // t18 rides the same bounded aggregate for its per-stratum bottom-k
+    val p18 = plan("t18_strat_sample")
+    assert("ObjectHashAggregate".r.findAllIn(p18).length >= 2,
+      "t18: bottom-k-by-hash should plan two-level ObjectHashAggregate")
+    assert(!p18.contains("Window"),
+      "t18 must not plan a per-stratum window sort")
+  }
+
+  test("prefix rerank: corpus-wide stage is a bounded aggregate, stage 2 broadcasts the shortlist") {
+    val p = plan("sim5_prefix_rerank")
+    // stage 1: per-query shortlist via top_k_by — partial aggregation, no
+    // per-query window over the corpus-sized candidate set
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      "sim5: shortlist selection should plan two-level ObjectHashAggregate")
+    // stage 2: shortlist and query vectors broadcast back against the
+    // corpus — the corpus itself never shuffles
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      "sim5: shortlist + query-vector joins must broadcast")
+    // the only Window node is the final rank over n_queries x shortlist
+    // rows ("Window [" matches the node itself, not the WindowGroupLimit
+    // rank-pushdown pair Spark adds around it)
+    assert("Window \\[".r.findAllIn(p).length <= 1,
+      "sim5: only the bounded final-rank window is allowed")
   }
 
   test("funnel runs every stage over one user_id exchange") {
