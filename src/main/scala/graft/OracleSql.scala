@@ -1282,6 +1282,23 @@ object OracleSql {
         |  FROM hs)
         |WHERE rank <= 5 ORDER BY source, rank""".stripMargin),
 
+    // The bucket is 1 << bit_length(t-1) in BOTH engines (bin() string
+    // length) — integer-exact; log2 floats' exactness at powers of two is
+    // not a cross-engine guarantee.
+    "t19_pack_stats" -> withCtes(
+      """tc AS (
+        |  SELECT doc_id, GREATEST(CAST(len(string_split(trim(text), ' ')) AS BIGINT), 1) AS t
+        |  FROM documents WHERE text IS NOT NULL)""".stripMargin,
+      """b AS (
+        |  SELECT doc_id, t,
+        |         CASE WHEN t <= 1 THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(1 AS BIGINT) << LENGTH(bin(t - 1)) END AS bin_len
+        |  FROM tc)""".stripMargin)(
+      s"""SELECT bin_len, COUNT(*) AS n_docs, CAST(SUM(t) AS BIGINT) AS sum_tokens,
+         |       CAST(bin_len * COUNT(*) - SUM(t) AS BIGINT) AS waste,
+         |       ${R("CAST(bin_len * COUNT(*) - SUM(t) AS DOUBLE) / (bin_len * COUNT(*))", 6)} AS waste_frac
+         |FROM b GROUP BY bin_len ORDER BY bin_len""".stripMargin),
+
     // Joins on the n-gram STRINGS — the Spark side's xxhash64 is an
     // internal key-compression step that never reaches the output, so the
     // string join is the exact semantic oracle (and would catch a hash

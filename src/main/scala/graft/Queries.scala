@@ -996,6 +996,12 @@ object Queries {
   def t18StratSample(s: SparkSession, dir: String): DataFrame =
     ext.TextOps.stratifiedSample(Sources.documents(s, dir), "source", k = 5)
 
+  /** Power-of-two sequence-length histogram with per-bucket padding waste
+    * — see [[graft.ext.TextOps.packingWasteStats]]. */
+  def t19PackStats(s: SparkSession, dir: String): DataFrame =
+    ext.TextOps.packingWasteStats(Sources.documents(s, dir))
+      .select("bin_len", "n_docs", "sum_tokens", "waste", "waste_frac")
+
   /** Top-3 quality documents per source via the native bounded `top_k_by`
     * aggregate — a quality-ranked per-domain cap (RefinedWeb-style) with NO
     * per-source window sort: each map partition reduces to <= k pairs per
@@ -1118,6 +1124,7 @@ object Queries {
     "t16_span_dedup" -> (t16SpanDedup _),
     "t17_temp_mix" -> (t17TempMix _),
     "t18_strat_sample" -> (t18StratSample _),
+    "t19_pack_stats" -> (t19PackStats _),
     "e1_centroids" -> (e1Centroids _),
     "e2_rocchio" -> (e2NearestCentroid _),
     "ev1_funnel" -> (ev1Funnel _),

@@ -51,9 +51,15 @@ object ScalingProbe {
   /** Quadratic-by-declared-design queries (sampled oracle baselines, not the
     * scale path) — annotated, not failed, when super-linear. d4/d5 are the
     * documented quadratic sample paths (LSH is the scale path); sim1 is the
-    * brute-force ANN truth baseline (LSH/IVF are the scale path). */
+    * brute-force ANN truth baseline (LSH/IVF are the scale path); sim5's
+    * stage 1 is a corpus x queries scan like sim1 (a 4x constant-factor
+    * accelerator of it, ~2x wall at sf1.0) and the probe's queryMod grows
+    * the query set WITH the corpus, so under this probe it inherits sim1's
+    * regime — with a production-shaped FIXED query set it is linear in the
+    * corpus. */
   val quadraticByDesign: Set[String] =
-    Set("d4_ngram_jaccard", "d5_embedding_neardup", "sim1_cosine_topk")
+    Set("d4_ngram_jaccard", "d5_embedding_neardup", "sim1_cosine_topk",
+      "sim5_prefix_rerank")
 
   // ===== generation ========================================================
 

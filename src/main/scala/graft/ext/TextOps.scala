@@ -385,6 +385,32 @@ object TextOps {
       .orderBy(strataCol, "rank")
   }
 
+  /** Packing-efficiency histogram: bin documents into power-of-two
+    * sequence-length buckets (a doc of t tokens lands in the smallest
+    * 2^e >= t) and report per-bucket padding waste — the fraction of a
+    * fixed-length training batch padded to the bucket ceiling that would
+    * be pad tokens. This is the number a pipeline reads before choosing
+    * packing ([[packSequences]]) over padded batching, and per-bucket
+    * batch shapes after it.
+    *
+    * The bucket is derived integer-exactly from the BIT LENGTH of t-1
+    * (`length(bin(t-1))` then a shift) — never log2 floats, whose
+    * exactness at powers of two is not a cross-engine guarantee. One
+    * narrow aggregation: the shuffle carries (bucket, count, sum)
+    * partials only. */
+  def packingWasteStats(docs: DataFrame): DataFrame =
+    withTokenCounts(docs.filter(col("text").isNotNull))
+      .withColumn("t", greatest(col("ws_tokens").cast("long"), lit(1L)))
+      .withColumn("bin_len", when(col("t") <= 1, lit(1L))
+        .otherwise(expr("shiftleft(CAST(1 AS BIGINT), length(bin(t - 1)))")))
+      .groupBy("bin_len")
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("sum_tokens"))
+      .withColumn("waste",
+        col("bin_len") * col("n_docs") - col("sum_tokens"))
+      .withColumn("waste_frac", graft.ops.Num.cround(
+        col("waste").cast("double") / (col("bin_len") * col("n_docs")), 6))
+      .orderBy("bin_len")
+
   /** Token-budget sampling: keep each source's documents (in doc_id order)
     * while the running token total stays within `budgetTokens` — the
     * deterministic form of capping a source's contribution to a training

@@ -927,4 +927,30 @@ class ExtSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(again == expected)
   }
+
+  test("packing waste bins are exact powers of two with hand-checked waste") {
+    import spark.implicits._
+    // token counts 1, 2, 3, 5, 9 -> buckets 1, 2, 4, 8, 16
+    val df = Seq(
+      (0L, "a"),
+      (1L, "a b"),
+      (2L, "a b c"),
+      (3L, "a b c d e"),
+      (4L, "a b c d e f g h i"),
+      (5L, "x y z"), // second 3-token doc shares bucket 4
+      (6L, null.asInstanceOf[String])) // null text is excluded, not crashed
+      .toDF("doc_id", "text")
+    val out = TextOps.packingWasteStats(df)
+      .select("bin_len", "n_docs", "sum_tokens", "waste")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq(
+      (1L, 1L, 1L, 0L),   // 1 token in a 1-bucket: no waste
+      (2L, 1L, 2L, 0L),   // exact power of two: no waste
+      (4L, 2L, 6L, 2L),   // two 3-token docs padded to 4: 2 pad tokens
+      (8L, 1L, 5L, 3L),
+      (16L, 1L, 9L, 7L)))
+    val fracs = TextOps.packingWasteStats(df).collect()
+      .map(r => r.getAs[Long]("bin_len") -> r.getAs[Double]("waste_frac")).toMap
+    assert(math.abs(fracs(4L) - 0.25) < 1e-6 && fracs(1L) == 0.0)
+  }
 }
