@@ -743,14 +743,18 @@ object OracleSql {
         |     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
         |    AS customers_without_orders""".stripMargin,
 
-    "j3_left_join_agg" ->
+    // exact-decimal revenue sum (order-independent, scale-proof): a plain
+    // double SUM drifts ~0.01 at sf1.0 magnitudes — see Queries.j3LeftJoinAgg
+    "j3_left_join_agg" -> {
+      val revSum = "SUM(CAST(o_totalprice AS DECIMAL(18,2)))"
       s"""SELECT c_mktsegment,
          |  COUNT(DISTINCT c_custkey) AS n_customers,
          |  COUNT(o_orderkey) AS n_orders,
-         |  ${R("COALESCE(SUM(o_totalprice), 0)", 2)} AS total_revenue,
-         |  ${R("AVG(o_totalprice)", 2)} AS avg_order_value
+         |  ${R(s"COALESCE(CAST($revSum AS DOUBLE), 0)", 2)} AS total_revenue,
+         |  ${R(s"CASE WHEN COUNT(o_orderkey) = 0 THEN NULL ELSE CAST($revSum AS DOUBLE) / COUNT(o_orderkey) END", 2)} AS avg_order_value
          |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+    },
 
     "j5_asof_join" -> withCtes(stockCte, cleanCte, dedupCte,
       """marks AS (

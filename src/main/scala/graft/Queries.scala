@@ -342,13 +342,25 @@ object Queries {
   def j3LeftJoinAgg(s: SparkSession, dir: String): DataFrame = {
     val c = Sources.customer(s, dir)
     val o = Sources.orders(s, dir)
-    rounded(c.join(o, col("c_custkey") === col("o_custkey"), "left")
+    // Revenue totals sum in EXACT decimal: a double SUM at sf1.0 magnitude
+    // (~7.5e10) drifts ~0.01 across engines from summation order alone —
+    // past the 2-dp rounding guard — while the per-term double -> DECIMAL
+    // (18,2) cast is unambiguous (doubles never land on .005 midpoints),
+    // so the sum is bit-identical at ANY corpus size. avg divides the
+    // exact sum by the exact count.
+    val agg = c.join(o, col("c_custkey") === col("o_custkey"), "left")
       .groupBy("c_mktsegment")
       .agg(
         countDistinct(col("c_custkey")).as("n_customers"),
         count(col("o_orderkey")).as("n_orders"),
-        coalesce(sum(col("o_totalprice")), lit(0.0)).as("total_revenue"),
-        avg(col("o_totalprice")).as("avg_order_value")),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("rev_dec"))
+    rounded(agg
+      .withColumn("total_revenue",
+        coalesce(col("rev_dec").cast("double"), lit(0.0)))
+      .withColumn("avg_order_value",
+        when(col("n_orders") === 0, lit(null).cast("double"))
+          .otherwise(col("rev_dec").cast("double") / col("n_orders")))
+      .drop("rev_dec"),
       Seq("total_revenue", "avg_order_value"), 2)
       .orderBy("c_mktsegment")
   }

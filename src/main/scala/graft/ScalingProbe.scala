@@ -125,9 +125,21 @@ object ScalingProbe {
           |END""".stripMargin).cast("array<float>")),
       "embeddings")
 
-    // events: ts kept verbatim (nanos-long column round-trips: written back
-    // as BIGINT, Sources.events normalizes either representation).
-    write(offset(read("events"), "event_id", "user_id"), "events")
+    // events: normalize ts to a real TIMESTAMP before writing. The driver
+    // corpus stores TIMESTAMP_NS, which this session's nanosAsLong config
+    // reads as BIGINT — written back as BIGINT the DuckDB-side oracles
+    // (epoch_us/date_trunc over ts) stop binding on the synthesized
+    // corpus. Sources.events accepts either representation, so the engine
+    // is indifferent; micros precision is what the engine normalizes to
+    // anyway. Chained generation (sf10 from sf1.0) reads the already-
+    // converted TIMESTAMP and passes through.
+    val ev0 = read("events")
+    val ev = ev0.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        ev0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => ev0
+    }
+    write(offset(ev, "event_id", "user_id"), "events")
   }
 
   // ===== probing ===========================================================
