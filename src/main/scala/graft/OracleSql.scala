@@ -1291,7 +1291,7 @@ object OracleSql {
     // not a cross-engine guarantee.
     "t19_pack_stats" -> withCtes(
       """tc AS (
-        |  SELECT doc_id, GREATEST(CAST(len(string_split(trim(text), ' ')) AS BIGINT), 1) AS t
+        |  SELECT doc_id, GREATEST(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT), 1) AS t
         |  FROM documents WHERE text IS NOT NULL)""".stripMargin,
       """b AS (
         |  SELECT doc_id, t,

@@ -149,10 +149,12 @@ object ScalingProbe {
     // _HI select another pair, e.g. LO=target/scaledata/sf1.0,
     // HI=target/scaledata/sf10 for the second decade. Synthesized corpora
     // chain: sf1.0 is generated from the driver's sf0.1, sf10 from sf1.0.
-    val base = args.lift(0).getOrElse("/root/testdata/sf0.1")
-    val src = sys.env.getOrElse("SPARK_GRAFT_PROBE_LO", base)
-    val out = sys.env.getOrElse("SPARK_GRAFT_PROBE_HI",
-      args.lift(1).getOrElse("target/scaledata/sf1.0"))
+    // normalize trailing slashes so every spelling of a chain path matches
+    def norm(p: String): String = p.replaceAll("/+$", "")
+    val base = norm(args.lift(0).getOrElse("/root/testdata/sf0.1"))
+    val src = norm(sys.env.getOrElse("SPARK_GRAFT_PROBE_LO", base))
+    val out = norm(sys.env.getOrElse("SPARK_GRAFT_PROBE_HI",
+      args.lift(1).getOrElse("target/scaledata/sf1.0")))
     // each synthesized dir's generation source (10x per step)
     val chain: Map[String, String] = Map(
       "target/scaledata/sf1.0" -> base,
@@ -168,15 +170,22 @@ object ScalingProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def ensure(dir: String): Unit =
-      if (chain.contains(dir) &&
-          !new java.io.File(s"$dir/lineitem.parquet/_SUCCESS").exists()) {
-        ensure(chain(dir))
-        System.err.println(s"[probe] generating 10x of ${chain(dir)} at $dir")
-        generate(spark, chain(dir), dir)
-      } else System.err.println(s"[probe] reusing $dir")
-    ensure(src)
-    ensure(out)
+    def present(dir: String): Boolean =
+      new java.io.File(s"$dir/lineitem.parquet/_SUCCESS").exists()
+    def ensure(dir: String, generateFrom: Option[String]): Unit =
+      if (present(dir)) System.err.println(s"[probe] reusing $dir")
+      else chain.get(dir).orElse(generateFrom) match {
+        case Some(from) =>
+          ensure(from, None)
+          System.err.println(s"[probe] generating 10x of $from at $dir")
+          generate(spark, from, dir)
+        case None => sys.error(
+          s"[probe] $dir does not exist (no $dir/lineitem.parquet/_SUCCESS) " +
+            "and is not a synthesized chain dir — generate it first or point " +
+            "SPARK_GRAFT_PROBE_LO/_HI at an existing corpus")
+      }
+    ensure(src, None)            // the lo corpus must exist or be chainable
+    ensure(out, Some(src))       // a caller-supplied hi dir generates from lo
 
     // focused re-adjudication of one noisy query: SPARK_GRAFT_PROBE_QUERIES
     // (comma-separated names) overrides the default top-10 list

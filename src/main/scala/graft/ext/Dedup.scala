@@ -19,6 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Hot-bucket cap shared by [[lshCandidatePairs]] and the incremental
+    * ingest path (IncrementalCuration.ingestBatch) — the documented
+    * batch==incremental equivalence requires both to truncate buckets at
+    * the SAME bound, so neither may hardcode its own copy. */
+  val DefaultMaxPerBucket: Int = 128
+
   /** Exact duplicate groups by content digest. Keeps the smallest doc_id as
     * the canonical representative (deterministic). */
   def exactDuplicates(docs: DataFrame): DataFrame =
@@ -87,7 +93,7 @@ object Dedup {
     * near-identical boilerplate anyway — the surviving members still chain
     * the near-dup cluster for a downstream connected-components pass. */
   def lshCandidatePairs(signatures: DataFrame, nBands: Int = 8,
-                        maxPerBucket: Int = 128): DataFrame = {
+                        maxPerBucket: Int = DefaultMaxPerBucket): DataFrame = {
     val stackArgs = (0 until nBands)
       .map(b => s"$b, concat(CAST(mh_${2 * b} AS STRING), '_', CAST(mh_${2 * b + 1} AS STRING))")
       .mkString(", ")

@@ -109,7 +109,7 @@ object IncrementalCuration {
       .withColumn("__bn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("band", "band_value").orderBy("doc_id")))
-      .filter(col("__bn") <= 128).drop("__bn")
+      .filter(col("__bn") <= Dedup.DefaultMaxPerBucket).drop("__bn")
     val candidates = bands(freshSigs, cfg.nBands).as("a")
       .join(cappedAll.as("b"),
         col("a.band") === col("b.band") &&

@@ -367,11 +367,31 @@ class ExtSpec extends AnyFunSuite {
   test("multimodal: resize bounds output size, frame sampling strides the payload") {
     val media = Multimodal.asMediaTable(docs)
     // the media fixture is text bytes (no image magic), so every row takes
-    // the bounded stub fallback — the size-bound property under test
+    // the bounded stub fallback — clamped at width*height/8 bytes
     val resized = Multimodal.resize(spark, media, 64, 32).collect()
     assert(resized.forall(_.payload.length <= 64 * 32 / 8),
-      "resized payloads are bounded by the target dimensions")
+      "non-decodable payloads take the stub clamp bound")
     assert(resized.map(_.doc_id).sorted.toSeq == (0L to 5L))
+
+    // the DECODABLE path's bound is different: a PNG re-encode of the
+    // w x h RGB target is at most raw scanlines (h*(1+3w)) + zlib/chunk
+    // overhead — proportional to the TARGET dims, never the input. Use
+    // incompressible noise (worst case for the PNG filter+deflate) from a
+    // fixed-seed generator and a much larger input than the target.
+    val rnd = new scala.util.Random(7)
+    val noisy = new java.awt.image.BufferedImage(256, 256,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 256; y <- 0 until 256)
+      noisy.setRGB(x, y, rnd.nextInt(1 << 24))
+    val nbuf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(noisy, "png", nbuf)
+    val real = Multimodal.resizeImage(
+      Multimodal.MediaRow(43L, nbuf.toByteArray, "png"), 64, 32)
+    assert(real.format == "png" && real.payload.length > 64 * 32 / 8,
+      "a decodable image takes the real PNG path, not the stub clamp")
+    assert(real.payload.length <= 4 * 64 * 32 + 1024,
+      s"PNG re-encode bounded by target dims (got ${real.payload.length} " +
+        "bytes for a 64x32 target from a 256x256 noise input)")
 
     // doc 0: 43 bytes -> ceil(43/16)=3 chunks -> stride 2 keeps frames 0 and 2
     val frames = Multimodal.sampleFrames(spark, media, frameBytes = 16, stride = 2)
