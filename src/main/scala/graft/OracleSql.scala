@@ -1257,8 +1257,13 @@ object OracleSql {
     // stride-th doc per lang in doc_id rank order (same stride rule as
     // t7). The 1e-9 tie guard keeps the stride stable across libm pow
     // implementations.
+    // d13 mirrors the engine's deterministic NULL-lang slice (doc_id % 13)
+    // so the IS NOT DISTINCT FROM join below sees a real NULL group.
     "t17_temp_mix" ->
-      """WITH c AS (SELECT lang, count(*) AS ns FROM documents GROUP BY lang),
+      """WITH d13 AS (SELECT doc_id,
+        |         CASE WHEN doc_id % 13 = 0 THEN NULL ELSE lang END AS lang
+        |       FROM documents),
+        |c AS (SELECT lang, count(*) AS ns FROM d13 GROUP BY lang),
         |m AS (SELECT MIN(ns) AS nmin FROM c),
         |s AS (SELECT lang,
         |         GREATEST(1, CAST(FLOOR(POWER(CAST(ns AS DOUBLE) / nmin, 1 - 1.0/2.0)
@@ -1266,7 +1271,7 @@ object OracleSql {
         |       FROM c, m),
         |r AS (SELECT doc_id, lang,
         |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
-        |       FROM documents)
+        |       FROM d13)
         |SELECT r.doc_id, r.lang
         |FROM r JOIN s ON r.lang IS NOT DISTINCT FROM s.lang
         |WHERE (rn - 1) % stride = 0
@@ -1593,6 +1598,9 @@ object OracleSql {
     // windows), so it verifies against the same oracle — a hash-equal
     // result here proves the skew path changes the plan, not the answer
     "ev2_funnel_salted" -> funnelSql,
+    // shuffled-gate variant (broadcastGates=false): again the same oracle —
+    // the scale knob must be invisible in the result
+    "ev3_funnel_shuffled" -> funnelSql,
 
     "st3_interval_join" ->
       """WITH clicks AS (

@@ -986,6 +986,15 @@ object Queries {
     Funnel.userFunnelSalted(Sources.events(s, dir))
       .orderBy("user_id")
 
+  /** The salted funnel with SHUFFLED gate joins (`broadcastGates=false`) —
+    * the hundreds-of-millions-of-users configuration where the per-user
+    * gate tables no longer fit a broadcast. Verified against the SAME
+    * oracle as ev1/ev2: hash equality proves the gate distribution
+    * strategy changes only the join shape, never the answer. */
+  def ev3FunnelShuffledGates(s: SparkSession, dir: String): DataFrame =
+    Funnel.userFunnelSalted(Sources.events(s, dir), broadcastGates = false)
+      .orderBy("user_id")
+
   /** RAG chunking of the documents table: 64-token windows, 16 overlap. */
   def t15Chunks(s: SparkSession, dir: String): DataFrame =
     ext.TextOps.chunkDocuments(Sources.documents(s, dir))
@@ -997,9 +1006,19 @@ object Queries {
 
   /** Temperature-flattened LANGUAGE mixture (tau=2) — the lang column is
     * the corpus's one genuinely skewed grouping (en is ~3.4x fr), so the
-    * oracle verifies real downsampling, not a uniform no-op. */
+    * oracle verifies real downsampling, not a uniform no-op. A
+    * deterministic slice (doc_id % 13) has its lang NULLed — identically
+    * in the oracle — so the null-safe stride join (`<=>` engine-side,
+    * `IS NOT DISTINCT FROM` oracle-side) is exercised with a REAL
+    * missing-language group at every verified scale, not just by reading
+    * the code (real corpora have un-identified documents). */
   def t17TempMix(s: SparkSession, dir: String): DataFrame =
-    ext.TextOps.temperatureMix(Sources.documents(s, dir), "lang", tau = 2.0)
+    ext.TextOps.temperatureMix(
+      Sources.documents(s, dir)
+        .withColumn("lang",
+          when(col("doc_id") % 13 === 0, lit(null).cast("string"))
+            .otherwise(col("lang"))),
+      "lang", tau = 2.0)
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
@@ -1141,6 +1160,7 @@ object Queries {
     "e2_rocchio" -> (e2NearestCentroid _),
     "ev1_funnel" -> (ev1Funnel _),
     "ev2_funnel_salted" -> (ev2FunnelSalted _),
+    "ev3_funnel_shuffled" -> (ev3FunnelShuffledGates _),
     "x12_pivot" -> (x12Pivot _),
     "st3_interval_join" -> (st3IntervalJoin _),
     "t2_quality_score" -> (t2QualityScore _),

@@ -67,6 +67,9 @@ class FunnelSpec extends AnyFunSuite {
       val window = Funnel.userFunnel(events).select(cols.map(col): _*)
       val salted = Funnel.userFunnelSalted(events, saltBuckets = 4)
         .select(cols.map(col): _*)
+      val shuffled = Funnel.userFunnelSalted(events, saltBuckets = 4,
+          broadcastGates = false)
+        .select(cols.map(col): _*)
       val stream = graft.streaming.StreamingFunnel.userFunnelStream(spark,
           graft.streaming.StreamingFunnel.toFunnelEvents(spark, events))
         .toDF.select(col("user_id"), col("first_view_us"),
@@ -76,6 +79,9 @@ class FunnelSpec extends AnyFunSuite {
       assert(salted.exceptAll(window).count() == 0 &&
         window.exceptAll(salted).count() == 0,
         s"trial $trial: salted != window on $rows")
+      assert(shuffled.exceptAll(window).count() == 0 &&
+        window.exceptAll(shuffled).count() == 0,
+        s"trial $trial: shuffled-gate salted != window on $rows")
       assert(stream.exceptAll(window).count() == 0 &&
         window.exceptAll(stream).count() == 0,
         s"trial $trial: stateful != window on $rows")

@@ -73,4 +73,48 @@ class SkewSpec extends AnyFunSuite {
       window.exceptAll(salted).count() == 0,
       "salted funnel diverges from the window funnel")
   }
+
+  test("shuffled-gate salted funnel (broadcastGates=false) equals the window funnel") {
+    // same dominant-user fixture shape as above, smaller: the point here is
+    // the GATE DISTRIBUTION path, not the skew volume
+    val hot = spark.range(4000).select(
+      lit(1L).as("user_id"),
+      element_at(
+        array(lit("view"), lit("click"), lit("purchase"), lit("other")),
+        (pmod(col("id"), lit(4)) + 1).cast("int")).as("event_type"),
+      expr("timestamp_micros(1700000000000000 + id * 1000000)").as("ts"))
+    val cold = spark.range(500).select(
+      (pmod(col("id"), lit(50)) + 2).as("user_id"),
+      element_at(
+        array(lit("view"), lit("click"), lit("purchase"), lit("other")),
+        (pmod(col("id"), lit(4)) + 1).cast("int")).as("event_type"),
+      expr("timestamp_micros(1700000000000000 + id * 3000000)").as("ts"))
+    val events = hot.unionAll(cold)
+
+    val cols = Seq("user_id", "first_view_us", "first_click_us",
+      "first_purchase_us", "funnel_stage")
+    val window = graft.analytics.Funnel.userFunnel(events)
+      .select(cols.map(col): _*)
+
+    // disable auto-broadcast so the unhinted gate joins genuinely plan as
+    // shuffle joins — otherwise the optimizer's size estimate would quietly
+    // broadcast the tiny test gates and this would re-test the default path
+    val conf = spark.conf
+    val prior = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val shuffled = graft.analytics.Funnel.userFunnelSalted(events,
+          saltBuckets = 8, broadcastGates = false)
+        .select(cols.map(col): _*)
+      val plan = shuffled.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"shuffled-gate funnel still plans a Window:\n$plan")
+      assert(!plan.contains("BroadcastExchange"),
+        s"broadcastGates=false still plans a broadcast gate:\n$plan")
+      assert(window.count() == 51 && shuffled.count() == 51)
+      assert(shuffled.exceptAll(window).count() == 0 &&
+        window.exceptAll(shuffled).count() == 0,
+        "shuffled-gate funnel diverges from the window funnel")
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
 }
