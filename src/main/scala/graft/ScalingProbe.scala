@@ -137,6 +137,9 @@ object ScalingProbe {
     val ev = ev0.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         ev0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // un-zoned micros (driver r9 layout): relabel to session-zone (UTC)
+        ev0.withColumn("ts", col("ts").cast("timestamp"))
       case _ => ev0
     }
     write(offset(ev, "event_id", "user_id"), "events")
@@ -170,8 +173,13 @@ object ScalingProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def present(dir: String): Boolean =
-      new java.io.File(s"$dir/lineitem.parquet/_SUCCESS").exists()
+    // a corpus is present if lineitem.parquet is either a single parquet
+    // FILE (the driver's testdata layout) or a Spark-written DIRECTORY with
+    // a _SUCCESS marker (this probe's synthesized corpora)
+    def present(dir: String): Boolean = {
+      val li = new java.io.File(s"$dir/lineitem.parquet")
+      li.isFile || new java.io.File(li, "_SUCCESS").exists()
+    }
     def ensure(dir: String, generateFrom: Option[String]): Unit =
       if (present(dir)) System.err.println(s"[probe] reusing $dir")
       else chain.get(dir).orElse(generateFrom) match {
@@ -187,12 +195,41 @@ object ScalingProbe {
     ensure(src, None)            // the lo corpus must exist or be chainable
     ensure(out, Some(src))       // a caller-supplied hi dir generates from lo
 
+    // corpus-preparation mode for downstream tools (graft.Verify at a
+    // synthesized scale): ensure the chain exists, skip the timing passes
+    if (sys.env.get("SPARK_GRAFT_PROBE_GEN_ONLY").contains("1")) {
+      System.err.println(s"[probe] gen-only: $src and $out ready, exiting")
+      spark.stop(); return
+    }
+
     // focused re-adjudication of one noisy query: SPARK_GRAFT_PROBE_QUERIES
     // (comma-separated names) overrides the default top-10 list
     val names = sys.env.get("SPARK_GRAFT_PROBE_QUERIES")
       .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(probeNames)
-    val queries = names.map(n => n -> SparkEntry.queries(n))
+    // Probe-only variants for queries whose REGISTERED form derives its
+    // workload from the corpus in a way that confounds the scaling read.
+    // c2's registered benchmark slice (vec_id % 37 == 0) grows 10x with the
+    // corpus, so the registered query measures corpus x benchmark — a
+    // fixture artifact, not the production shape (a benchmark suite is
+    // fixed while the training corpus grows). Replica 0 of every
+    // synthesized corpus preserves the base corpus's vec_ids verbatim, so
+    // pinning the eval set to base-corpus ids (vec_id <= base max) holds it
+    // CONSTANT at every probed scale while the corpus side still scales.
+    val baseMaxVec: Long = spark.read.parquet(s"$base/embeddings.parquet")
+      .agg(max("vec_id")).first().getLong(0)
+    val probeOverrides: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "c2_embed_decontam" -> { (s: SparkSession, dir: String) =>
+        val emb = graft.io.Sources.embeddings(s, dir)
+        ext.Similarity.embeddingContamination(
+          corpus = emb.filter(col("vec_id") % 37 =!= 0),
+          benchmark = emb.filter(col("vec_id") % 37 === 0 &&
+            col("vec_id") <= baseMaxVec),
+          threshold = 0.3)
+          .orderBy("vec_id")
+      })
+    val queries = names.map(n =>
+      n -> probeOverrides.getOrElse(n, SparkEntry.queries(n)))
     def run(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
       val t0 = System.nanoTime()
       fn(spark, dir).write.format("noop").mode("overwrite").save()

@@ -24,11 +24,20 @@ object Sources {
     * LongType (spark.sql.legacy.parquet.nanosAsLong=true — set in Verify/
     * Bench/test sessions). Normalize to a microsecond timestamp with integer
     * division (ns magnitudes exceed double precision). */
+  /** `ts` arrives in whatever physical form the corpus writer chose —
+    * TIMESTAMP_NS (this session's nanosAsLong reads it as BIGINT nanos),
+    * plain micros TIMESTAMP, or un-zoned TIMESTAMP_NTZ (a micros column
+    * without the UTC-adjusted flag). Normalize all three to session-zone
+    * TIMESTAMP so downstream `unix_micros`/window math sees one type; the
+    * session zone is pinned UTC everywhere, so the NTZ cast relabels the
+    * same instant rather than shifting it. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val df = table(spark, dir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }
   }
