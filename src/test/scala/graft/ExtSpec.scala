@@ -235,8 +235,14 @@ class ExtSpec extends AnyFunSuite {
     assert(out == Seq(1L, 4L, 7L, 10L, 11L, 12L, 13L))
   }
 
-  test("learned IVF codebook recall@k >= fixed codebook") {
-    val emb = graft.io.Sources.embeddings(spark, "/root/testdata/sf0.01")
+  test("learned IVF codebook recall@k beats the fixed codebook (sf0.1)") {
+    // sf0.1 (2000 vectors / 20 queries), NOT sf0.01: on the 500-vector
+    // fixture learned == fixed == 0.280 every round — too few points per
+    // list for k-means to move a centroid meaningfully, which is why the
+    // r7/r8 tracked numbers showed learning "buying nothing". At this
+    // scale it does: RecallProbe r9 measured fixed 0.300 / learned 0.430
+    // (3 iters) / 0.440 (6 iters) at the registered nLists=16, nprobe=2.
+    val emb = graft.io.Sources.embeddings(spark, "/root/testdata/sf0.1")
     def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
       df.select("query_id", "vec_id").collect()
         .groupBy(_.getLong(0))
@@ -252,13 +258,14 @@ class ExtSpec extends AnyFunSuite {
     val fixed = recallOf(Similarity.ivfAnchors(spark))
     val learned = recallOf(Similarity.learnIvfAnchors(emb))
     info(f"recall@5 fixed=$fixed%.3f learned=$learned%.3f")
-    assert(learned >= fixed,
-      f"k-means codebook recall $learned%.3f below fixed codebook $fixed%.3f")
-    // tracked metric (round 7 measured: fixed=0.280, learned=0.280 on the
-    // sf0.01 fixture, deterministic): an absolute floor so a codebook or
-    // assignment regression is loud even if it drags BOTH numbers down
-    assert(learned >= 0.25,
-      f"learned-codebook recall@5 regressed: $learned%.3f < 0.25 (r7: 0.280)")
+    assert(learned > fixed,
+      f"k-means codebook recall $learned%.3f not above fixed $fixed%.3f — " +
+        "learning stopped earning its existence")
+    // tracked metric (deterministic: 9-dp-rounded centroids, tie-safe
+    // ranking): r9 measured learned=0.430. A codebook or assignment
+    // regression moves this number.
+    assert(learned >= 0.40,
+      f"learned-codebook recall@5 regressed: $learned%.3f < 0.40 (r9: 0.430)")
   }
 
   test("quality score components are in [0, 1]") {
