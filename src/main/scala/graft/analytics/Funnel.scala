@@ -75,6 +75,21 @@ object Funnel {
     * hot-user partition is the one case AQE skew-join splits handle
     * (only the salted AGGREGATES must avoid a bare user_id exchange; a
     * join probe against a 1-row-per-key build side is fine to split). */
+  /** [[userFunnelSalted]] with the bucket count chosen by
+    * [[graft.ops.Skew.adaptiveSaltBuckets]] from a cheap per-user count
+    * pre-pass instead of a hand-tuned constant: a uniform event log picks
+    * 1 bucket (no salting overhead), a bot-dominated log picks enough
+    * buckets to bound any task at ~targetPerBucket of the hot user's
+    * events. Answer-invariant by construction — SkewSpec proves equality
+    * with [[userFunnel]] and with fixed-constant salting on both uniform
+    * and 98%-one-user fixtures. */
+  def userFunnelAdaptive(events: DataFrame,
+      targetPerBucket: Long = 1000000L,
+      broadcastGates: Boolean = true): DataFrame =
+    userFunnelSalted(events,
+      graft.ops.Skew.adaptiveSaltBuckets(events, "user_id", targetPerBucket),
+      broadcastGates)
+
   def userFunnelSalted(events: DataFrame, saltBuckets: Int = 16,
       broadcastGates: Boolean = true): DataFrame = {
     def gate(df: DataFrame): DataFrame = if (broadcastGates) broadcast(df) else df

@@ -40,6 +40,44 @@ object Skew {
       .withColumn(s"avg_$valueCol", col(s"sum_$valueCol") / col("cnt"))
   }
 
+  /** Choose a salt bucket count from a cheap pre-pass instead of a
+    * hand-tuned constant — the knob a 100 TB deployment otherwise tunes by
+    * hand per dataset. One aggregate computes the hottest key's row count
+    * (map-side partial combine keeps the hot key's traffic at one partial
+    * row per map partition, so the pre-pass itself cannot skew), and the
+    * bucket count is ceil(hottest / targetPerBucket) clamped to
+    * [1, maxBuckets]:
+    *
+    *   - a uniform dataset picks 1 — the salted two-phase plan degenerates
+    *     to a plain partial+final aggregate, paying nothing for the
+    *     hardening it doesn't need;
+    *   - a dominant key picks exactly enough buckets to bound any task's
+    *     share of that key at ~targetPerBucket rows.
+    *
+    * ONLY for answer-invariant knobs (salt bucket counts): the result of a
+    * salted aggregation is identical for every bucket count, so adapting
+    * it is free of correctness risk — proven by SkewSpec running the same
+    * oracle across chosen counts. Result-CHANGING caps (LSH maxPerBucket,
+    * IVF maxPerList) stay fixed constants on purpose: their value is part
+    * of the operator's declared semantics, and an adaptive cap would make
+    * the answer a function of cluster sizing.
+    *
+    * The single `.first()` is a one-row scalar pull (the same documented
+    * pattern as TextOps' total-occurrence scalar): the bucket count must
+    * be a plan literal, so it cannot stay distributed. */
+  def adaptiveSaltBuckets(df: DataFrame, key: String,
+                          targetPerBucket: Long = 1000000L,
+                          maxBuckets: Int = 1024): Int = {
+    require(targetPerBucket > 0, "targetPerBucket must be positive")
+    val hottest = df.groupBy(col(key)).agg(count(lit(1)).as("__rows"))
+      .agg(max(col("__rows"))).first().get(0) match {
+        case null => 0L
+        case n: java.lang.Number => n.longValue()
+      }
+    val want = (hottest + targetPerBucket - 1) / targetPerBucket
+    math.max(1L, math.min(maxBuckets.toLong, want)).toInt
+  }
+
   /** Skew diagnostic: rows per key with share of total — what you run
     * before deciding to salt or to repartition differently. */
   def keyHistogram(df: DataFrame, key: String, topN: Int = 20): DataFrame = {

@@ -74,6 +74,76 @@ class SkewSpec extends AnyFunSuite {
       "salted funnel diverges from the window funnel")
   }
 
+  test("adaptiveSaltBuckets sizes from the hottest key and stays answer-invariant") {
+    // uniform key distribution: nothing is hot, the chooser must pick 1 —
+    // the salted plan then degenerates to a plain two-phase aggregate
+    val uniform = spark.range(1000).select(
+      pmod(col("id"), lit(100)).as("k"), col("id").cast("double").as("v"))
+    assert(Skew.adaptiveSaltBuckets(uniform, "k",
+      targetPerBucket = 100L) == 1)
+    // hot key: 10k rows on key 7 plus the uniform slice's 10 ->
+    // ceil(10010/1000) = 11 buckets
+    val hot = spark.range(10000).select(lit(7L).as("k"),
+      col("id").cast("double").as("v"))
+      .unionAll(uniform)
+    assert(Skew.adaptiveSaltBuckets(hot, "k", targetPerBucket = 1000L) == 11)
+    // clamped at maxBuckets
+    assert(Skew.adaptiveSaltBuckets(hot, "k", targetPerBucket = 1L,
+      maxBuckets = 64) == 64)
+    // empty input degenerates to 1, not a crash
+    assert(Skew.adaptiveSaltBuckets(uniform.filter(col("k") < 0), "k") == 1)
+
+    // answer-invariance across the chosen counts: the salted sum/count at
+    // the adaptive bucket count equals the plain aggregate
+    val direct = hot.groupBy("k")
+      .agg(sum("v").as("s"), count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val adaptive = Skew.saltedSumCount(hot, "k", "v",
+        Skew.adaptiveSaltBuckets(hot, "k", targetPerBucket = 1000L))
+      .collect().map(r => r.getAs[Long]("k") ->
+        (r.getAs[Double]("sum_v"), r.getAs[Long]("cnt"))).toMap
+    assert(adaptive.keySet == direct.keySet)
+    adaptive.foreach { case (k, (s, c)) =>
+      assert(c == direct(k)._2 && math.abs(s - direct(k)._1) < 1e-6,
+        s"adaptive salted aggregate diverges on key $k")
+    }
+  }
+
+  test("adaptive funnel equals the window funnel on skewed AND uniform fixtures") {
+    def eventsOf(hotRows: Int): org.apache.spark.sql.DataFrame = {
+      val hot = spark.range(hotRows).select(
+        lit(1L).as("user_id"),
+        element_at(
+          array(lit("view"), lit("click"), lit("purchase"), lit("other")),
+          (pmod(col("id"), lit(4)) + 1).cast("int")).as("event_type"),
+        expr("timestamp_micros(1700000000000000 + id * 1000000)").as("ts"))
+      val cold = spark.range(500).select(
+        (pmod(col("id"), lit(50)) + 2).as("user_id"),
+        element_at(
+          array(lit("view"), lit("click"), lit("purchase"), lit("other")),
+          (pmod(col("id"), lit(4)) + 1).cast("int")).as("event_type"),
+        expr("timestamp_micros(1700000000000000 + id * 3000000)").as("ts"))
+      hot.unionAll(cold)
+    }
+    val cols = Seq("user_id", "first_view_us", "first_click_us",
+      "first_purchase_us", "funnel_stage")
+    // skewed: the bot user's 4000 events over targetPerBucket=500 pick 8
+    // buckets; uniform-ish: 10 hot rows pick 1 (every user under target)
+    for ((hotRows, target, expectBuckets) <- Seq((4000, 500L, 8), (10, 500L, 1))) {
+      val events = eventsOf(hotRows)
+      assert(Skew.adaptiveSaltBuckets(events, "user_id", target)
+        == expectBuckets, s"bucket choice for hotRows=$hotRows")
+      val window = graft.analytics.Funnel.userFunnel(events)
+        .select(cols.map(col): _*)
+      val adaptive = graft.analytics.Funnel.userFunnelAdaptive(events,
+          targetPerBucket = target)
+        .select(cols.map(col): _*)
+      assert(adaptive.exceptAll(window).count() == 0 &&
+        window.exceptAll(adaptive).count() == 0,
+        s"adaptive funnel diverges from the window funnel at hotRows=$hotRows")
+    }
+  }
+
   test("shuffled-gate salted funnel (broadcastGates=false) equals the window funnel") {
     // same dominant-user fixture shape as above, smaller: the point here is
     // the GATE DISTRIBUTION path, not the skew volume
