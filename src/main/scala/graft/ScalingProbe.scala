@@ -133,15 +133,7 @@ object ScalingProbe {
     // is indifferent; micros precision is what the engine normalizes to
     // anyway. Chained generation (sf10 from sf1.0) reads the already-
     // converted TIMESTAMP and passes through.
-    val ev0 = read("events")
-    val ev = ev0.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        ev0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        // un-zoned micros (driver r9 layout): relabel to session-zone (UTC)
-        ev0.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => ev0
-    }
+    val ev = graft.io.Sources.normalizeEventTs(read("events"))
     write(offset(ev, "event_id", "user_id"), "events")
   }
 

@@ -31,8 +31,18 @@ object Sources {
     * TIMESTAMP so downstream `unix_micros`/window math sees one type; the
     * session zone is pinned UTC everywhere, so the NTZ cast relabels the
     * same instant rather than shifting it. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val df = table(spark, dir, "events")
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeEventTs(table(spark, dir, "events"))
+
+  /** The one shared rule for whatever physical `ts` a corpus writer chose —
+    * BIGINT nanos (TIMESTAMP_NS under this session's nanosAsLong), plain
+    * micros TIMESTAMP, or un-zoned TIMESTAMP_NTZ (micros without the
+    * UTC-adjusted flag, the r9 driver layout). All three normalize to
+    * session-zone TIMESTAMP so downstream `unix_micros`/window math sees
+    * one type; the session zone is pinned UTC everywhere, so the NTZ cast
+    * relabels the same instant rather than shifting it. Used by the batch
+    * reader, both streaming readers, and the ScalingProbe generator. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -40,7 +50,6 @@ object Sources {
         df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }
-  }
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 

@@ -32,11 +32,21 @@ object StreamPipeline {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming read of a parquet events directory (ns -> µs timestamp via
-    * integer division; ns magnitudes exceed double precision). */
+  /** The events schema as STORED in `dir` (file-streaming sources must
+    * declare their schema up front; a one-time footer read of the landing
+    * dir gets whatever physical ts representation the writer chose). Falls
+    * back to [[eventsSchema]] — the historical BIGINT-nanos layout — when
+    * the dir has no readable files yet (a production landing dir declares
+    * its schema explicitly anyway). */
+  def storedEventsSchema(spark: SparkSession, dir: String): StructType =
+    scala.util.Try(spark.read.parquet(dir).schema).getOrElse(eventsSchema)
+
+  /** Streaming read of a parquet events directory; ts normalization is the
+    * shared [[graft.io.Sources.normalizeEventTs]] rule (nanos-long, micros
+    * TIMESTAMP, or TIMESTAMP_NTZ — all relabel to session-zone TIMESTAMP). */
   def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventsSchema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.io.Sources.normalizeEventTs(
+      spark.readStream.schema(storedEventsSchema(spark, dir)).parquet(dir))
 
   /** Watermarked, deduplicated, tumbling-window aggregate — the streaming
     * twin of Queries.st1TumblingWindow (batch-checkable against DuckDB). */

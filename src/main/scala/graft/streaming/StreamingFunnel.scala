@@ -68,13 +68,9 @@ object StreamingFunnel {
     * Microsecond longs rather than Timestamp keep the state encoder flat. */
   def toFunnelEvents(spark: SparkSession, events: DataFrame): Dataset[FunnelEvent] = {
     import spark.implicits._
-    // nanos-long ts normalization, same rule as Sources.events (the events
-    // parquet stores TIMESTAMP(NANOS), which Spark reads as LongType)
-    val ev = events.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        events.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ => events
-    }
+    // shared ts normalization (nanos-long / TIMESTAMP / TIMESTAMP_NTZ),
+    // same rule as the batch reader
+    val ev = graft.io.Sources.normalizeEventTs(events)
     ev.select(col("user_id"),
       col("event_type"), expr("unix_micros(ts)").as("ts_us"))
       .as[FunnelEvent]

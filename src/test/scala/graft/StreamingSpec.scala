@@ -244,13 +244,11 @@ class StreamingSpec extends AnyFunSuite {
       java.nio.file.Files.setLastModifiedTime(dest,
         java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
     }
-    val fileStream = spark.readStream
-      .schema(StreamPipeline.eventsSchema)
+    val fileStream = Sources.normalizeEventTs(spark.readStream
+      .schema(src.schema)
       .option("maxFilesPerTrigger", 1)
       .option("pathGlobFilter", "slice-*.parquet")
-      .parquet(landing.toString)
-      .withColumn("ts", org.apache.spark.sql.functions
-        .expr("timestamp_micros(ts div 1000)"))
+      .parquet(landing.toString))
     val q = StreamPipeline.clickPurchase(fileStream)
       .writeStream.format("memory").queryName("click_purchase_wm_test")
       .outputMode("append")
@@ -295,7 +293,7 @@ class StreamingSpec extends AnyFunSuite {
         java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
     }
     val fileStream = spark.readStream
-      .schema(StreamPipeline.eventsSchema)
+      .schema(src.schema)
       .option("maxFilesPerTrigger", 1)
       .option("pathGlobFilter", "slice-*.parquet")
       .parquet(landing.toString)
