@@ -1601,6 +1601,9 @@ object OracleSql {
     // shuffled-gate variant (broadcastGates=false): again the same oracle —
     // the scale knob must be invisible in the result
     "ev3_funnel_shuffled" -> funnelSql,
+    // adaptive salt sizing (pre-pass-chosen bucket count): same oracle —
+    // an answer-invariant knob must be invisible in the result
+    "ev4_funnel_adaptive" -> funnelSql,
 
     "st3_interval_join" ->
       """WITH clicks AS (

@@ -995,6 +995,19 @@ object Queries {
     Funnel.userFunnelSalted(Sources.events(s, dir), broadcastGates = false)
       .orderBy("user_id")
 
+  /** The salted funnel with its bucket count chosen by the hottest-user
+    * pre-pass (`Skew.adaptiveSaltBuckets`) instead of a hand constant.
+    * Same oracle as ev1/ev2/ev3: the adaptive sizing is an answer-invariant
+    * knob, and hash equality against the window-funnel SQL proves it
+    * through the full cross-engine gate. targetPerBucket=1000 so the
+    * fixture actually picks >1 bucket (the driver corpora are
+    * near-uniform; the default 1M target would choose 1 everywhere and
+    * test nothing). */
+  def ev4FunnelAdaptive(s: SparkSession, dir: String): DataFrame =
+    Funnel.userFunnelAdaptive(Sources.events(s, dir),
+        targetPerBucket = 1000L)
+      .orderBy("user_id")
+
   /** RAG chunking of the documents table: 64-token windows, 16 overlap. */
   def t15Chunks(s: SparkSession, dir: String): DataFrame =
     ext.TextOps.chunkDocuments(Sources.documents(s, dir))
@@ -1161,6 +1174,7 @@ object Queries {
     "ev1_funnel" -> (ev1Funnel _),
     "ev2_funnel_salted" -> (ev2FunnelSalted _),
     "ev3_funnel_shuffled" -> (ev3FunnelShuffledGates _),
+    "ev4_funnel_adaptive" -> (ev4FunnelAdaptive _),
     "x12_pivot" -> (x12Pivot _),
     "st3_interval_join" -> (st3IntervalJoin _),
     "t2_quality_score" -> (t2QualityScore _),
