@@ -1037,6 +1037,57 @@ object OracleSql {
         |  FROM sc)
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
 
+    // multi-probe LSH: sim2's CTEs plus single-bit flips of each query's
+    // 2 lowest-|margin| hyperplanes (tie-safe-rounded margin, plane id
+    // tiebreak — an unrounded float rank could pick different probe
+    // buckets across engines). A candidate lives in exactly one bucket
+    // and probed buckets are distinct, so no dedup is needed.
+    "sim6_lsh_multiprobe" -> withCtes(
+      embUnnestCte(""), normCte,
+      """pl AS (
+        |  SELECT p, d,
+        |    (CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 8)) AS BIGINT)
+        |     % 2001 - 1000) / 1000.0 AS w
+        |  FROM range(0, 8) t1(p), range(1, 65) t2(d))""".stripMargin,
+      """pd AS (
+        |  SELECT u.vec_id, pl.p, SUM(CAST(u.v AS DOUBLE) * pl.w) AS pdot
+        |  FROM u JOIN pl ON pl.d = u.i GROUP BY 1, 2)""".stripMargin,
+      """bu AS (
+        |  SELECT vec_id,
+        |         CAST(SUM(CASE WHEN pdot > 0 THEN CAST(POWER(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM pd GROUP BY 1)""".stripMargin,
+      s"""qf AS (
+         |  SELECT vec_id, p FROM (
+         |    SELECT vec_id, p,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id
+         |             ORDER BY ${R("ABS(pdot)", 6)}, p) AS rnk
+         |    FROM pd WHERE vec_id % 100 = 0)
+         |  WHERE rnk <= 2)""".stripMargin,
+      """qs AS (
+        |  SELECT vec_id AS query_id, bucket FROM bu WHERE vec_id % 100 = 0
+        |  UNION ALL
+        |  SELECT f.vec_id AS query_id,
+        |         xor(b.bucket, CAST(POWER(2, f.p) AS BIGINT)) AS bucket
+        |  FROM qf f JOIN bu b ON b.vec_id = f.vec_id)""".stripMargin,
+      """cand AS (
+        |  SELECT qs.query_id, bu.vec_id, qs.bucket
+        |  FROM qs JOIN bu ON bu.bucket = qs.bucket AND bu.vec_id <> qs.query_id)""".stripMargin,
+      """cd AS (
+        |  SELECT c.query_id, c.vec_id, c.bucket,
+        |         SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dp
+        |  FROM cand c JOIN u a ON a.vec_id = c.query_id
+        |              JOIN u b ON b.vec_id = c.vec_id AND b.i = a.i
+        |  GROUP BY 1, 2, 3)""".stripMargin,
+      s"""sc AS (
+         |  SELECT query_id, cd.vec_id, bucket,
+         |         ${R("dp / (nq.nv * nc.nv)", 6)} AS cosine
+         |  FROM cd JOIN nrm nq ON nq.vec_id = query_id
+         |           JOIN nrm nc ON nc.vec_id = cd.vec_id)""".stripMargin)(
+      """SELECT query_id, rank, vec_id, bucket, cosine FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM sc)
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+
     "sim3_ivf_topk" -> withCtes(
       embUnnestCte(""), normCte,
       """an AS (

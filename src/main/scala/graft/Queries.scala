@@ -804,6 +804,15 @@ object Queries {
     ext.Similarity.lshTopK(Sources.embeddings(s, dir), ext.Similarity.planes(s))
       .orderBy("query_id", "rank")
 
+  /** Multi-probe LSH top-k: the query's bucket plus the 2 buckets behind
+    * its lowest-margin hyperplanes — recovers boundary-split neighbors at
+    * 3x the candidate cost instead of 16x (fewer planes). See
+    * [[graft.ext.Similarity.lshTopKMultiProbe]]. */
+  def sim6LshMultiprobe(s: SparkSession, dir: String): DataFrame =
+    ext.Similarity.lshTopKMultiProbe(Sources.embeddings(s, dir),
+        ext.Similarity.planes(s))
+      .orderBy("query_id", "rank")
+
   def sim3IvfTopk(s: SparkSession, dir: String): DataFrame =
     ext.Similarity.ivfTopK(Sources.embeddings(s, dir), ext.Similarity.ivfAnchors(s))
       .orderBy("query_id", "rank")
@@ -1148,6 +1157,7 @@ object Queries {
     "d5_embedding_neardup" -> (d5EmbeddingNeardup _),
     "sim1_cosine_topk" -> (sim1CosineTopk _),
     "sim2_lsh_topk" -> (sim2LshTopk _),
+    "sim6_lsh_multiprobe" -> (sim6LshMultiprobe _),
     "sim3_ivf_topk" -> (sim3IvfTopk _),
     "sim4_quantize" -> (sim4Quantize _),
     "sim5_prefix_rerank" -> (sim5PrefixRerank _),

@@ -60,6 +60,15 @@ object RecallProbe {
       row("sim2 lsh", s"nPlanes=$nPlanes (2^$nPlanes buckets)", r)
     }
 
+    // sim6: multi-probe over the registered 256-bucket config — recall
+    // recovered per extra probed bucket at (probes+1)x candidate cost
+    for (probes <- Seq(1, 2, 4, 8)) {
+      val r = recall(Similarity.lshTopKMultiProbe(emb,
+        Similarity.planes(spark), queryMod = qm, k = k, probes = probes),
+        truth)
+      row("sim6 multiprobe", s"nPlanes=8 probes=$probes", r)
+    }
+
     // sim3: IVF fixed codebook — nprobe/nLists sweep
     for (nLists <- Seq(16, 32); nprobe <- Seq(1, 2, 4)) {
       val r = recall(Similarity.ivfTopK(emb,

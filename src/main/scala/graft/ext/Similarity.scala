@@ -351,6 +351,70 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "bucket", "cosine")
   }
 
+  /** Multi-probe variant of [[lshTopK]] (Lv et al., "Multi-Probe LSH:
+    * Efficient Indexing for High-Dimensional Similarity Search", VLDB
+    * 2007): each query searches its own bucket PLUS the `probes` buckets
+    * reached by flipping the sign bit of its lowest-margin hyperplanes —
+    * the planes whose |dot| is smallest are the ones a true neighbor most
+    * likely lands on the other side of, so first-order single-bit flips
+    * recover most of the recall lost to bucket boundaries at a (probes+1)×
+    * candidate cost instead of the 2^planes-fold cost of using fewer
+    * planes. RecallProbe on the sf0.1 fixture: 0.030 recall@5 for the
+    * single-probe registered config → see COVERAGE.md's table for the
+    * probes sweep.
+    *
+    * Cross-engine determinism: the flip ranking orders planes by the
+    * tie-safe-ROUNDED |dot| (scale 6) with the plane id as tiebreak, the
+    * same discipline every ranking in this file uses — an unrounded rank
+    * on a float sum would let summation-order ulps pick different probe
+    * buckets on different engines. A candidate lives in exactly one
+    * bucket and the probed buckets are distinct (base XOR single bits),
+    * so no candidate dedup is needed. `probes = 0` degenerates to
+    * [[lshTopK]] exactly (ExtSpec proves it).
+    *
+    * Shape at scale: identical to [[lshTopK]] — one corpus pass for plane
+    * dots, bounded per-bucket candidate join, per-query top-k; the probe
+    * expansion multiplies only the (tiny, broadcast) query side. */
+  def lshTopKMultiProbe(emb: DataFrame, planesDf: DataFrame,
+                        queryMod: Int = 100, k: Int = 3, nPlanes: Int = 8,
+                        probes: Int = 2): DataFrame = {
+    val withNorm = withDoubles(emb)
+    val dots = emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("d", col("pos") + 1)
+      .join(broadcast(planesDf), "d")
+      .groupBy("vec_id", "p")
+      .agg(sum(col("v").cast("double") * col("w")).as("pdot"))
+    val buckets = dots.groupBy("vec_id")
+      .agg(sum(when(col("pdot") > 0,
+        pow(lit(2.0), col("p")).cast("long")).otherwise(0L)).as("bucket"))
+    val vecs = withNorm.join(buckets, "vec_id")
+
+    val qBase = buckets.filter(col("vec_id") % queryMod === 0)
+    val wFlip = Window.partitionBy("vec_id")
+      .orderBy(graft.ops.Num.cround(abs(col("pdot")), 6), col("p"))
+    val flips = dots.filter(col("vec_id") % queryMod === 0)
+      .withColumn("__rnk", row_number().over(wFlip))
+      .filter(col("__rnk") <= probes)
+      .select(col("vec_id"), pow(lit(2.0), col("p")).cast("long").as("__bit"))
+    val probeBuckets = qBase
+      .unionAll(qBase.join(flips, "vec_id")
+        .select(col("vec_id"), col("bucket").bitwiseXOR(col("__bit")).as("bucket")))
+    val queries = withNorm.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("emb_d").as("q_emb"))
+      .join(probeBuckets.withColumnRenamed("vec_id", "query_id"), "query_id")
+
+    val scored = vecs.join(broadcast(queries), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", graft.ops.Num.cround(
+        nativeCosine(col("emb_d"), col("q_emb")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "bucket", "cosine")
+  }
+
   /** Symmetric per-vector int8 scalar quantization: scale = max|x| / 127,
     * q_i = round(x_i / scale). 4x smaller embeddings for the candidate-
     * generation tier (the shuffle/broadcast payloads above shrink with it);

@@ -268,6 +268,42 @@ class ExtSpec extends AnyFunSuite {
       f"learned-codebook recall@5 regressed: $learned%.3f < 0.40 (r9: 0.430)")
   }
 
+  test("multi-probe LSH: probes=0 degenerates to lshTopK; probing lifts recall") {
+    val emb = graft.io.Sources.embeddings(spark, "/root/testdata/sf0.01")
+    val planes = Similarity.planes(spark)
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "vec_id").collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val single = Similarity.lshTopK(emb, planes, queryMod = 100, k = 3)
+    val zero = Similarity.lshTopKMultiProbe(emb, planes, queryMod = 100,
+      k = 3, probes = 0)
+    assert(zero.exceptAll(single).count() == 0 &&
+      single.exceptAll(zero).count() == 0,
+      "probes=0 must equal the single-probe lshTopK exactly")
+
+    // recall against brute-force truth must not DROP when probing more
+    // buckets: every single-probe candidate is still a candidate
+    val truth = sets(Similarity.bruteForceTopK(emb, queryMod = 100, k = 3))
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = sets(df)
+      truth.map { case (q, t) => (got.getOrElse(q, Set.empty[Long]) & t).size }
+        .sum.toDouble / truth.values.map(_.size).sum
+    }
+    val r0 = recallOf(single)
+    val r2 = recallOf(Similarity.lshTopKMultiProbe(emb, planes,
+      queryMod = 100, k = 3, probes = 2))
+    info(f"recall@3 single=$r0%.3f probes2=$r2%.3f")
+    assert(r2 >= r0, f"multi-probe recall $r2%.3f below single-probe $r0%.3f")
+
+    // each query's candidate pool grows: probed bucket count == probes+1
+    val nb = Similarity.lshTopKMultiProbe(emb, planes, queryMod = 100,
+        k = 1000000, probes = 2)
+      .select("query_id", "bucket").distinct()
+      .groupBy("query_id").count().agg(max("count")).first().getLong(0)
+    assert(nb <= 3, s"a query searched $nb distinct buckets, expected <= 3")
+  }
+
   test("quality score components are in [0, 1]") {
     val rows = TextOps.withQualityScore(docs).collect()
     rows.foreach { r =>
