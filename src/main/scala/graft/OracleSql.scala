@@ -299,6 +299,32 @@ object OracleSql {
          |  ${R("regr_intercept(close, volume)", 2)} AS intercept
          |FROM dedup GROUP BY symbol ORDER BY symbol""".stripMargin),
 
+    // KMV sketch twin: the bounded aggregate's (n_kept, kth) is a pure
+    // function of the distinct-hash SET, so DISTINCT + a window rank over
+    // the same md5-prefix hash reproduces it exactly; the estimator is one
+    // exact-int division on both engines. n_kept caps at k=64.
+    "a14_kmv_distinct" -> withCtes(
+      """hs AS (
+        |  SELECT DISTINCT l_returnflag AS flag,
+        |         CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+        |  FROM lineitem)""".stripMargin,
+      """rk AS (
+        |  SELECT flag, h,
+        |         ROW_NUMBER() OVER (PARTITION BY flag ORDER BY h) AS rn,
+        |         COUNT(*) OVER (PARTITION BY flag) AS nd
+        |  FROM hs)""".stripMargin,
+      """sk AS (
+        |  SELECT flag, CAST(LEAST(nd, 64) AS INTEGER) AS n_kept,
+        |         MAX(h) FILTER (WHERE rn <= 64) AS kth
+        |  FROM rk GROUP BY flag, nd)""".stripMargin,
+      """ex AS (
+        |  SELECT l_returnflag AS flag, COUNT(DISTINCT l_partkey) AS exact_distinct
+        |  FROM lineitem GROUP BY 1)""".stripMargin)(
+      s"""SELECT sk.flag, n_kept, kth AS kth_hash,
+         |  ${R("CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE) ELSE 63.0 * 4294967296.0 / kth END", 6)} AS est_distinct,
+         |  CAST(exact_distinct AS BIGINT) AS exact_distinct
+         |FROM sk JOIN ex ON sk.flag = ex.flag ORDER BY sk.flag""".stripMargin),
+
     "a5_quantiles" -> withCtes(stockCte, cleanCte, dedupCte)(
       s"""SELECT symbol,
          |  ${R("quantile_cont(volume, 0.25)", 6)} AS vol_q1,

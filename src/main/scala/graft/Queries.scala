@@ -197,6 +197,36 @@ object Queries {
       Seq("covar_cv", "slope", "intercept"), 2)
       .orderBy("symbol")
 
+  /** Distinct part-key cardinality per return flag, three ways in ONE hash
+    * aggregate: exact (`count_distinct`, the a2 family — plans an Expand
+    * that shuffles every distinct key), and the bounded-state KMV sketch
+    * ([[graft.functions.KmvSketch]] — ships <= 64 longs per group no
+    * matter the cardinality; the 100 TB path). The estimator
+    * `(k-1) * 2^32 / kth` is a single exact-int division — deterministic,
+    * so est_distinct rounds at 6 and hash-compares against the DuckDB
+    * twin, which rebuilds the same sketch from DISTINCT hashes + a window
+    * rank. Exact sitting beside the estimate makes the query its own
+    * accuracy report (~11% expected rel-err at k=64). */
+  def a14KmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val k = 64
+    Sources.lineitem(s, dir)
+      .select(col("l_returnflag").as("flag"), col("l_partkey"),
+        conv(substring(md5(col("l_partkey").cast("string")), 1, 8), 16, 10)
+          .cast("long").as("h"))
+      .groupBy("flag")
+      .agg(expr(s"kmv_sketch(h, $k)").as("sk"),
+        countDistinct(col("l_partkey")).as("exact_distinct"))
+      .select(col("flag"), col("sk.n_kept").as("n_kept"),
+        col("sk.kth").as("kth_hash"),
+        Num.cround(
+          when(col("sk.n_kept") < k, col("sk.n_kept").cast("double"))
+            .otherwise(lit((k - 1).toDouble * 4294967296.0) / col("sk.kth")),
+          6).as("est_distinct"),
+        col("exact_distinct"))
+      .orderBy("flag")
+  }
+
   def a7Stddev(s: SparkSession, dir: String): DataFrame = {
     val f = cleanedStock(s, dir).drop("rid")
       .withColumn("dcp", (col("close") / lag("close", 1).over(w) - 1) * 100)
@@ -1140,6 +1170,7 @@ object Queries {
     "j6_range_join" -> (j6RangeJoin _),
     "a12_heavy_hitters" -> (a12HeavyHitters _),
     "a13_corr" -> (a13Corr _),
+    "a14_kmv_distinct" -> (a14KmvDistinct _),
     "st1_tumbling_window" -> (st1TumblingWindow _),
     "st2_sessionize" -> (st2Sessionize _),
     "j4_rollup" -> (j4Rollup _),

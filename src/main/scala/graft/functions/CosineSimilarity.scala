@@ -95,7 +95,9 @@ object GraftFunctions {
       ((children: Seq[Expression]) => HeavyHitters(children(0), children(1))),
     "top_k_by" ->
       ((children: Seq[Expression]) =>
-        TopKByScore(children(0), children(1), children(2))))
+        TopKByScore(children(0), children(1), children(2))),
+    "kmv_sketch" ->
+      ((children: Seq[Expression]) => KmvSketch(children(0), children(1))))
 
   // replace-always: after register(), SQL text resolves these names to the
   // native expressions even if something else claimed them earlier. The
