@@ -1385,6 +1385,34 @@ object OracleSql {
          |       ${R("CAST(bin_len * COUNT(*) - SUM(t) AS DOUBLE) / (bin_len * COUNT(*))", 6)} AS waste_frac
          |FROM b GROUP BY bin_len ORDER BY bin_len""".stripMargin),
 
+    // PII twin: identical injected strings, identical Java/RE2-common
+    // patterns; DuckDB counts with len(regexp_extract_all) (its
+    // regexp_replace needs the 'g' flag to match Spark's replace-all).
+    // md5 of the redacted text proves byte-identical redaction.
+    "t20_pii_redact" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+      val ip    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |         COALESCE(text, '')
+         |         || CASE WHEN doc_id % 17 = 0 THEN ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+         |         || CASE WHEN doc_id % 23 = 0 THEN ' Call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today' ELSE '' END
+         |         || CASE WHEN doc_id % 29 = 0 THEN ' Host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) || ' up' ELSE '' END AS text
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id,
+         |         CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+         |         CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phones,
+         |         CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ips,
+         |         regexp_replace(regexp_replace(regexp_replace(text,
+         |           '$email', '[EMAIL]', 'g'), '$phone', '[PHONE]', 'g'), '$ip', '[IP]', 'g') AS red
+         |  FROM p)
+         |SELECT doc_id, n_emails, n_phones, n_ips, md5(red) AS redacted_md5
+         |FROM r WHERE n_emails + n_phones + n_ips > 0
+         |ORDER BY doc_id""".stripMargin
+    },
+
     // Joins on the n-gram STRINGS — the Spark side's xxhash64 is an
     // internal key-compression step that never reaches the output, so the
     // string join is the exact semantic oracle (and would catch a hash

@@ -1085,6 +1085,35 @@ object Queries {
     ext.TextOps.packingWasteStats(Sources.documents(s, dir))
       .select("bin_len", "n_docs", "sum_tokens", "waste", "waste_frac")
 
+  /** PII detect + redact over the documents corpus ([[graft.ext.Pii]]).
+    * The synthetic corpus carries no real PII, so — like `dirtyStock` for
+    * F1-F3 — deterministic PII is injected first (email on doc_id % 17,
+    * dashed phone on % 23, IPv4 on % 29; the oracle injects the identical
+    * strings), which also exercises multi-class rows at the modulus
+    * intersections. Output keeps the counts and an md5 of the redacted
+    * text, proving both engines redacted byte-identically without hauling
+    * full text through the compare. */
+  def t20PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val seeded = Sources.documents(s, dir).withColumn("text",
+      concat(coalesce(col("text"), lit("")),
+        when(col("doc_id") % 17 === 0,
+          concat(lit(" Contact user"), col("doc_id").cast("string"),
+            lit("@example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 23 === 0,
+          concat(lit(" Call 415-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" today"))).otherwise(lit("")),
+        when(col("doc_id") % 29 === 0,
+          concat(lit(" Host 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0."), (col("doc_id") % 100).cast("string"),
+            lit(" up"))).otherwise(lit(""))))
+    ext.Pii.redactPii(seeded)
+      .filter(col("n_emails") + col("n_phones") + col("n_ips") > 0)
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+        md5(col("redacted")).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Top-3 quality documents per source via the native bounded `top_k_by`
     * aggregate — a quality-ranked per-domain cap (RefinedWeb-style) with NO
     * per-source window sort: each map partition reduces to <= k pairs per
@@ -1210,6 +1239,7 @@ object Queries {
     "t17_temp_mix" -> (t17TempMix _),
     "t18_strat_sample" -> (t18StratSample _),
     "t19_pack_stats" -> (t19PackStats _),
+    "t20_pii_redact" -> (t20PiiRedact _),
     "e1_centroids" -> (e1Centroids _),
     "e2_rocchio" -> (e2NearestCentroid _),
     "ev1_funnel" -> (ev1Funnel _),
