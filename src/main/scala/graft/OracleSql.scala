@@ -690,6 +690,20 @@ object OracleSql {
          |  FROM dedup)
          |ORDER BY symbol, "date"""".stripMargin),
 
+    // RSI twin: greatest() maps the first row's NULL diff to 0 in both
+    // engines; the flat-window 0/0 case is explicitly NULL on both sides
+    // (Spark's double 0/0 is NaN, DuckDB's is NULL).
+    "w12_rsi" -> withCtes(stockCte, cleanCte, dedupCte,
+      """gl AS (
+        |  SELECT symbol, "date",
+        |    GREATEST(close - LAG(close) OVER sw, 0) AS gain,
+        |    GREATEST(LAG(close) OVER sw - close, 0) AS loss
+        |  FROM dedup WINDOW sw AS (PARTITION BY symbol ORDER BY "date"))""".stripMargin)(
+      s"""SELECT symbol, "date",
+         |  ${R("CASE WHEN AVG(gain) OVER w14 + AVG(loss) OVER w14 = 0 THEN NULL ELSE 100.0 * AVG(gain) OVER w14 / (AVG(gain) OVER w14 + AVG(loss) OVER w14) END", 2)} AS rsi_14
+         |FROM gl WINDOW w14 AS (PARTITION BY symbol ORDER BY "date" ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+         |ORDER BY symbol, "date"""".stripMargin),
+
     "st1_tumbling_window" ->
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
          |       event_type, COUNT(*) AS n_events,
@@ -1709,6 +1723,29 @@ object OracleSql {
     // adaptive salt sizing (pre-pass-chosen bucket count): same oracle —
     // an answer-invariant knob must be invisible in the result
     "ev4_funnel_adaptive" -> funnelSql,
+
+    // Cohort retention twin: DISTINCT (user, ISO week) -> per-user min
+    // week -> (cohort, offset) counts. Dates are both Monday-truncated so
+    // the day difference is an exact multiple of 7; the retention division
+    // is one exact-int ratio (tie-safe rounded at 6 on both sides).
+    "ev5_retention" -> (
+      s"""WITH uw AS (
+         |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+         |  FROM events),
+         |c AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY 1),
+         |o AS (
+         |  SELECT c.cohort_week,
+         |         CAST((uw.week - c.cohort_week) // 7 AS INTEGER) AS week_offset,
+         |         COUNT(*) AS n_users
+         |  FROM uw JOIN c USING (user_id) GROUP BY 1, 2),
+         |w AS (
+         |  SELECT cohort_week, week_offset, CAST(n_users AS BIGINT) AS n_users,
+         |         CAST(MAX(CASE WHEN week_offset = 0 THEN n_users END)
+         |              OVER (PARTITION BY cohort_week) AS BIGINT) AS cohort_size
+         |  FROM o)
+         |SELECT cohort_week, week_offset, n_users, cohort_size,
+         |       ${R("CAST(n_users AS DOUBLE) / cohort_size", 6)} AS retention
+         |FROM w ORDER BY cohort_week, week_offset""".stripMargin),
 
     "st3_interval_join" ->
       """WITH clicks AS (

@@ -150,6 +150,30 @@ object Queries {
         stddev_samp("dcp").over(w.rowsBetween(-19, 0)).as("volatility_indicator")),
       Seq("volatility_indicator"), 2))
 
+  /** 14-period RSI (Cutler's SMA form — the recursive Wilder smoothing is
+    * not expressible as a frame aggregate, and the SMA variant is the
+    * standard batch formulation): rsi = 100 * avgGain / (avgGain +
+    * avgLoss) over a 14-row trailing frame. `greatest(diff, 0)` maps the
+    * first row's null diff to 0 in BOTH engines (greatest skips nulls in
+    * Spark and DuckDB alike); a flat 14-row window (avgGain + avgLoss = 0)
+    * is explicitly nulled because Spark's double 0/0 is NaN while
+    * DuckDB's is NULL. One window sort per symbol, shared by all three
+    * frame aggregates. */
+  def w12Rsi(s: SparkSession, dir: String): DataFrame =
+    windowQuery(s, dir) { df =>
+      val f14 = w.rowsBetween(-13, 0)
+      val g = avg("gain").over(f14)
+      val l = avg("loss").over(f14)
+      rounded(df
+        .withColumn("diff", col("close") - lag("close", 1).over(w))
+        .withColumn("gain", greatest(col("diff"), lit(0.0)))
+        .withColumn("loss", greatest(-col("diff"), lit(0.0)))
+        .select(col("symbol"), col("date"),
+          when(g + l === 0.0, lit(null))
+            .otherwise(lit(100.0) * g / (g + l)).as("rsi_14")),
+        Seq("rsi_14"), 2)
+    }
+
   // ===== aggregates (A1-A5, A7) ============================================
 
   def a1Count(s: SparkSession, dir: String): DataFrame =
@@ -1047,6 +1071,12 @@ object Queries {
         targetPerBucket = 1000L)
       .orderBy("user_id")
 
+  /** Weekly cohort retention triangle — see
+    * [[graft.analytics.Retention.cohortRetention]]. */
+  def ev5Retention(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Retention.cohortRetention(Sources.events(s, dir))
+      .orderBy("cohort_week", "week_offset")
+
   /** RAG chunking of the documents table: 64-token windows, 16 overlap. */
   def t15Chunks(s: SparkSession, dir: String): DataFrame =
     ext.TextOps.chunkDocuments(Sources.documents(s, dir))
@@ -1206,6 +1236,7 @@ object Queries {
     "j7_cube" -> (j7Cube _),
     "j8_full_outer" -> (j8FullOuter _),
     "w11_range_mean" -> (w11RangeMean _),
+    "w12_rsi" -> (w12Rsi _),
     "d1_dedup_exact" -> (d1DedupExact _),
     "d7_keep_first" -> (d7KeepFirst _),
     "d2_minhash_lsh" -> (d2MinhashLsh _),
@@ -1246,6 +1277,7 @@ object Queries {
     "ev2_funnel_salted" -> (ev2FunnelSalted _),
     "ev3_funnel_shuffled" -> (ev3FunnelShuffledGates _),
     "ev4_funnel_adaptive" -> (ev4FunnelAdaptive _),
+    "ev5_retention" -> (ev5Retention _),
     "x12_pivot" -> (x12Pivot _),
     "st3_interval_join" -> (st3IntervalJoin _),
     "t2_quality_score" -> (t2QualityScore _),
