@@ -216,6 +216,43 @@ class PlanSpec extends AnyFunSuite {
       s"expected <= 2 doc_id exchanges (join sides only), got $docExchanges:\n$p")
   }
 
+  test("KMV sketch aggregates partially before the shuffle") {
+    // the sketch side must plan partial -> exchange -> final
+    // ObjectHashAggregate so each map partition ships <= k longs per
+    // group (the exact count-distinct side's Expand is the contrast the
+    // query exists to demonstrate — it is allowed)
+    val p = plan("a14_kmv_distinct")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"kmv_sketch should plan two-level ObjectHashAggregate:\n$p")
+  }
+
+  test("PII redaction is a pure row-wise scan — no shuffle, text pruned to need") {
+    val p = plan("t20_pii_redact")
+    // the only exchange is the final ORDER BY's range partitioning
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"PII pass must not hash-shuffle:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      "PII pass must stay a linear scan")
+  }
+
+  test("retention: user aggregate then cohort aggregate, no count-distinct Expand") {
+    val p = plan("ev5_retention")
+    assert(!p.contains("Expand"),
+      "retention must not plan a count-distinct Expand (the per-user set " +
+        "already dedups weeks)")
+    // exactly two hash exchanges: user_id, then (cohort_week, week_offset);
+    // the window over the aggregated frame adds only its tiny partitioning
+    val hashEx = "Exchange hashpartitioning\\(".r.findAllIn(p).length
+    assert(hashEx <= 3, s"retention plans $hashEx hash exchanges:\n$p")
+  }
+
+  test("RSI shares one window sort per symbol across all frame aggregates") {
+    val p = plan("w12_rsi")
+    val symbolExchanges = "hashpartitioning\\(symbol".r.findAllIn(p).length
+    assert(symbolExchanges == 1,
+      s"expected exactly one symbol hash exchange, got $symbolExchanges:\n$p")
+  }
+
   test("quantization round trip is a pure projection — zero exchanges") {
     // quantize/dequantize/normalize are per-row array math; any Exchange
     // here would mean a stray shuffle crept into the ingest-path transform
