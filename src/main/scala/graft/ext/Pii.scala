@@ -17,6 +17,13 @@ import org.apache.spark.sql.functions._
   * precedes it, and the parquet reader only materializes the text column
   * plus whatever the caller selects.
   *
+  * Relation to [[TextOps.redact]]: that is the generic in-place
+  * pattern-chain scrubber (caller-supplied patterns, text overwritten);
+  * this pass adds per-class DETECTION counts and a separate `redacted`
+  * column, and restricts its patterns to the oracle-checkable subset
+  * below — use TextOps.redact for ad-hoc scrubbing, this for the audited
+  * compliance pass.
+  *
   * Determinism contract: the patterns use only the regex subset with
   * identical semantics in Java (Spark) and RE2 (DuckDB oracle) — ASCII
   * character classes, bounded repetition, and ASCII `\b` word boundaries;

@@ -134,7 +134,8 @@ object TextOps {
   /** Redact sensitive spans in `text`, replacing each match with its tag.
     * Sequential regexp_replace chain — codegen'd, one linear scan per
     * pattern, no UDF. Patterns apply in order over the already-redacted
-    * text. */
+    * text. For the audited, oracle-checked PII pass (per-class counts +
+    * Java/RE2-common patterns) see [[Pii.redactPii]]. */
   def redact(docs: DataFrame,
              patterns: Seq[(String, String)] = defaultRedactions): DataFrame =
     docs.withColumn("text",
