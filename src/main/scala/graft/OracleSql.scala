@@ -325,6 +325,41 @@ object OracleSql {
          |  CAST(exact_distinct AS BIGINT) AS exact_distinct
          |FROM sk JOIN ex ON sk.flag = ex.flag ORDER BY sk.flag""".stripMargin),
 
+    // Histogram-quantile twin: bin width (hi-lo)/128 and ranks ceil(q*n)
+    // are exact dyadic arithmetic in both engines; the interpolation
+    // evaluates the same IEEE ops in the same order. DuckDB's SUM window
+    // widens to HUGEINT and CEIL to DOUBLE — both exact at these
+    // magnitudes, so the mixed-type arithmetic equals Spark's pure-long
+    // form bit-for-bit.
+    "a15_binned_quantiles" -> {
+      // cumPrev < r <= cum picks exactly one bin, mirroring the Spark side
+      def estQ(q: String, name: String): String =
+        R(s"MIN(CASE WHEN cum >= CEIL($q * n) AND cum - cnt < CEIL($q * n) " +
+          s"THEN lo + (hi - lo) / 128 * " +
+          s"(bin + CAST(CEIL($q * n) - cum + cnt AS DOUBLE) / cnt) END)", 6) +
+          s" AS $name"
+      withCtes(stockCte, cleanCte, dedupCte,
+        """v AS (SELECT symbol, close AS val FROM dedup WHERE close IS NOT NULL)""",
+        """mm AS (SELECT symbol, MIN(val) AS lo, MAX(val) AS hi, COUNT(*) AS n
+          |  FROM v GROUP BY 1)""".stripMargin,
+        """b AS (
+          |  SELECT v.symbol,
+          |         CASE WHEN hi = lo THEN 0
+          |              ELSE CAST(LEAST(127, FLOOR((val - lo) / ((hi - lo) / 128))) AS INTEGER) END AS bin
+          |  FROM v JOIN mm USING (symbol))""".stripMargin,
+        """c AS (SELECT symbol, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2)""",
+        """u AS (
+          |  SELECT c.symbol, bin, cnt,
+          |         SUM(cnt) OVER (PARTITION BY c.symbol ORDER BY bin) AS cum,
+          |         lo, hi, n
+          |  FROM c JOIN mm ON c.symbol = mm.symbol)""".stripMargin)(
+        s"""SELECT symbol, CAST(n AS BIGINT) AS n,
+           |  ${estQ("0.25", "est_q25")},
+           |  ${estQ("0.5", "est_q50")},
+           |  ${estQ("0.75", "est_q75")}
+           |FROM u GROUP BY symbol, n ORDER BY symbol""".stripMargin)
+    },
+
     "a5_quantiles" -> withCtes(stockCte, cleanCte, dedupCte)(
       s"""SELECT symbol,
          |  ${R("quantile_cont(volume, 0.25)", 6)} AS vol_q1,

@@ -251,6 +251,17 @@ object Queries {
       .orderBy("flag")
   }
 
+  /** Histogram-estimated per-symbol close quantiles — the mergeable scale
+    * path next to a5's exact `percentile` (see
+    * [[graft.ops.HistogramQuantiles]]; the fact table never shuffles,
+    * only (group, bin) counts do). */
+  def a15BinnedQuantiles(s: SparkSession, dir: String): DataFrame =
+    rounded(
+      ops.HistogramQuantiles.estimate(
+        cleanedStock(s, dir).drop("rid"), "symbol", "close"),
+      Seq("est_q25", "est_q50", "est_q75"))
+      .orderBy("symbol")
+
   def a7Stddev(s: SparkSession, dir: String): DataFrame = {
     val f = cleanedStock(s, dir).drop("rid")
       .withColumn("dcp", (col("close") / lag("close", 1).over(w) - 1) * 100)
@@ -1230,6 +1241,7 @@ object Queries {
     "a12_heavy_hitters" -> (a12HeavyHitters _),
     "a13_corr" -> (a13Corr _),
     "a14_kmv_distinct" -> (a14KmvDistinct _),
+    "a15_binned_quantiles" -> (a15BinnedQuantiles _),
     "st1_tumbling_window" -> (st1TumblingWindow _),
     "st2_sessionize" -> (st2Sessionize _),
     "j4_rollup" -> (j4Rollup _),
