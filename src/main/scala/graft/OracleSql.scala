@@ -739,6 +739,23 @@ object OracleSql {
          |FROM gl WINDOW w14 AS (PARTITION BY symbol ORDER BY "date" ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
          |ORDER BY symbol, "date"""".stripMargin),
 
+    // Robust-outlier twin: both medians are quantile_cont (the proven
+    // percentile twin); the |z| > 3 filter compares the tie-safe-ROUNDED
+    // value on both sides, and MAD = 0 groups are excluded before any
+    // division (Spark 0/0 = NaN vs DuckDB NULL would diverge).
+    "w13_robust_outliers" -> withCtes(stockCte, cleanCte, dedupCte,
+      """med AS (
+        |  SELECT *, quantile_cont(close, 0.5) OVER (PARTITION BY symbol) AS med
+        |  FROM dedup)""".stripMargin,
+      """madt AS (
+        |  SELECT *, quantile_cont(ABS(close - med), 0.5) OVER (PARTITION BY symbol) AS madv
+        |  FROM med)""".stripMargin)(
+      s"""SELECT symbol, "date", close,
+         |       ${R("(close - med) / (1.4826 * madv)", 2)} AS robust_z
+         |FROM madt
+         |WHERE madv > 0 AND ${R("ABS((close - med) / (1.4826 * madv))", 6)} > 3
+         |ORDER BY symbol, "date"""".stripMargin),
+
     "st1_tumbling_window" ->
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
          |       event_type, COUNT(*) AS n_events,

@@ -174,6 +174,31 @@ object Queries {
         Seq("rsi_14"), 2)
     }
 
+  /** Robust per-symbol outlier detection: median/MAD z-score (the
+    * Hampel-filter form — resistant to the very outliers it hunts, unlike
+    * mean/stddev z-scores where one spike inflates its own threshold).
+    * Flags rows with |close - median| / (1.4826 * MAD) > 3. Both medians
+    * are exact `percentile` over the shared symbol partition (the a5/w9
+    * exact family — same documented histogram-quantile swap at extreme
+    * key counts); MAD = 0 groups are excluded explicitly (the z-score is
+    * undefined, and Spark's double 0/0=NaN vs DuckDB's NULL would
+    * diverge). The z rounds at 2 (ratio of interpolated medians). */
+  def w13RobustOutliers(s: SparkSession, dir: String): DataFrame = {
+    val wSym = Window.partitionBy("symbol")
+    val z = (col("close") - col("med")) / (lit(1.4826) * col("madv"))
+    // the threshold compares the tie-safe-ROUNDED |z| (c2 convention) so
+    // percentile-interpolation ulps can never flip a row's inclusion
+    // across engines
+    cleanedStock(s, dir).drop("rid")
+      .withColumn("med", percentile(col("close"), lit(0.5)).over(wSym))
+      .withColumn("madv",
+        percentile(abs(col("close") - col("med")), lit(0.5)).over(wSym))
+      .filter(col("madv") > 0 && Num.cround(abs(z), 6) > 3)
+      .select(col("symbol"), col("date"), col("close"),
+        Num.cround(z, 2).as("robust_z"))
+      .orderBy("symbol", "date")
+  }
+
   // ===== aggregates (A1-A5, A7) ============================================
 
   def a1Count(s: SparkSession, dir: String): DataFrame =
@@ -1249,6 +1274,7 @@ object Queries {
     "j8_full_outer" -> (j8FullOuter _),
     "w11_range_mean" -> (w11RangeMean _),
     "w12_rsi" -> (w12Rsi _),
+    "w13_robust_outliers" -> (w13RobustOutliers _),
     "d1_dedup_exact" -> (d1DedupExact _),
     "d7_keep_first" -> (d7KeepFirst _),
     "d2_minhash_lsh" -> (d2MinhashLsh _),

@@ -219,6 +219,21 @@ object ScalingProbe {
             col("vec_id") <= baseMaxVec),
           threshold = 0.3)
           .orderBy("vec_id")
+      },
+      // a14's REGISTERED form runs the sketch next to an exact
+      // COUNT(DISTINCT) as its own accuracy report — the exact side's
+      // Expand dominates and measures ~linear. The sketch ALONE is the
+      // production scale path; probe it without the baseline rider.
+      "a14_kmv_distinct" -> { (s: SparkSession, dir: String) =>
+        graft.functions.GraftFunctions.register(s)
+        graft.io.Sources.lineitem(s, dir)
+          .select(col("l_returnflag").as("flag"),
+            conv(substring(md5(col("l_partkey").cast("string")), 1, 8), 16, 10)
+              .cast("long").as("h"))
+          .groupBy("flag")
+          .agg(expr("kmv_sketch(h, 64)").as("sk"))
+          .select(col("flag"), col("sk.n_kept"), col("sk.kth"))
+          .orderBy("flag")
       })
     val queries = names.map(n =>
       n -> probeOverrides.getOrElse(n, SparkEntry.queries(n)))
