@@ -133,6 +133,19 @@ object OracleSql {
   def withCtes(ctes: String*)(body: String): String =
     "WITH " + ctes.mkString(",\n") + "\n" + body
 
+  /** FIR-kernel EMA rendered in SQL with the engine's exact weight
+    * doubles as decimal literals (shared constants via Num.emaKernel —
+    * the formulation stays independent, the kernel is common, like the
+    * shared croundSql). Expects `rn` (per-symbol ROW_NUMBER) in scope and
+    * a window named `sw` (PARTITION BY symbol ORDER BY "date"). */
+  private def firSql(expr: String, span: Int, minRn: Int): String = {
+    val ws = graft.ops.Num.emaKernel(span)
+    val num = ws.zipWithIndex.map { case (wj, j) =>
+      if (j == 0) s"$wj * $expr" else s"$wj * LAG($expr, $j) OVER sw"
+    }.mkString(" + ")
+    s"CASE WHEN rn >= $minRn THEN ($num) / ${ws.sum} END"
+  }
+
   private val pipelineCtes =
     Seq(stockCte, cleanCte, dedupCte, feat1Cte, feat2Cte, vqCte)
 
@@ -755,6 +768,40 @@ object OracleSql {
          |FROM madt
          |WHERE madv > 0 AND ${R("ABS((close - med) / (1.4826 * madv))", 6)} > 3
          |ORDER BY symbol, "date"""".stripMargin),
+
+    // MACD twin: the FIR weight literals come from the same JVM call the
+    // engine uses (Num.emaKernel; Double.toString round-trips exactly), so
+    // the cross-engine surface is one identically-left-associated weighted
+    // sum per kernel — multi-term sums round at 2. Warm-up rows NULL on
+    // both sides (rn guards), macd_hist built from the UNROUNDED pair.
+    "w14_macd" -> withCtes(stockCte, cleanCte, dedupCte,
+      """base AS (
+        |  SELECT symbol, "date", close, ROW_NUMBER() OVER sw AS rn
+        |  FROM dedup WINDOW sw AS (PARTITION BY symbol ORDER BY "date"))""".stripMargin,
+      s"""m AS (
+         |  SELECT symbol, "date", rn,
+         |         ${firSql("close", 12, 12)} - ${firSql("close", 26, 26)} AS macd_raw
+         |  FROM base WINDOW sw AS (PARTITION BY symbol ORDER BY "date"))""".stripMargin,
+      s"""sg AS (
+         |  SELECT symbol, "date", macd_raw, ${firSql("macd_raw", 9, 34)} AS sig
+         |  FROM m WINDOW sw AS (PARTITION BY symbol ORDER BY "date"))""".stripMargin)(
+      s"""SELECT symbol, "date", ${R("macd_raw", 2)} AS macd,
+         |       ${R("sig", 2)} AS macd_signal,
+         |       ${R("macd_raw - sig", 2)} AS macd_hist
+         |FROM sg ORDER BY symbol, "date"""".stripMargin),
+
+    // Winsorize twin: quantile_cont == Spark percentile bit-exact (a5), so
+    // LEAST/GREATEST take identical branches on identical doubles.
+    "f9_winsorize" -> withCtes(stockCte, cleanCte, dedupCte,
+      """q AS (
+        |  SELECT *,
+        |         quantile_cont(close, 0.05) OVER (PARTITION BY symbol) AS q05,
+        |         quantile_cont(close, 0.95) OVER (PARTITION BY symbol) AS q95
+        |  FROM dedup)""".stripMargin)(
+      s"""SELECT symbol, "date", ${R("close", 6)} AS close,
+         |       ${R("LEAST(GREATEST(close, q05), q95)", 6)} AS w_close,
+         |       (close < q05 OR close > q95) AS is_clipped
+         |FROM q ORDER BY symbol, "date"""".stripMargin),
 
     "st1_tumbling_window" ->
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -199,6 +199,39 @@ object Queries {
       .orderBy("symbol", "date")
   }
 
+  /** MACD(12/26/9) in the deterministic FIR form (see
+    * [[graft.ops.Derive.withMacd]] — warm-up rows null, the recursive IIR
+    * EMA is not a frame aggregate). All three kernel passes ride one
+    * symbol window sort; multi-term weighted sums round at 2. */
+  def w14Macd(s: SparkSession, dir: String): DataFrame =
+    windowQuery(s, dir) { df =>
+      rounded(Derive.withMacd(df)
+        .select(col("symbol"), col("date"),
+          col("macd"), col("macd_signal"), col("macd_hist")),
+        Seq("macd", "macd_signal", "macd_hist"), 2)
+    }
+
+  /** Per-symbol winsorization — clamp close into its exact [p05, p95]
+    * (the robust-cleaning transform next to w13's outlier FILTER: training
+    * pipelines clip features more often than they drop rows). Both bounds
+    * are exact `percentile` (a5-proven bit-identical to the oracle's
+    * quantile_cont, so the clamp branch and the clamped value agree
+    * cross-engine with no tie-safety dance), computed as unbounded window
+    * aggregates over ONE symbol exchange — no join, no second scan of the
+    * upstream (the Derive.withVolumeCategory argument). */
+  def f9Winsorize(s: SparkSession, dir: String): DataFrame = {
+    val wSym = Window.partitionBy("symbol")
+    cleanedStock(s, dir).drop("rid")
+      .withColumn("q05", percentile(col("close"), lit(0.05)).over(wSym))
+      .withColumn("q95", percentile(col("close"), lit(0.95)).over(wSym))
+      .select(col("symbol"), col("date"),
+        Num.cround(col("close"), 6).as("close"),
+        Num.cround(least(greatest(col("close"), col("q05")), col("q95")), 6)
+          .as("w_close"),
+        (col("close") < col("q05") || col("close") > col("q95")).as("is_clipped"))
+      .orderBy("symbol", "date")
+  }
+
   // ===== aggregates (A1-A5, A7) ============================================
 
   def a1Count(s: SparkSession, dir: String): DataFrame =
@@ -1275,6 +1308,8 @@ object Queries {
     "w11_range_mean" -> (w11RangeMean _),
     "w12_rsi" -> (w12Rsi _),
     "w13_robust_outliers" -> (w13RobustOutliers _),
+    "w14_macd" -> (w14Macd _),
+    "f9_winsorize" -> (f9Winsorize _),
     "d1_dedup_exact" -> (d1DedupExact _),
     "d7_keep_first" -> (d7KeepFirst _),
     "d2_minhash_lsh" -> (d2MinhashLsh _),

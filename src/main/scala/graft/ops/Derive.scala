@@ -63,6 +63,36 @@ object Derive {
       .drop("vol_q1", "vol_q2", "vol_q3")
   }
 
+  /** W14: MACD(12, 26, 9) in deterministic FIR form. Each EMA is the
+    * pandas adjust=true kernel truncated at its span — weights
+    * (1 - 2/(span+1))^j for j < span, normalized by their own sum
+    * ([[Num.emaKernel]]) — with warm-up rows NULL until a full kernel of
+    * history exists. The textbook recursive (IIR) EMA folds the entire
+    * history into every row, which no frame aggregate can express; the
+    * truncated kernel IS a frame computation (span-26 tail weight ~4.6%,
+    * shrinking geometrically with history), deterministic cross-engine,
+    * and is exactly pandas `ewm(span, adjust=True)` until the kernel
+    * fills. macd = ema12 - ema26 (first non-null at row 26 per symbol);
+    * macd_signal = the 9-kernel over macd (row 34); macd_hist = macd -
+    * signal. Every lag shares ONE symbol sort, and the signal's second
+    * Window reuses the same partitioning+ordering, so Catalyst plans a
+    * single symbol exchange (PlanSpec guard). */
+  def withMacd(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy("date")
+    def fir(c: Column, span: Int, minRn: Int): Column = {
+      val ws = Num.emaKernel(span)
+      val num = ws.zipWithIndex.map { case (wj, j) =>
+        lit(wj) * (if (j == 0) c else lag(c, j).over(w))
+      }.reduce(_ + _)
+      when(col("__rn") >= minRn, num / lit(ws.sum))
+    }
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("macd", fir(col("close"), 12, 12) - fir(col("close"), 26, 26))
+      .withColumn("macd_signal", fir(col("macd"), 9, 34))
+      .withColumn("macd_hist", col("macd") - col("macd_signal"))
+      .drop("__rn")
+  }
+
   /** All derived columns over a cleaned canonical stock frame
     * (symbol, date, open, high, low, close, volume). Expects (symbol, date)
     * unique (post-F4) so the window order is deterministic.

@@ -27,4 +27,15 @@ object Num {
   /** SQL rendering of the same expression (DuckDB oracle side). */
   def croundSql(expr: String, scale: Int): String =
     s"(ROUND($expr - (ABS($expr) * 1e-12 + 1e-9), $scale) + 0.0)"
+
+  /** FIR kernel of the truncated adjust=true EMA: weights
+    * (1 - 2/(span+1))^j for j < span, built by repeated multiplication.
+    * Both the engine (Column literals) and the DuckDB oracle (embedded
+    * decimal renderings — Double.toString round-trips exactly) take their
+    * weights from HERE, in the same JVM, so the kernels are bit-identical
+    * across engines by construction — like the shared croundSql above,
+    * the constants are common while the query formulations stay
+    * independent. */
+  def emaKernel(span: Int): Seq[Double] =
+    Seq.iterate(1.0, span)(_ * (1.0 - 2.0 / (span + 1)))
 }

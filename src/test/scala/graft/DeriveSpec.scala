@@ -99,4 +99,57 @@ class DeriveSpec extends AnyFunSuite {
     assert(cats.head == "Low" && cats.last == "Very High")
     assert(Set("Low", "Medium", "High", "Very High") == cats.toSet)
   }
+
+  test("MACD FIR kernels match a driver-side brute force; warm-up rows null") {
+    val n = 45
+    val rnd = new scala.util.Random(7)
+    val prices = Vector.fill(n)(100.0 + rnd.nextDouble() * 20.0)
+    val rows = prices.zipWithIndex.map { case (p, i) =>
+      ("T", java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong)),
+        p - 1.0, p + 1.0, p - 2.0, p, 1000L)
+    }
+    val df = rows.toDF("symbol", "date", "open", "high", "low", "close", "volume")
+    val got = Derive.withMacd(df).orderBy("date")
+      .select("macd", "macd_signal", "macd_hist").collect()
+
+    // independent direct evaluation of the same FIR definition
+    def fir(xs: Vector[Option[Double]], span: Int, minN: Int): Vector[Option[Double]] = {
+      val ws = graft.ops.Num.emaKernel(span)
+      xs.indices.toVector.map { t =>
+        if (t + 1 < minN) None
+        else Some(ws.zipWithIndex.map { case (wj, j) => wj * xs(t - j).get }.sum / ws.sum)
+      }
+    }
+    val some = prices.map(Option(_))
+    val e12 = fir(some, 12, 12)
+    val e26 = fir(some, 26, 26)
+    val macd = e12.indices.toVector.map(t => for (a <- e12(t); b <- e26(t)) yield a - b)
+    val signal = fir(macd, 9, 34)
+
+    for (t <- 0 until n) {
+      val row = got(t)
+      (macd(t), if (row.isNullAt(0)) None else Some(row.getDouble(0))) match {
+        case (Some(e), Some(g)) => assert(math.abs(e - g) < 1e-9, s"macd row $t")
+        case (e, g)             => assert(e == g, s"macd nullness row $t: $e vs $g")
+      }
+      (signal(t), if (row.isNullAt(1)) None else Some(row.getDouble(1))) match {
+        case (Some(e), Some(g)) => assert(math.abs(e - g) < 1e-9, s"signal row $t")
+        case (e, g)             => assert(e == g, s"signal nullness row $t: $e vs $g")
+      }
+    }
+    // warm-up boundaries: macd first defined at row 26 (1-based), signal at 34
+    assert(got(24).isNullAt(0) && !got(25).isNullAt(0))
+    assert(got(32).isNullAt(1) && !got(33).isNullAt(1))
+
+    // constant series: macd and signal exactly zero once defined
+    val flat = (0 until 40).map { i =>
+      ("C", java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong)),
+        99.0, 101.0, 98.0, 100.0, 1000L)
+    }.toDF("symbol", "date", "open", "high", "low", "close", "volume")
+    val last = Derive.withMacd(flat).orderBy("date")
+      .select("macd", "macd_signal", "macd_hist").collect().last
+    assert(math.abs(last.getDouble(0)) < 1e-12)
+    assert(math.abs(last.getDouble(1)) < 1e-12)
+    assert(math.abs(last.getDouble(2)) < 1e-12)
+  }
 }

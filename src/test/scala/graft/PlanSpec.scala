@@ -253,6 +253,16 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly one symbol hash exchange, got $symbolExchanges:\n$p")
   }
 
+  test("MACD's three FIR passes share one symbol exchange") {
+    // ema12/ema26 and the signal's second Window use the identical
+    // partitioning+ordering — a second symbol shuffle would mean the
+    // signal pass lost the existing distribution
+    val p = plan("w14_macd")
+    val symbolExchanges = "hashpartitioning\\(symbol".r.findAllIn(p).length
+    assert(symbolExchanges == 1,
+      s"expected exactly one symbol hash exchange, got $symbolExchanges:\n$p")
+  }
+
   test("quantization round trip is a pure projection — zero exchanges") {
     // quantize/dequantize/normalize are per-row array math; any Exchange
     // here would mean a stray shuffle crept into the ingest-path transform
