@@ -1142,6 +1142,31 @@ object OracleSql {
         |  FROM sc)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
 
+    // Hard-negative twin: sim1's dot-product/norm formulation with the
+    // label-mismatch constraint applied at the pair join; the rank window
+    // mirrors the engine's top_k_by + window (rounded cosine DESC, neg_id).
+    "e3_hard_negatives" -> withCtes(
+      embUnnestCte(""), normCte,
+      "lab AS (SELECT vec_id, label FROM embeddings)",
+      """qd AS (
+        |  SELECT q.vec_id AS anchor_id, c.vec_id AS neg_id,
+        |         SUM(CAST(q.v AS DOUBLE) * CAST(c.v AS DOUBLE)) AS dp
+        |  FROM u q JOIN u c ON q.i = c.i AND q.vec_id % 100 = 0
+        |  JOIN lab ql ON ql.vec_id = q.vec_id
+        |  JOIN lab cl ON cl.vec_id = c.vec_id AND cl.label <> ql.label
+        |  GROUP BY 1, 2)""".stripMargin,
+      s"""sc AS (
+         |  SELECT anchor_id, neg_id, ${R("dp / (nq.nv * nc.nv)", 6)} AS cosine
+         |  FROM qd JOIN nrm nq ON nq.vec_id = anchor_id
+         |           JOIN nrm nc ON nc.vec_id = neg_id)""".stripMargin)(
+      """SELECT anchor_id, ql.label AS anchor_label, rank, neg_id,
+        |       cl.label AS neg_label, cosine FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY cosine DESC, neg_id) AS rank
+        |  FROM sc) r
+        |JOIN lab ql ON ql.vec_id = r.anchor_id
+        |JOIN lab cl ON cl.vec_id = r.neg_id
+        |WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin),
+
     "sim2_lsh_topk" -> withCtes(
       embUnnestCte(""), normCte,
       """pl AS (

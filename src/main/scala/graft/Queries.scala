@@ -923,6 +923,14 @@ object Queries {
     ext.Similarity.prefixRerankTopK(Sources.embeddings(s, dir))
       .orderBy("query_id", "rank")
 
+  /** Contrastive hard negatives: k nearest DIFFERENT-label vectors per
+    * sampled anchor — the corpus reduces through the bounded `top_k_by`
+    * aggregate, never a per-anchor corpus sort (see
+    * [[graft.ext.Similarity.hardNegatives]]). */
+  def e3HardNegatives(s: SparkSession, dir: String): DataFrame =
+    ext.Similarity.hardNegatives(Sources.embeddings(s, dir))
+      .orderBy("anchor_id", "rank")
+
   def sim2LshTopk(s: SparkSession, dir: String): DataFrame =
     ext.Similarity.lshTopK(Sources.embeddings(s, dir), ext.Similarity.planes(s))
       .orderBy("query_id", "rank")
@@ -1346,6 +1354,7 @@ object Queries {
     "t20_pii_redact" -> (t20PiiRedact _),
     "e1_centroids" -> (e1Centroids _),
     "e2_rocchio" -> (e2NearestCentroid _),
+    "e3_hard_negatives" -> (e3HardNegatives _),
     "ev1_funnel" -> (ev1Funnel _),
     "ev2_funnel_salted" -> (ev2FunnelSalted _),
     "ev3_funnel_shuffled" -> (ev3FunnelShuffledGates _),

@@ -484,6 +484,54 @@ object Similarity {
           .as("best_bench_id"))
   }
 
+  /** Contrastive hard-negative mining: for each sampled anchor (vec_id %
+    * queryMod == 0), the k most-cosine-similar vectors carrying a
+    * DIFFERENT label — the negatives an embedding fine-tune actually
+    * learns from (random in-batch negatives are mostly easy; the nearest
+    * confusable examples drive the contrastive gradient — Robinson et
+    * al., "Contrastive Learning with Hard Negative Samples", ICLR 2021).
+    * Output: (anchor_id, anchor_label, rank, neg_id, neg_label, cosine).
+    *
+    * Shape at scale: the anchor set (a training batch / probe set, small
+    * by construction) broadcasts; the corpus is scanned ONCE with the
+    * fused codegen cosine and reduced per anchor by the bounded native
+    * `top_k_by` aggregate — every map partition ships <= k pairs per
+    * anchor before the shuffle, so no per-anchor sort ever sees the
+    * corpus (the sim5 stage-1 shape). The final rank window runs over the
+    * anchors x k shortlist only; the label fetch for that shortlist
+    * broadcasts the shortlist against the corpus, not vice versa. Linear
+    * in the corpus for a FIXED anchor set; under the probe's
+    * corpus-growing queryMod sampling it inherits sim1's declared
+    * quadratic regime. Ranking compares the tie-safe-ROUNDED cosine with
+    * neg_id as tiebreak, so the shortlist boundary and the final order
+    * are engine-reproducible. */
+  def hardNegatives(emb: DataFrame, queryMod: Int = 100, k: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    val vecs = emb.select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("emb_d"))
+    val anchors = vecs.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("anchor_id"),
+        col("label").as("anchor_label"), col("emb_d").as("a_emb"))
+    val short = vecs.join(broadcast(anchors),
+        col("label") =!= col("anchor_label"))
+      .withColumn("cosine", graft.ops.Num.cround(
+        nativeCosine(col("emb_d"), col("a_emb")), 6))
+      .groupBy("anchor_id", "anchor_label")
+      .agg(expr(s"top_k_by(cosine, vec_id, $k)").as("tk"))
+      .select(col("anchor_id"), col("anchor_label"), explode(col("tk")).as("t"))
+      .select(col("anchor_id"), col("anchor_label"),
+        col("t.id").as("neg_id"), col("t.score").as("cosine"))
+    val labels = vecs.select(col("vec_id").as("neg_id"),
+      col("label").as("neg_label"))
+    val w = Window.partitionBy("anchor_id")
+      .orderBy(col("cosine").desc, col("neg_id"))
+    labels.join(broadcast(short), "neg_id")
+      .withColumn("rank", row_number().over(w))
+      .select("anchor_id", "anchor_label", "rank", "neg_id", "neg_label",
+        "cosine")
+  }
+
   /** Nearest-centroid (Rocchio) classification: assign each vector to the
     * label whose [[labelCentroids]] centroid is nearest in squared L2 — the
     * evaluation twin of the centroid table (centroid-classifier accuracy is

@@ -1016,4 +1016,27 @@ class ExtSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("bin_len") -> r.getAs[Double]("waste_frac")).toMap
     assert(math.abs(fracs(4L) - 0.25) < 1e-6 && fracs(1L) == 0.0)
   }
+
+  test("hard negatives exclude same-label vectors, rank by cosine") {
+    // anchor = vec 0 (id % 100 == 0), label 0, pointing along +x.
+    // vec 1 is the NEAREST overall (cos = 1) but shares the label — it
+    // must never appear; the mined negatives are the best different-label
+    // vectors in cosine order.
+    val emb = Seq(
+      (0L, Array(1f, 0f), 0),
+      (1L, Array(2f, 0f), 0),   // same label, cos 1.0 — excluded
+      (2L, Array(3f, 1f), 1),   // cos 0.9487 — rank 1
+      (3L, Array(1f, 1f), 2),   // cos 0.7071 — rank 2
+      (4L, Array(1f, 2f), 1))   // cos 0.4472 — beyond k=2
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(emb, queryMod = 100, k = 2)
+      .orderBy("anchor_id", "rank").collect()
+    assert(out.map(_.getAs[Long]("neg_id")).toSeq == Seq(2L, 3L))
+    assert(out.map(_.getAs[Int]("neg_label")).toSeq == Seq(1, 2))
+    assert(out.forall(_.getAs[Int]("anchor_label") == 0))
+    assert(out.forall(_.getAs[Long]("neg_id") != 1L))
+    val cosines = out.map(_.getAs[Double]("cosine"))
+    assert(math.abs(cosines(0) - 0.948683) < 1e-5)
+    assert(math.abs(cosines(1) - 0.707107) < 1e-5)
+  }
 }
