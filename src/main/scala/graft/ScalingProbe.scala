@@ -59,7 +59,10 @@ object ScalingProbe {
     * corpus. */
   val quadraticByDesign: Set[String] =
     Set("d4_ngram_jaccard", "d5_embedding_neardup", "sim1_cosine_topk",
-      "sim5_prefix_rerank")
+      "sim5_prefix_rerank",
+      // anchors scale with the corpus under the probe's queryMod sampling;
+      // production shape is a fixed anchor batch — linear in the corpus
+      "e3_hard_negatives")
 
   // ===== generation ========================================================
 
