@@ -263,6 +263,33 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly one symbol hash exchange, got $symbolExchanges:\n$p")
   }
 
+  test("runtime bloom filter injects into the fact scan under a selective dim join") {
+    // At production scale Spark's runtime row-level bloom filter
+    // (spark.sql.optimizer.runtime.bloomFilter.*, enabled by default)
+    // builds a bloom filter from a shuffle join's selective build side and
+    // injects might_contain() into the fact side BEFORE the shuffle — the
+    // biggest scan/shuffle saver for a fact-dim join at 100 TB. Its default
+    // thresholds (10 GB application-side scan) deliberately never fire at
+    // test-corpus size, so this test zeroes the threshold to prove the
+    // engine's join shapes qualify for injection (equi shuffle join,
+    // selective creation side) and pins that against regression — at the
+    // real scale the defaults self-activate on exactly these plans.
+    val s2 = spark.newSession()
+    assert(s2.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true",
+      "runtime bloom filtering must stay enabled")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    val li = s2.read.parquet(s"$dir/lineitem.parquet")
+    val o = s2.read.parquet(s"$dir/orders.parquet")
+      .filter("o_orderpriority = '1-URGENT'")
+    val j = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderpriority").count()
+    val phys = j.queryExecution.executedPlan.toString
+    assert(phys.contains("might_contain"),
+      s"runtime bloom filter did not inject into the fact side:\n$phys")
+  }
+
   test("quantization round trip is a pure projection — zero exchanges") {
     // quantize/dequantize/normalize are per-row array math; any Exchange
     // here would mean a stray shuffle crept into the ingest-path transform
