@@ -1551,6 +1551,36 @@ object OracleSql {
          |ORDER BY doc_id""".stripMargin
     },
 
+    // Normalization twin: nfc_normalize + lower + strip_accents is
+    // utf8proc's rendering of the engine's NFC -> lowercase -> NFD-drop-Mn
+    // fold (verified byte-equal on the injected fixture chars); the
+    // injected dirt mirrors Queries.t21Normalize byte-for-byte (Scala
+    // \uXXXX escapes on both sides; the E-string \t/\n are DuckDB escapes
+    // producing the same control characters the engine's Scala literal
+    // holds). Whitespace collapse uses the same explicit ASCII class as
+    // the engine — RE2's \s and Java's \s disagree on vertical tab.
+    "t21_normalize" -> {
+      val inj1 = "  Caf\u00e9\\tNA\u00cfVE   r\u00e9sum\u00e9 \u00dcBER " +
+        "Z\u00fcrich\\n\u00c9cole d\u00e9j\u00e0-vu  "
+      val inj2 = " \u00c5ngstr\u00f6m Se\u00f1or Fa\u00e7ade CR\u00c8ME  " +
+        "br\u00fbl\u00e9e "
+      s"""WITH seeded AS (
+         |  SELECT doc_id,
+         |         COALESCE(text, '')
+         |         || CASE WHEN doc_id % 13 = 0 THEN E'$inj1' ELSE '' END
+         |         || CASE WHEN doc_id % 19 = 0 THEN E'$inj2' ELSE '' END AS t
+         |  FROM documents),
+         |n AS (
+         |  SELECT doc_id,
+         |         TRIM(regexp_replace(strip_accents(lower(nfc_normalize(t))),
+         |                             '[ \\t\\n\\r\\f]+', ' ', 'g')) AS norm_text,
+         |         CAST(length(t) AS INTEGER) AS raw_len
+         |  FROM seeded)
+         |SELECT doc_id, md5(norm_text) AS norm_md5, raw_len,
+         |       CAST(length(norm_text) AS INTEGER) AS norm_len
+         |FROM n ORDER BY doc_id""".stripMargin
+    },
+
     // Joins on the n-gram STRINGS — the Spark side's xxhash64 is an
     // internal key-compression step that never reaches the output, so the
     // string join is the exact semantic oracle (and would catch a hash

@@ -1221,6 +1221,30 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Unicode text normalization (NFC + lowercase + diacritic strip via the
+    * native [[graft.functions.FoldText]], then explicit-class whitespace
+    * collapse). Deterministic accent/case/whitespace dirt is injected
+    * t20-style so the pass does real work on the driver corpus; md5 of the
+    * normalized text proves byte-identical folding across engines. */
+  def t21Normalize(s: SparkSession, dir: String): DataFrame = {
+    // \uXXXX escapes keep the source pure ASCII (the build host's POSIX
+    // locale must never get a chance to mis-decode the fixture bytes)
+    val seeded = Sources.documents(s, dir).withColumn("text",
+      concat(coalesce(col("text"), lit("")),
+        when(col("doc_id") % 13 === 0,
+          lit("  Caf\u00e9\tNA\u00cfVE   r\u00e9sum\u00e9 \u00dcBER " +
+            "Z\u00fcrich\n\u00c9cole d\u00e9j\u00e0-vu  "))
+          .otherwise(lit("")),
+        when(col("doc_id") % 19 === 0,
+          lit(" \u00c5ngstr\u00f6m Se\u00f1or Fa\u00e7ade CR\u00c8ME  " +
+            "br\u00fbl\u00e9e "))
+          .otherwise(lit(""))))
+    ext.TextOps.normalizeDocuments(seeded)
+      .select(col("doc_id"), md5(col("norm_text")).as("norm_md5"),
+        col("raw_len"), col("norm_len"))
+      .orderBy("doc_id")
+  }
+
   /** Top-3 quality documents per source via the native bounded `top_k_by`
     * aggregate — a quality-ranked per-domain cap (RefinedWeb-style) with NO
     * per-source window sort: each map partition reduces to <= k pairs per
@@ -1352,6 +1376,7 @@ object Queries {
     "t18_strat_sample" -> (t18StratSample _),
     "t19_pack_stats" -> (t19PackStats _),
     "t20_pii_redact" -> (t20PiiRedact _),
+    "t21_normalize" -> (t21Normalize _),
     "e1_centroids" -> (e1Centroids _),
     "e2_rocchio" -> (e2NearestCentroid _),
     "e3_hard_negatives" -> (e3HardNegatives _),

@@ -640,4 +640,36 @@ object TextOps {
         md5(regexp_replace(lower(col("text")), "\\s+", " ")))
       .withColumn("min_shingle_fingerprint",
         expr("array_min(transform(shingles, s -> substring(md5(s), 1, 16)))"))
+
+  /** The native Unicode fold ([[graft.functions.FoldText]]) resolved
+    * through a graft-namespaced registry entry, like
+    * Similarity.nativeCosine — user registrations of the public
+    * `fold_text` name can never shadow this path. */
+  private val foldFnName = "graft_fold_text"
+  private def foldText(c: Column): Column = {
+    val reg = org.apache.spark.sql.SparkSession.active
+      .sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(foldFnName)))
+      reg.createOrReplaceTempFunction(foldFnName,
+        children => graft.functions.FoldText(children(0)), "built-in")
+    call_function(foldFnName, c)
+  }
+
+  /** Corpus text normalization — the C4/CCNet-style hygiene pass every
+    * pretraining corpus runs before dedup/tokenization: Unicode NFC,
+    * lowercase, diacritic strip (one fused native expression, codegen'd,
+    * no UDF — [[graft.functions.FoldText]]), then whitespace-run collapse
+    * to single spaces and trim. The collapse class is the explicit ASCII
+    * `[ \t\n\r\f]` on BOTH engines: Java's `\s` and RE2's `\s` disagree
+    * on vertical tab, and an explicit class removes the dialect edge
+    * (the t20 regex-contract discipline). Adds norm_text plus raw/
+    * normalized char lengths — the shrinkage evidence a curation report
+    * wants. Row-wise and shuffle-free (PlanSpec guard). */
+  def normalizeDocuments(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("norm_text",
+        trim(regexp_replace(foldText(col(textCol)), "[ \\t\\n\\r\\f]+", " ")))
+      .withColumn("raw_len", length(col(textCol)))
+      .withColumn("norm_len", length(col("norm_text")))
 }

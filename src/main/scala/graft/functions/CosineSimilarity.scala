@@ -97,7 +97,9 @@ object GraftFunctions {
       ((children: Seq[Expression]) =>
         TopKByScore(children(0), children(1), children(2))),
     "kmv_sketch" ->
-      ((children: Seq[Expression]) => KmvSketch(children(0), children(1))))
+      ((children: Seq[Expression]) => KmvSketch(children(0), children(1))),
+    "fold_text" ->
+      ((children: Seq[Expression]) => FoldText(children(0))))
 
   // replace-always: after register(), SQL text resolves these names to the
   // native expressions even if something else claimed them earlier. The

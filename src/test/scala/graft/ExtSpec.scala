@@ -1017,6 +1017,23 @@ class ExtSpec extends AnyFunSuite {
     assert(math.abs(fracs(4L) - 0.25) < 1e-6 && fracs(1L) == 0.0)
   }
 
+  test("unicode normalization folds case and accents, collapses whitespace") {
+    val df = Seq(
+      (0L, "Cr\u00e8me BR\u00dbL\u00c9E\t D\u00e9j\u00e0\n\nvu  "),
+      (1L, "plain ascii stays put"),
+      (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextOps.normalizeDocuments(df).orderBy("doc_id")
+      .select("norm_text", "raw_len", "norm_len").collect()
+    assert(out(0).getString(0) == "creme brulee deja vu")
+    assert(out(1).getString(0) == "plain ascii stays put")
+    assert(out(2).isNullAt(0) && out(2).isNullAt(1) && out(2).isNullAt(2))
+    assert(out(0).getAs[Int]("norm_len") == "creme brulee deja vu".length)
+    // the static fold alone (no whitespace collapse) keeps runs intact
+    assert(graft.functions.FoldText.fold("\u00c9COLE  Fa\u00e7ade") ==
+      "ecole  facade")
+  }
+
   test("hard negatives exclude same-label vectors, rank by cosine") {
     // anchor = vec 0 (id % 100 == 0), label 0, pointing along +x.
     // vec 1 is the NEAREST overall (cos = 1) but shares the label — it

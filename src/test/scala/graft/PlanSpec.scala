@@ -235,6 +235,15 @@ class PlanSpec extends AnyFunSuite {
       "PII pass must stay a linear scan")
   }
 
+  test("unicode normalization is a pure row-wise scan — no shuffle") {
+    val p = plan("t21_normalize")
+    // the only exchange is the final ORDER BY's range partitioning
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"normalization must not hash-shuffle:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      "normalization must stay a linear scan")
+  }
+
   test("retention: user aggregate then cohort aggregate, no count-distinct Expand") {
     val p = plan("ev5_retention")
     assert(!p.contains("Expand"),
