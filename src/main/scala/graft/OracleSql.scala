@@ -1901,6 +1901,37 @@ object OracleSql {
          |       ${R("CAST(n_users AS DOUBLE) / cohort_size", 6)} AS retention
          |FROM w ORDER BY cohort_week, week_offset""".stripMargin),
 
+    // Transition-matrix twin: LAG over (ts, event_id) mirrors the engine's
+    // deterministic same-instant tiebreak; p is one exact-long division.
+    "ev6_transitions" -> (
+      s"""WITH seq AS (
+         |  SELECT user_id, event_type,
+         |         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+         |  FROM events),
+         |m AS (
+         |  SELECT prev_type, event_type, COUNT(*) AS n_transitions
+         |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+         |SELECT prev_type, event_type,
+         |       CAST(n_transitions AS BIGINT) AS n_transitions,
+         |       CAST(SUM(n_transitions) OVER (PARTITION BY prev_type) AS BIGINT) AS n_from_state,
+         |       ${R("CAST(n_transitions AS DOUBLE) / SUM(n_transitions) OVER (PARTITION BY prev_type)", 6)} AS p_transition
+         |FROM m ORDER BY prev_type, event_type""".stripMargin),
+
+    // Entropy twin: ln/exp agree across engines to 1 ulp, entropy is a
+    // handful of products — round 6 sits far above both.
+    "t22_source_entropy" -> (
+      s"""WITH c AS (
+         |  SELECT source, CAST(COUNT(*) AS DOUBLE) AS n
+         |  FROM documents GROUP BY 1),
+         |t AS (SELECT SUM(n) AS tot FROM c),
+         |h AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+         |             -SUM((n / tot) * ln(n / tot)) AS hh
+         |      FROM c, t)
+         |SELECT n_sources, ${R("hh", 6)} AS entropy_nats,
+         |       ${R("hh / ln(CAST(n_sources AS DOUBLE))", 6)} AS norm_entropy,
+         |       ${R("exp(hh)", 6)} AS eff_sources
+         |FROM h""".stripMargin),
+
     "st3_interval_join" ->
       """WITH clicks AS (
         |  SELECT event_id AS click_id, user_id, ts AS c_ts

@@ -1154,6 +1154,37 @@ object Queries {
     graft.analytics.Retention.cohortRetention(Sources.events(s, dir))
       .orderBy("cohort_week", "week_offset")
 
+  /** First-order Markov event-transition matrix (see
+    * [[graft.analytics.Transitions.eventTransitions]]): one user-keyed
+    * window pass over the events, then a matrix-sized aggregate; the
+    * probability denominator windows over the tiny matrix. */
+  def ev6Transitions(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Transitions.eventTransitions(Sources.events(s, dir))
+      .orderBy("prev_type", "event_type")
+
+  /** Corpus mix balance report: source shares -> Shannon entropy,
+    * normalized entropy, and effective source count (exp H — the
+    * perplexity of the mix) — the data-mix diagnostic read BEFORE
+    * reaching for t17's temperature reweighting. The corpus reduces to
+    * (source, count) rows map-side; everything after runs on the tiny
+    * share table. Entropy terms are a handful of double products (round
+    * 2's summation-order concern at 1e-16 scale — round 6 is far above
+    * it), and ln/exp agree across engines to 1 ulp. */
+  def t22SourceEntropy(s: SparkSession, dir: String): DataFrame = {
+    val counts = Sources.documents(s, dir)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    val withTot = counts.withColumn("tot",
+      sum("n").over(Window.partitionBy()))
+    val p = col("n").cast("double") / col("tot")
+    withTot
+      .agg(count(lit(1)).as("n_sources"), (-sum(p * log(p))).as("h"))
+      .select(col("n_sources"),
+        Num.cround(col("h"), 6).as("entropy_nats"),
+        Num.cround(col("h") / log(col("n_sources").cast("double")), 6)
+          .as("norm_entropy"),
+        Num.cround(exp(col("h")), 6).as("eff_sources"))
+  }
+
   /** RAG chunking of the documents table: 64-token windows, 16 overlap. */
   def t15Chunks(s: SparkSession, dir: String): DataFrame =
     ext.TextOps.chunkDocuments(Sources.documents(s, dir))
@@ -1385,6 +1416,8 @@ object Queries {
     "ev3_funnel_shuffled" -> (ev3FunnelShuffledGates _),
     "ev4_funnel_adaptive" -> (ev4FunnelAdaptive _),
     "ev5_retention" -> (ev5Retention _),
+    "ev6_transitions" -> (ev6Transitions _),
+    "t22_source_entropy" -> (t22SourceEntropy _),
     "x12_pivot" -> (x12Pivot _),
     "st3_interval_join" -> (st3IntervalJoin _),
     "t2_quality_score" -> (t2QualityScore _),

@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analytics.Transitions
+
+/** Semantics of the Markov transition matrix on a hand fixture. */
+class TransitionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("counts ordered pairs per user; probabilities per source state; event_id breaks ts ties") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(m: Int) = new java.sql.Timestamp(ts0.getTime + m * 60000L)
+    val events = Seq(
+      (1L, t(0), 10L, "view", 1.0),
+      (2L, t(1), 10L, "click", 1.0),
+      (3L, t(2), 10L, "click", 1.0),
+      (4L, t(3), 10L, "purchase", 1.0),
+      (5L, t(0), 20L, "click", 1.0),
+      (6L, t(1), 20L, "purchase", 1.0),
+      // user 30: same-instant pair — event_id must decide view -> click
+      (7L, t(0), 30L, "view", 1.0),
+      (8L, t(0), 30L, "click", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+
+    val m = Transitions.eventTransitions(events)
+      .orderBy("prev_type", "event_type").collect()
+    val triples = m.map(r => (r.getAs[String]("prev_type"),
+      r.getAs[String]("event_type"), r.getAs[Long]("n_transitions"))).toSeq
+    assert(triples == Seq(
+      ("click", "click", 1L),
+      ("click", "purchase", 2L),
+      ("view", "click", 2L)))
+    val probs = m.map(_.getAs[Double]("p_transition"))
+    assert(math.abs(probs(0) - 1.0 / 3) < 1e-5)
+    assert(math.abs(probs(1) - 2.0 / 3) < 1e-5)
+    assert(math.abs(probs(2) - 1.0) < 1e-5)
+    assert(m.forall(r => r.getAs[Long]("n_from_state") ==
+      (if (r.getAs[String]("prev_type") == "click") 3L else 2L)))
+  }
+
+  test("single-event users contribute no transitions") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val events = Seq(
+      (1L, ts0, 1L, "view", 1.0),
+      (2L, ts0, 2L, "click", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(Transitions.eventTransitions(events).count() == 0)
+  }
+}
