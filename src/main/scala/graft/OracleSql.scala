@@ -1506,6 +1506,23 @@ object OracleSql {
         |  FROM hs)
         |WHERE rank <= 5 ORDER BY source, rank""".stripMargin),
 
+    // Weighted-sample twin: the ES key compares tie-safe-ROUNDED on both
+    // sides (doc_id tiebreak), so a cross-engine ln() ulp cannot flip the
+    // selection boundary.
+    "t23_weighted_sample" -> withCtes(
+      """wu AS (
+        |  SELECT source, doc_id, n_chars,
+        |         (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1.0)
+        |           / 4294967296.0 AS u
+        |  FROM documents WHERE n_chars > 0)""".stripMargin,
+      s"""ek AS (
+         |  SELECT source, doc_id, ${R("ln(u) / n_chars", 6)} AS es_key
+         |  FROM wu)""".stripMargin)(
+      """SELECT source, CAST(rank AS INTEGER) AS rank, doc_id, es_key FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY es_key DESC, doc_id) AS rank
+        |  FROM ek)
+        |WHERE rank <= 5 ORDER BY source, rank""".stripMargin),
+
     // The bucket is 1 << bit_length(t-1) in BOTH engines (bin() string
     // length) — integer-exact; log2 floats' exactness at powers of two is
     // not a cross-engine guarantee.

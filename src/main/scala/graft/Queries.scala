@@ -1154,6 +1154,13 @@ object Queries {
     graft.analytics.Retention.cohortRetention(Sources.events(s, dir))
       .orderBy("cohort_week", "week_offset")
 
+  /** Weighted stratified sampling (Efraimidis–Spirakis key over n_chars —
+    * longer docs proportionally likelier; see
+    * [[graft.ext.TextOps.weightedSample]]). Same bounded-aggregate plan
+    * as t18. */
+  def t23WeightedSample(s: SparkSession, dir: String): DataFrame =
+    ext.TextOps.weightedSample(Sources.documents(s, dir))
+
   /** First-order Markov event-transition matrix (see
     * [[graft.analytics.Transitions.eventTransitions]]): one user-keyed
     * window pass over the events, then a matrix-sized aggregate; the
@@ -1408,6 +1415,7 @@ object Queries {
     "t19_pack_stats" -> (t19PackStats _),
     "t20_pii_redact" -> (t20PiiRedact _),
     "t21_normalize" -> (t21Normalize _),
+    "t23_weighted_sample" -> (t23WeightedSample _),
     "e1_centroids" -> (e1Centroids _),
     "e2_rocchio" -> (e2NearestCentroid _),
     "e3_hard_negatives" -> (e3HardNegatives _),

@@ -386,6 +386,44 @@ object TextOps {
       .orderBy(strataCol, "rank")
   }
 
+  /** Weighted stratified sampling — the weighted twin of
+    * [[stratifiedSample]] via the Efraimidis–Spirakis A-Res key
+    * (Efraimidis & Spirakis, "Weighted random sampling with a
+    * reservoir", IPL 2006): per stratum, keep the k docs with the
+    * LARGEST ln(u)/w, where u is a deterministic md5-derived uniform in
+    * (0, 1] and w the doc's weight — each doc's inclusion probability is
+    * proportional to its weight, reproducible from doc_id alone. The
+    * log-key form (not u^(1/w)) keeps keys well-spread where large
+    * weights crowd u^(1/w) against 1.0; the key is tie-safe-ROUNDED
+    * (scale 6) before ranking, with doc_id breaking any created tie, so
+    * the selection boundary can never flip on a cross-engine ln() ulp.
+    *
+    * Plan shape is identical to t18: the bounded `top_k_by` aggregate
+    * reduces every map partition to <= k pairs per stratum before the
+    * shuffle — no per-stratum window sort. Zero- or negative-weight rows
+    * are excluded (their ES key is undefined).
+    *
+    * Output: (stratum, rank, doc_id, es_key), rank 1 = best key. */
+  def weightedSample(docs: DataFrame, strataCol: String = "source",
+                     weightCol: String = "n_chars", k: Int = 5): DataFrame = {
+    require(k > 0, "sample quota k must be positive")
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    docs.select(col(strataCol), col("doc_id"), col(weightCol))
+      .filter(col(weightCol) > 0)
+      .withColumn("u",
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("double") + 1.0) / 4294967296.0)
+      .withColumn("es_key",
+        graft.ops.Num.cround(log(col("u")) / col(weightCol).cast("double"), 6))
+      .groupBy(strataCol)
+      .agg(expr(s"top_k_by(es_key, doc_id, $k)").as("tk"))
+      .select(col(strataCol), posexplode(col("tk")).as(Seq("r", "t")))
+      .select(col(strataCol), (col("r") + 1).cast("int").as("rank"),
+        col("t.id").as("doc_id"), col("t.score").as("es_key"))
+      .orderBy(strataCol, "rank")
+  }
+
   /** Packing-efficiency histogram: bin documents into power-of-two
     * sequence-length buckets (a doc of t tokens lands in the smallest
     * 2^e >= t) and report per-bucket padding waste — the fraction of a

@@ -991,6 +991,38 @@ class ExtSpec extends AnyFunSuite {
     assert(again == expected)
   }
 
+  test("weighted sample equals the window-rank ES twin; zero weights excluded") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = ((0L until 8L).map(i => (i, "a", (i + 1) * 100)) ++
+      (8L until 12L).map(i => (i, "b", 50L)) :+ ((12L, "b", 0L)))
+      .toDF("doc_id", "source", "n_chars")
+    val out = TextOps.weightedSample(docs, "source", "n_chars", k = 5)
+    val counts = out.groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    // stratum a has 8 positive-weight docs -> 5; b has 4 (+1 zero-weight, excluded)
+    assert(counts == Map("a" -> 5L, "b" -> 4L))
+    assert(!out.collect().exists(_.getAs[Long]("doc_id") == 12L),
+      "zero-weight doc must never be sampled")
+
+    // window-rank twin over the same rounded ES key — same rows, same order
+    val expected = docs.filter(col("n_chars") > 0)
+      .withColumn("u",
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("double") + 1.0) / 4294967296.0)
+      .withColumn("es_key",
+        graft.ops.Num.cround(log(col("u")) / col("n_chars").cast("double"), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("source").orderBy(col("es_key").desc, col("doc_id")))
+        .cast("int"))
+      .filter(col("rank") <= 5)
+      .select("source", "rank", "doc_id", "es_key")
+      .orderBy("source", "rank")
+      .collect().map(_.toSeq).toSeq
+    assert(out.collect().map(_.toSeq).toSeq == expected,
+      "bounded top_k_by weighted sample must equal the window-rank form")
+  }
+
   test("packing waste bins are exact powers of two with hand-checked waste") {
     import spark.implicits._
     // token counts 1, 2, 3, 5, 9 -> buckets 1, 2, 4, 8, 16

@@ -84,6 +84,41 @@ class SinksSpec extends AnyFunSuite {
     assert(row.getAs[Long]("total_records") == 200)
   }
 
+  test("z-ordered write clusters BOTH dimensions; a 1-d sort only one") {
+    import spark.implicits._
+    // 64x64 uniform lattice: global extent 63 in each dimension
+    val lattice = spark.range(4096).select(
+      (col("id") % 64).as("x"), floor(col("id") / 64).cast("long").as("y"),
+      col("id").as("payload"))
+
+    def meanFileExtent(dir: String, c: String): Double = {
+      val files = new java.io.File(dir).listFiles
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      assert(files.length >= 8, s"expected >= 8 files, got ${files.length}")
+      files.map { f =>
+        val r = spark.read.parquet(f.getPath)
+          .agg(min(col(c)).as("lo"), max(col(c)).as("hi")).head
+        (r.getLong(1) - r.getLong(0)).toDouble
+      }.sum / files.length
+    }
+
+    val zdir = tmp("graft-zorder")
+    Sinks.writeZOrdered(lattice, zdir, "x", "y", numFiles = 16)
+    val (zx, zy) = (meanFileExtent(zdir, "x"), meanFileExtent(zdir, "y"))
+    // 16 files x 256 cells = one 16x16 z-block each -> extent ~15 per dim;
+    // anything < half the global extent proves BOTH dims cluster
+    assert(zx < 32 && zy < 32, s"z-order did not cluster both dims: x=$zx y=$zy")
+
+    // the 1-d baseline: range-sorted by x alone clusters x but leaves y
+    // spanning the full lattice in every file
+    val sdir = tmp("graft-sorted1d")
+    lattice.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(sdir)
+    val (sx, sy) = (meanFileExtent(sdir, "x"), meanFileExtent(sdir, "y"))
+    assert(sx < 32, s"1-d sort should cluster x: $sx")
+    assert(sy > 48, s"1-d sort should NOT cluster y (got $sy) — the z-order advantage")
+  }
+
   test("partitioned lake sink prunes by symbol") {
     val path = tmp("graft-lake")
     Sinks.writePartitioned(df, path)
