@@ -1918,6 +1918,35 @@ object OracleSql {
          |       ${R("CAST(n_users AS DOUBLE) / cohort_size", 6)} AS retention
          |FROM w ORDER BY cohort_week, week_offset""".stripMargin),
 
+    // Session-path twin: st2's sessionization CTEs, in-session rank, then
+    // ordered string_agg — the engine's sort_array(collect_list) renders
+    // the identical rn-ordered concatenation.
+    "ev7_session_paths" -> withCtes(
+      """ev AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         CASE WHEN LAG(ts) OVER w IS NULL
+        |                OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+        |                   - CAST(FLOOR(epoch(LAG(ts) OVER w)) AS BIGINT) > 1800
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))""".stripMargin,
+      """sess AS (
+        |  SELECT *, CAST(SUM(new_session) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM ev)""".stripMargin,
+      """rk AS (
+        |  SELECT user_id, session_seq, event_type,
+        |         ROW_NUMBER() OVER (
+        |           PARTITION BY user_id, session_seq ORDER BY ts, event_id) AS rn
+        |  FROM sess)""".stripMargin,
+      """pth AS (
+        |  SELECT user_id, session_seq,
+        |         string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM rk WHERE rn <= 8 GROUP BY 1, 2)""".stripMargin)(
+      """SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+        |FROM pth GROUP BY 1
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin),
+
     // Transition-matrix twin: LAG over (ts, event_id) mirrors the engine's
     // deterministic same-instant tiebreak; p is one exact-long division.
     "ev6_transitions" -> (

@@ -513,6 +513,44 @@ object Queries {
       .orderBy("user_id", "session_seq")
   }
 
+  /** Top session event-paths — discovery-mode funnel mining (which
+    * journeys actually happen, before ev1 asks about a PRESCRIBED one):
+    * sessionize with st2's 30-min gap rule, render each session's first 8
+    * events as an ordered `a>b>c` path, count paths, keep the 20 most
+    * common. All three window passes (lag, session sum, in-session rank)
+    * and the session aggregate ride ONE user_id exchange — the rank
+    * window's (user_id, session_seq) clustering is satisfied by the
+    * hash(user_id) distribution (subset rule), and the rn <= 8 filter
+    * bounds the per-session collect state at 8 BEFORE the path aggregate,
+    * so a bot session costs sort time, never aggregation state. The path
+    * table is tiny (distinct truncated paths); top-20 is
+    * TakeOrderedAndProject. */
+  def ev7SessionPaths(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sessions = Sources.events(s, dir)
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    val rnW = Window.partitionBy("user_id", "session_seq")
+      .orderBy("ts", "event_id")
+    val first8 = sessions
+      .withColumn("rn", row_number().over(rnW))
+      .filter(col("rn") <= 8)
+    first8.groupBy("user_id", "session_seq")
+      .agg(array_join(
+        transform(
+          sort_array(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+  }
+
   /** Rollup aggregate beyond the reference surface: revenue by
     * (region, segment) with subtotals and grand total. */
   def j4Rollup(s: SparkSession, dir: String): DataFrame = {
@@ -1425,6 +1463,7 @@ object Queries {
     "ev4_funnel_adaptive" -> (ev4FunnelAdaptive _),
     "ev5_retention" -> (ev5Retention _),
     "ev6_transitions" -> (ev6Transitions _),
+    "ev7_session_paths" -> (ev7SessionPaths _),
     "t22_source_entropy" -> (t22SourceEntropy _),
     "x12_pivot" -> (x12Pivot _),
     "st3_interval_join" -> (st3IntervalJoin _),

@@ -299,6 +299,17 @@ class PlanSpec extends AnyFunSuite {
       s"runtime bloom filter did not inject into the fact side:\n$phys")
   }
 
+  test("session paths: all window passes and the session aggregate share one user exchange") {
+    // lag, session-sum, in-session rank, and the path aggregate all
+    // cluster on user_id (the (user_id, session_seq) requirements are
+    // satisfied by hash(user_id) via the subset rule) — a second
+    // user-keyed exchange would mean one of them lost the distribution
+    val p = plan("ev7_session_paths")
+    val userExchanges = "hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(userExchanges == 1,
+      s"expected exactly one user_id hash exchange, got $userExchanges:\n$p")
+  }
+
   test("quantization round trip is a pure projection — zero exchanges") {
     // quantize/dequantize/normalize are per-row array math; any Exchange
     // here would mean a stray shuffle crept into the ingest-path transform
