@@ -324,4 +324,55 @@ class StreamingSpec extends AnyFunSuite {
       batch.exceptAll(latest).count() == 0,
       "incremental funnel snapshots diverge from the batch funnel")
   }
+
+  test("streaming transition facts aggregate to the batch transition matrix") {
+    // ev6's streaming twin: the appended (prev -> next) fact stream,
+    // counted over all micro-batches, must equal the batch lag-pass —
+    // including transitions whose two events arrive in DIFFERENT batches
+    // (the per-user last-event state carries across).
+    val dir = "/root/testdata/sf0.001"
+    val landing = java.nio.file.Files.createTempDirectory("graft-events-trans")
+    val src = spark.read.parquet(s"$dir/events.parquet")
+      .orderBy("ts", "event_id").cache()
+    val n = src.count()
+    import scala.jdk.CollectionConverters._
+    val thirds = src.collect().grouped((n / 3 + 1).toInt).toSeq
+    thirds.zipWithIndex.foreach { case (rows, i) =>
+      val sliceDir = landing.resolve(f"stage-$i%02d")
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1), src.schema)
+        .write.parquet(sliceDir.toString)
+      val part = java.nio.file.Files.list(sliceDir).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dest = landing.resolve(f"slice-$i%02d.parquet")
+      java.nio.file.Files.move(part, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val fileStream = spark.readStream
+      .schema(src.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "slice-*.parquet")
+      .parquet(landing.toString)
+    val q = graft.streaming.StreamingTransitions.transitionsStream(spark,
+        graft.streaming.StreamingTransitions.toTransitionEvents(spark, fileStream))
+      .writeStream.format("memory").queryName("transitions_stream_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.lastProgress.batchId >= 2,
+      s"expected >= 3 micro-batches, saw ${q.lastProgress.batchId + 1}")
+
+    val streamed = spark.table("transitions_stream_test")
+      .groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("n_transitions"))
+    val batch = graft.analytics.Transitions
+      .eventTransitions(Sources.events(spark, dir))
+      .select("prev_type", "event_type", "n_transitions")
+    assert(batch.count() > 0 && streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "streamed transition counts diverge from the batch matrix")
+  }
 }
