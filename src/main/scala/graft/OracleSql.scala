@@ -1918,6 +1918,28 @@ object OracleSql {
          |       ${R("CAST(n_users AS DOUBLE) / cohort_size", 6)} AS retention
          |FROM w ORDER BY cohort_week, week_offset""".stripMargin),
 
+    // Volume-anomaly twin: the trailing frame excludes the current row on
+    // both sides; the flag compares the tie-safe-ROUNDED |z| (w13
+    // convention); zero-variance baselines are excluded (variance of
+    // equal integer counts is exactly 0 in both engines).
+    "ev8_volume_anomaly" -> (
+      s"""WITH hourly AS (
+         |  SELECT date_trunc('hour', ts) AS hour, event_type,
+         |         COUNT(*) AS n_events
+         |  FROM events GROUP BY 1, 2),
+         |b AS (
+         |  SELECT *, ROW_NUMBER() OVER w AS rn,
+         |         AVG(n_events) OVER (w ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS avg_24,
+         |         STDDEV_SAMP(n_events) OVER (w ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS sd_24
+         |  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY hour))
+         |SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+         |       CAST(n_events AS BIGINT) AS n_events,
+         |       ${R("avg_24", 2)} AS avg_24,
+         |       ${R("(n_events - avg_24) / sd_24", 2)} AS vol_z,
+         |       (${R("ABS((n_events - avg_24) / sd_24)", 6)} > 3.0) AS is_anomaly
+         |FROM b WHERE rn > 8 AND sd_24 > 0
+         |ORDER BY event_type, hour""".stripMargin),
+
     // Session-path twin: st2's sessionization CTEs, in-session rank, then
     // ordered string_agg — the engine's sort_array(collect_list) renders
     // the identical rn-ordered concatenation.

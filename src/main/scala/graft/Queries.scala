@@ -551,6 +551,15 @@ object Queries {
       .limit(20)
   }
 
+  /** Event-volume anomaly detection (see
+    * [[graft.analytics.Anomaly.volumeAnomalies]]): per-type hourly counts
+    * z-scored against a trailing 24-observed-hour baseline that excludes
+    * the current row. The windows run over the hours x types aggregate,
+    * never the raw events. */
+  def ev8VolumeAnomaly(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Anomaly.volumeAnomalies(Sources.events(s, dir))
+      .orderBy("event_type", "hour")
+
   /** Rollup aggregate beyond the reference surface: revenue by
     * (region, segment) with subtotals and grand total. */
   def j4Rollup(s: SparkSession, dir: String): DataFrame = {
@@ -1464,6 +1473,7 @@ object Queries {
     "ev5_retention" -> (ev5Retention _),
     "ev6_transitions" -> (ev6Transitions _),
     "ev7_session_paths" -> (ev7SessionPaths _),
+    "ev8_volume_anomaly" -> (ev8VolumeAnomaly _),
     "t22_source_entropy" -> (t22SourceEntropy _),
     "x12_pivot" -> (x12Pivot _),
     "st3_interval_join" -> (st3IntervalJoin _),
