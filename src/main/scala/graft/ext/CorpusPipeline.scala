@@ -46,6 +46,12 @@ object CorpusPipeline {
       mixTemperature: Option[Double] = None,
       packBudgetTokens: Int = 2048,
       redact: Boolean = true,
+      // unicode normalization (t21's fold: NFC + lowercase + de-accent +
+      // whitespace collapse) BEFORE any hashing, so docs differing only
+      // in case/diacritics/spacing become the duplicates they are —
+      // false by default (normalizing rewrites the corpus text, which is
+      // a policy decision, not hygiene like redaction)
+      normalize: Boolean = false,
       decontamNgram: Int = 8,
       // CCNet-style LM filter: drop docs whose mean token surprise under
       // the survivors' own unigram LM exceeds the ceiling (None = skip)
@@ -83,8 +89,16 @@ object CorpusPipeline {
              cfg: CurationConfig = CurationConfig(),
              benchmark: Option[DataFrame] = None): (DataFrame, CurationReport) = {
     // 0. scrub before any hashing (redaction normalizes content, so docs
-    // differing only in a redacted span become the duplicates they are)
-    val scrubbed = if (cfg.redact) TextOps.redact(docs) else docs
+    // differing only in a redacted span become the duplicates they are);
+    // optional unicode fold first for the same reason — case/diacritic/
+    // whitespace variants of one document must share a digest
+    val folded =
+      if (cfg.normalize)
+        TextOps.normalizeDocuments(docs)
+          .drop("text", "raw_len", "norm_len")
+          .withColumnRenamed("norm_text", "text")
+      else docs
+    val scrubbed = if (cfg.redact) TextOps.redact(folded) else folded
 
     // 1. exact dedup: keep the smallest doc_id per content digest. Winner
     // election shuffles (digest, doc_id) only — document payloads never

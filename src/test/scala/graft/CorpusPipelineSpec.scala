@@ -51,6 +51,34 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(kept._1 == 1L && kept._2.contains("<EMAIL>"))
   }
 
+  test("normalization before dedup: case/accent/spacing variants collapse") {
+    // the same english sentence as a case variant with accents and a
+    // doubled space — byte-distinct, so without normalize they all survive
+    // exact dedup; with it they share a digest and collapse
+    val docs = Seq(
+      (1L, "s1", "the cafe menu lists the creme brulee today"),
+      (2L, "s1", "the caf\u00e9 menu lists the cr\u00e8me br\u00fbl\u00e9e today"),
+      (3L, "s1", "The  cafe menu lists the creme brulee today"),
+      (4L, "s1", "a wholly different document about the weather")
+    ).toDF("doc_id", "source", "text")
+
+    val (_, withoutNorm) = CorpusPipeline.curate(docs,
+      CurationConfig(langs = Set("en"), minQuality = 0.0, packBudgetTokens = 64))
+    assert(withoutNorm.afterExactDedup == 4,
+      "byte-distinct variants must all survive without normalization")
+
+    val (packed, withNorm) = CorpusPipeline.curate(docs,
+      CurationConfig(langs = Set("en"), minQuality = 0.0, packBudgetTokens = 64,
+        normalize = true))
+    assert(withNorm.afterExactDedup == 2,
+      "folded variants must share a digest and exact-dedup")
+    val kept = packed.select("doc_id", "text").as[(Long, String)].collect()
+      .toMap
+    assert(kept.keySet == Set(1L, 4L), "smallest doc_id wins per fold group")
+    assert(kept(1L) == "the cafe menu lists the creme brulee today",
+      "surviving text is the normalized form")
+  }
+
   test("decontamination stage drops the doc leaking a benchmark n-gram") {
     // four good english docs; doc 2 embeds the benchmark's 8-gram verbatim
     val leak = "the quick brown fox jumps over the lazy"
