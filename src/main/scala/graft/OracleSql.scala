@@ -236,6 +236,12 @@ object OracleSql {
       s"""SELECT symbol, "date", ${R("close", 6)} AS close
          |FROM dedup ORDER BY symbol, "date" LIMIT 500 OFFSET 1000""".stripMargin),
 
+    "o8_keyset_page" -> withCtes(stockCte, cleanCte, dedupCte)(
+      s"""SELECT symbol, "date", ${R("close", 6)} AS close
+         |FROM dedup
+         |WHERE symbol > '500' OR (symbol = '500' AND "date" > DATE '1995-06-01')
+         |ORDER BY symbol, "date" LIMIT 50""".stripMargin),
+
     "u4_intersect" -> withCtes(stockCte)(
       """SELECT symbol FROM stock WHERE "date" BETWEEN DATE '1995-01-01' AND DATE '1995-06-30'
         |INTERSECT

@@ -643,6 +643,26 @@ object Queries {
       .orderBy("symbol", "date")
       .offset(1000).limit(500), Seq("close"))
 
+  /** Keyset (seek-method) pagination — the scale-correct replacement for
+    * o7's positional OFFSET: the page starts AFTER a (symbol, date)
+    * cursor, so the predicate reaches the scan and the plan is
+    * TakeOrderedAndProject over only qualifying rows — page cost is
+    * independent of page depth, where OFFSET n pays the global sort of
+    * all n skipped rows on every page (o7's inherent cost, documented
+    * there). Cursor comparison is the row-value (symbol, date) >
+    * (cursor) lexicographic contract, binary string collation on both
+    * engines. */
+  def o8KeysetPage(s: SparkSession, dir: String): DataFrame = {
+    val cSym = "500"
+    val cDate = "1995-06-01"
+    rounded(cleanedStock(s, dir).drop("rid")
+      .filter(col("symbol") > cSym ||
+        (col("symbol") === cSym && col("date") > lit(cDate).cast("date")))
+      .select(col("symbol"), col("date"), col("close"))
+      .orderBy("symbol", "date")
+      .limit(50), Seq("close"))
+  }
+
   /** As-of join (backward): attach to every price bar the most recent
     * order-book mark at or before the bar date, per symbol. The naive form
     * is a theta join (BroadcastNestedLoopJoin, quadratic per key);
@@ -1406,6 +1426,7 @@ object Queries {
     "o4_top_k" -> (o4TopK _),
     "o6_stride_sample" -> (o6StrideSample _),
     "o7_paginate" -> (o7Paginate _),
+    "o8_keyset_page" -> (o8KeysetPage _),
     "s4_scan_limit" -> (s4ScanLimit _),
     "x2_calendar" -> (x2Calendar _),
     "x3_date_arith" -> (x3DateArith _),

@@ -28,6 +28,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), "LIMIT should become top-k")
   }
 
+  test("keyset pagination is top-k over the cursor filter — no global sort") {
+    val p = plan("o8_keyset_page")
+    assert(p.contains("TakeOrderedAndProject"),
+      "keyset page should be per-partition top-k + driver merge")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"keyset page must not globally sort:\n$p")
+  }
+
   test("narrow projection prunes the parquet read schema") {
     val p = Queries.all("u2_distinct")(spark, dir)
       .queryExecution.executedPlan.toString
