@@ -1512,6 +1512,27 @@ object OracleSql {
         |  FROM hs)
         |WHERE rank <= 5 ORDER BY source, rank""".stripMargin),
 
+    // URL-host twin: one Java/RE2-common extract on identically-injected
+    // text; both engines return '' on no match.
+    "t24_url_hosts" -> (
+      s"""WITH seeded AS (
+         |  SELECT doc_id,
+         |         COALESCE(text, '')
+         |         || CASE WHEN doc_id % 11 = 0
+         |              THEN ' see https://sub' || CAST(doc_id % 7 AS VARCHAR)
+         |                   || '.example' || CAST(doc_id % 5 AS VARCHAR)
+         |                   || '.com/p/a' || CAST(doc_id % 3 AS VARCHAR) || ' now'
+         |              ELSE '' END AS text
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id, regexp_extract(text, 'https?://([^/ ]+)', 1) AS host
+         |  FROM seeded)
+         |SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct_docs,
+         |       regexp_extract(host, '\\.([a-z0-9]+)$$', 1) AS tld
+         |FROM h WHERE host <> ''
+         |GROUP BY host ORDER BY host""".stripMargin),
+
     // Weighted-sample twin: the ES key compares tie-safe-ROUNDED on both
     // sides (doc_id tiebreak), so a cross-engine ln() ulp cannot flip the
     // selection boundary.

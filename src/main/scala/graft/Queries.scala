@@ -1355,6 +1355,31 @@ object Queries {
         col("raw_len"), col("norm_len"))
   }
 
+  /** URL host extraction + per-domain stats — the read that feeds a
+    * per-domain cap (t14) in a web-corpus pipeline. Deterministic URLs
+    * injected t20-style; extraction is one Java/RE2-common regex (no
+    * lookarounds — the t20 contract), identical text on both engines;
+    * the per-host aggregate partial-combines to domain-cardinality rows.
+    * Both engines return '' for a non-matching extract, so URL-less docs
+    * filter identically. */
+  def t24UrlHosts(s: SparkSession, dir: String): DataFrame = {
+    val seeded = Sources.documents(s, dir).withColumn("text",
+      concat(coalesce(col("text"), lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" see https://sub"), (col("doc_id") % 7).cast("string"),
+            lit(".example"), (col("doc_id") % 5).cast("string"),
+            lit(".com/p/a"), (col("doc_id") % 3).cast("string"),
+            lit(" now"))).otherwise(lit(""))))
+    seeded
+      .withColumn("host", regexp_extract(col("text"), "https?://([^/ ]+)", 1))
+      .filter(col("host") =!= "")
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("doc_id")).as("n_distinct_docs"))
+      .withColumn("tld", regexp_extract(col("host"), "\\.([a-z0-9]+)$", 1))
+      .orderBy("host")
+  }
+
   /** Top-3 quality documents per source via the native bounded `top_k_by`
     * aggregate — a quality-ranked per-domain cap (RefinedWeb-style) with NO
     * per-source window sort: each map partition reduces to <= k pairs per
@@ -1489,6 +1514,7 @@ object Queries {
     "t20_pii_redact" -> (t20PiiRedact _),
     "t21_normalize" -> (t21Normalize _),
     "t23_weighted_sample" -> (t23WeightedSample _),
+    "t24_url_hosts" -> (t24UrlHosts _),
     "e1_centroids" -> (e1Centroids _),
     "e2_rocchio" -> (e2NearestCentroid _),
     "e3_hard_negatives" -> (e3HardNegatives _),
