@@ -1148,6 +1148,46 @@ object OracleSql {
         |  FROM sc)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
 
+    // PQ twin: codebook rebuilt from the public md5 formula; per-subspace
+    // encode argmins and the final ranking both compare tie-safe-ROUNDED
+    // distances (subspace sums are 8 doubles — an unrounded argmin would
+    // let a summation-order ulp flip a code cross-engine).
+    "sim7_pq_topk" -> withCtes(
+      """cb AS (
+        |  SELECT s, c, d,
+        |    (CAST(('0x' || substr(md5('pq_' || CAST(s AS VARCHAR) || '_' || CAST(c AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 8)) AS BIGINT)
+        |     % 2001 - 1000) / 1000.0 AS w
+        |  FROM range(0, 8) t1(s), range(0, 16) t2(c), range(1, 9) t3(d))""".stripMargin,
+      """u AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |         generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings)""".stripMargin,
+      "el AS (SELECT vec_id, (i - 1) // 8 AS s, (i - 1) % 8 + 1 AS d, v FROM u)",
+      """enc0 AS (
+        |  SELECT e.vec_id, e.s, cb.c, SUM((e.v - cb.w) * (e.v - cb.w)) AS dist2
+        |  FROM el e JOIN cb ON cb.s = e.s AND cb.d = e.d
+        |  GROUP BY 1, 2, 3)""".stripMargin,
+      s"""enc AS (
+         |  SELECT vec_id, s, c AS code FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |        PARTITION BY vec_id, s ORDER BY ${R("dist2", 6)}, c) AS rn
+         |    FROM enc0) WHERE rn = 1)""".stripMargin,
+      """adc AS (
+        |  SELECT q.vec_id AS query_id, q.s, cb.c, SUM((q.v - cb.w) * (q.v - cb.w)) AS qd
+        |  FROM el q JOIN cb ON cb.s = q.s AND cb.d = q.d
+        |  WHERE q.vec_id % 100 = 0
+        |  GROUP BY 1, 2, 3)""".stripMargin,
+      s"""dd AS (
+         |  SELECT a.query_id, e.vec_id, ${R("SUM(a.qd)", 6)} AS adc_dist2
+         |  FROM enc e JOIN adc a ON a.s = e.s AND a.c = e.code
+         |    AND e.vec_id <> a.query_id
+         |  GROUP BY 1, 2)""".stripMargin)(
+      """SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, adc_dist2 FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY query_id ORDER BY adc_dist2, vec_id) AS rank
+        |  FROM dd)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
     // Hard-negative twin: sim1's dot-product/norm formulation with the
     // label-mismatch constraint applied at the pair join; the rank window
     // mirrors the engine's top_k_by + window (rounded cosine DESC, neg_id).

@@ -990,6 +990,15 @@ object Queries {
     ext.Similarity.prefixRerankTopK(Sources.embeddings(s, dir))
       .orderBy("query_id", "rank")
 
+  /** Product-quantization ADC top-k (IVF-PQ's search kernel): corpus
+    * encoded once to 8 subspace codes per vector (32x memory shrink),
+    * queries broadcast 128-entry ADC tables, distances are 8 lookups
+    * summed (see [[graft.ext.Similarity.pqTopK]]). */
+  def sim7PqTopk(s: SparkSession, dir: String): DataFrame =
+    ext.Similarity.pqTopK(Sources.embeddings(s, dir),
+      ext.Similarity.pqCodebook(s))
+      .orderBy("query_id", "rank")
+
   /** Contrastive hard negatives: k nearest DIFFERENT-label vectors per
     * sampled anchor — the corpus reduces through the bounded `top_k_by`
     * aggregate, never a per-anchor corpus sort (see
@@ -1490,6 +1499,7 @@ object Queries {
     "sim1_cosine_topk" -> (sim1CosineTopk _),
     "sim2_lsh_topk" -> (sim2LshTopk _),
     "sim6_lsh_multiprobe" -> (sim6LshMultiprobe _),
+    "sim7_pq_topk" -> (sim7PqTopk _),
     "sim3_ivf_topk" -> (sim3IvfTopk _),
     "sim4_quantize" -> (sim4Quantize _),
     "sim5_prefix_rerank" -> (sim5PrefixRerank _),

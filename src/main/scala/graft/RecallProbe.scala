@@ -92,6 +92,14 @@ object RecallProbe {
         shortlist = shortlist, queryMod = qm, k = k), truth)
       row("sim5 prefix-rerank", s"pdims=16 shortlist=$shortlist", r)
     }
+
+    // sim7: PQ/ADC — quantization-distortion recall at the registered
+    // shape (ADC ranks by L2 over a random codebook, truth is cosine over
+    // raw floats: both the metric mismatch and the unlearned codebook cost
+    // recall; production pairs ADC with k-means codebooks + a rerank tier)
+    row("sim7 pq adc", "nSub=8 nCentroids=16",
+      recall(Similarity.pqTopK(emb, Similarity.pqCodebook(spark),
+        queryMod = qm, k = k), truth))
     spark.stop()
   }
 }

@@ -62,7 +62,10 @@ object ScalingProbe {
       "sim5_prefix_rerank",
       // anchors scale with the corpus under the probe's queryMod sampling;
       // production shape is a fixed anchor batch — linear in the corpus
-      "e3_hard_negatives")
+      "e3_hard_negatives",
+      // PQ ADC is corpus x queries lookups by construction (8 adds/pair);
+      // fixed query batch -> linear in the corpus
+      "sim7_pq_topk")
 
   // ===== generation ========================================================
 

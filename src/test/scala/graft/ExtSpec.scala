@@ -1066,6 +1066,37 @@ class ExtSpec extends AnyFunSuite {
       "ecole  facade")
   }
 
+  test("PQ: centroid-built vectors encode to those centroids; ADC ranks the twin first at ~0") {
+    // 16-dim space, 2 subspaces of 8: vectors 0 and 100 are built EXACTLY
+    // from codebook centroids (s0,c3)++(s1,c7); vector 5 from (s0,c1)++(s1,c2)
+    val cb = Similarity.pqCodebook(spark, nSub = 2, nCentroids = 16, subDim = 8)
+    val w = cb.collect().map(r => ((r.getAs[Long]("s"), r.getAs[Long]("c"),
+      r.getAs[Long]("d")), r.getAs[Double]("w"))).toMap
+    def centroid(s: Long, c: Long): Seq[Float] =
+      (1L to 8L).map(d => w((s, c, d)).toFloat)
+    val emb = Seq(
+      (0L, (centroid(0, 3) ++ centroid(1, 7)).toArray),
+      (5L, (centroid(0, 1) ++ centroid(1, 2)).toArray),
+      (100L, (centroid(0, 3) ++ centroid(1, 7)).toArray))
+      .toDF("vec_id", "embedding")
+
+    val codes = Similarity.pqEncode(emb, cb).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("s")) ->
+        r.getAs[Long]("code")).toMap
+    assert(codes((0L, 0L)) == 3L && codes((0L, 1L)) == 7L)
+    assert(codes((100L, 0L)) == 3L && codes((100L, 1L)) == 7L)
+    assert(codes((5L, 0L)) == 1L && codes((5L, 1L)) == 2L)
+
+    // queries are ids 0 and 100; each ranks its twin first at ADC ~0
+    val top = Similarity.pqTopK(emb, cb, queryMod = 100, k = 2, subDim = 8)
+      .orderBy("query_id", "rank").collect()
+    val first = top.filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("vec_id")).toMap
+    assert(first == Map(0L -> 100L, 100L -> 0L))
+    assert(top.filter(_.getAs[Int]("rank") == 1)
+      .forall(r => math.abs(r.getAs[Double]("adc_dist2")) < 1e-9))
+  }
+
   test("hard negatives exclude same-label vectors, rank by cosine") {
     // anchor = vec 0 (id % 100 == 0), label 0, pointing along +x.
     // vec 1 is the NEAREST overall (cos = 1) but shares the label — it
