@@ -1044,7 +1044,9 @@ object Queries {
     * Scalars rather than raw arrays so the DuckDB hash compare stays on
     * engine-portable types. */
   def sim4Quantize(s: SparkSession, dir: String): DataFrame = {
-    val q = ext.Similarity.quantizeInt8(Sources.embeddings(s, dir))
+    // sort-first: keeps the range sampling off the per-element array math
+    val q = ext.Similarity.quantizeInt8(
+        Sources.embeddings(s, dir).orderBy("vec_id"))
       .withColumn("deq", ext.Similarity.dequantizeInt8())
       .withColumn("unit", ext.Similarity.l2Normalize())
     rounded(q.select(
@@ -1056,7 +1058,7 @@ object Queries {
           (d, x) => abs(d - x.cast("double"))),
         lit(0.0), (a, v) => greatest(a, v)).as("max_abs_err"),
       element_at(col("unit"), 1).as("unit_head")),
-      Seq("q_scale", "max_abs_err", "unit_head")).orderBy("vec_id")
+      Seq("q_scale", "max_abs_err", "unit_head"))
   }
 
   def t1LangId(s: SparkSession, dir: String): DataFrame =
@@ -1066,10 +1068,10 @@ object Queries {
       .orderBy("doc_id")
 
   def t5LangNgram(s: SparkSession, dir: String): DataFrame =
-    ext.TextOps.withLangIdNgram(Sources.documents(s, dir))
+    // sort-first: keeps the range sampling off the trigram-regex scan
+    ext.TextOps.withLangIdNgram(Sources.documents(s, dir).orderBy("doc_id"))
       .select("doc_id", "ngram_score_en", "ngram_score_de", "ngram_score_es",
         "ngram_score_fr", "detected_lang_ngram")
-      .orderBy("doc_id")
 
   // shardBlock=64 so even the 500-doc sf0.01 fixture spans ~8 prefix-sum
   // shards — the oracle hash then actually proves the two-phase cumsum
@@ -1157,9 +1159,10 @@ object Queries {
       .orderBy("doc_id")
 
   def t4Fingerprint(s: SparkSession, dir: String): DataFrame =
-    ext.TextOps.withFingerprints(Sources.documents(s, dir))
+    // sort-first: keeps the range sampling off the shingle+md5 projection
+    // (the t21 fix; decade-2 measured 1.13 before)
+    ext.TextOps.withFingerprints(Sources.documents(s, dir).orderBy("doc_id"))
       .select("doc_id", "md5_fingerprint", "min_shingle_fingerprint")
-      .orderBy("doc_id")
 
   /** Unigram-LM surprise score per document (KenLM-filter analog). */
   def t13UnigramLm(s: SparkSession, dir: String): DataFrame =
@@ -1328,6 +1331,13 @@ object Queries {
           concat(lit(" Host 10."), (col("doc_id") % 256).cast("string"),
             lit(".0."), (col("doc_id") % 100).cast("string"),
             lit(" up"))).otherwise(lit(""))))
+    // sort-LAST here, deliberately (the t21 sort-first fix was tried and
+    // measured WORSE at sf10: 117 s vs 94 s): this query's filter keeps
+    // ~13% of rows, so ordering last shuffles a narrow survivor table
+    // while sort-first would shuffle every document's full text — the 2x
+    // regex recompute from the range sampling costs less than 8x the
+    // shuffle bytes. Sort-first wins only for row-preserving expensive
+    // projections (t4/t5/t21/sim4/m1).
     ext.Pii.redactPii(seeded)
       .filter(col("n_emails") + col("n_phones") + col("n_ips") > 0)
       .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
@@ -1408,9 +1418,14 @@ object Queries {
   }
 
   def m1MultimodalMeta(s: SparkSession, dir: String): DataFrame =
+    // sort-first (both shapes measured at sf1.0/sf10): ordering the raw
+    // docs first costs a payload-carrying exchange but runs the ImageIO
+    // decode ONCE — measured faster at BOTH scales (1.5/26 s vs 3.4/37 s)
+    // because the decode attempt, not the ~1 KB payload shuffle,
+    // dominates; mapPartitions preserves the established order
     ext.Multimodal.decodeMeta(s,
-      ext.Multimodal.asMediaTable(Sources.documents(s, dir)))
-      .toDF.orderBy("doc_id")
+      ext.Multimodal.asMediaTable(Sources.documents(s, dir).orderBy("doc_id")))
+      .toDF
 
   /** Perceptual-hash near-dup pair join over a synthetic deterministic
     * (doc_id, phash) table (Multimodal.syntheticPhashSql — one formula,
