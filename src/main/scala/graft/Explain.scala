@@ -29,7 +29,12 @@ object Explain {
       "t15_chunks", "o7_paginate", "sim4_quantize", "m2_phash_pairs",
       "t16_span_dedup", "t17_temp_mix",
       "d8_verified_pairs", "d9_semantic_clusters", "ev2_funnel_salted",
-      "sim5_prefix_rerank", "t18_strat_sample")
+      "sim5_prefix_rerank", "t18_strat_sample",
+      "sim6_lsh_multiprobe", "sim7_pq_topk", "e3_hard_negatives",
+      "ev4_funnel_adaptive", "ev5_retention", "ev6_transitions",
+      "ev7_session_paths", "ev8_volume_anomaly", "a14_kmv_distinct",
+      "a15_binned_quantiles", "w14_macd", "f9_winsorize", "t21_normalize",
+      "t23_weighted_sample", "o8_keyset_page")
     val sb = new StringBuilder("# Physical plans (formatted)\n")
     interesting.foreach { name =>
       val plan = Queries.all(name)(spark, sfDir).queryExecution.explainString(
