@@ -999,6 +999,16 @@ object Queries {
       ext.Similarity.pqCodebook(s))
       .orderBy("query_id", "rank")
 
+  /** IVF-PQ search end-to-end (the FAISS IVFADC configuration): IVF
+    * routes each query to its 2 nearest lists, PQ/ADC scores only those
+    * candidates over 8-byte codes — the engine's asymptotic ANN scale
+    * path with compressed-index memory economics (see
+    * [[graft.ext.Similarity.ivfPqTopK]]). */
+  def sim8IvfPq(s: SparkSession, dir: String): DataFrame =
+    ext.Similarity.ivfPqTopK(Sources.embeddings(s, dir),
+      ext.Similarity.ivfAnchors(s), ext.Similarity.pqCodebook(s))
+      .orderBy("query_id", "rank")
+
   /** Contrastive hard negatives: k nearest DIFFERENT-label vectors per
     * sampled anchor — the corpus reduces through the bounded `top_k_by`
     * aggregate, never a per-anchor corpus sort (see
@@ -1515,6 +1525,7 @@ object Queries {
     "sim2_lsh_topk" -> (sim2LshTopk _),
     "sim6_lsh_multiprobe" -> (sim6LshMultiprobe _),
     "sim7_pq_topk" -> (sim7PqTopk _),
+    "sim8_ivfpq" -> (sim8IvfPq _),
     "sim3_ivf_topk" -> (sim3IvfTopk _),
     "sim4_quantize" -> (sim4Quantize _),
     "sim5_prefix_rerank" -> (sim5PrefixRerank _),

@@ -100,6 +100,13 @@ object RecallProbe {
     row("sim7 pq adc", "nSub=8 nCentroids=16",
       recall(Similarity.pqTopK(emb, Similarity.pqCodebook(spark),
         queryMod = qm, k = k), truth))
+
+    // sim8: IVF routing x PQ distance — recall compounds both
+    // approximations (on this corpus both are near-floor; the composed
+    // MECHANISM is what the oracle + driver-side recomputation pin)
+    row("sim8 ivf-pq", "nLists=16 nprobe=2 nSub=8",
+      recall(Similarity.ivfPqTopK(emb, Similarity.ivfAnchors(spark),
+        Similarity.pqCodebook(spark), queryMod = qm, k = k), truth))
     spark.stop()
   }
 }

@@ -567,6 +567,68 @@ object Similarity {
         col("t.id").as("vec_id"), (-col("t.score")).as("adc_dist2"))
   }
 
+  /** IVF-PQ search — the production billion-vector configuration, end to
+    * end (Jegou et al. 2011, the FAISS IVFADC index): the IVF coarse
+    * quantizer routes each query to its nprobe nearest lists — the
+    * candidate set drops ~nLists/nprobe, the SUB-LINEAR half — and within
+    * those lists distance is PQ/ADC over 8-byte codes — the COMPRESSED
+    * half ([[pqTopK]]'s kernel, which alone still scans the whole
+    * corpus). Composes [[ivfTopK]]'s routing (same anchor scores, same
+    * assignment/probe ranking contract sim3's oracle proves) with
+    * [[pqEncode]]/ADC.
+    *
+    * Shape at scale: one corpus encode + one list assignment (both
+    * linear, both payload-free after their aggregates); candidates flow
+    * as (vec_id, list_id, s, code) — never floats; ADC tables and probe
+    * routes broadcast; per-query reduction is the bounded `top_k_by`.
+    * This is the engine's asymptotic ANN scale path with PQ memory
+    * economics: codes are 8 bytes/vector, so a 10^9-vector index is
+    * ~8 GB resident where raw floats need 256 GB. */
+  def ivfPqTopK(emb: DataFrame, anchors: DataFrame, codebook: DataFrame,
+                queryMod: Int = 100, k: Int = 5, nprobe: Int = 2,
+                subDim: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    val scores = anchorScores(emb, anchors)
+    val wBest = Window.partitionBy("vec_id").orderBy(desc("score"), col("c"))
+    val assigned = scores.withColumn("rnk", row_number().over(wBest))
+      .filter(col("rnk") === 1).select(col("vec_id"), col("c").as("list_id"))
+    val codes = pqEncode(emb, codebook, subDim).join(assigned, "vec_id")
+
+    val probes = scores.filter(col("vec_id") % queryMod === 0)
+      .withColumn("rnk", row_number().over(wBest))
+      .filter(col("rnk") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("c").as("list_id"))
+    val qel = emb.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("s", floor(col("pos") / subDim).cast("long"))
+      .withColumn("d", col("pos") % subDim + 1)
+    val adc = qel.join(broadcast(codebook), Seq("s", "d"))
+      .groupBy("query_id", "s", "c")
+      .agg(sum((col("v").cast("double") - col("w")) *
+        (col("v").cast("double") - col("w"))).as("qd"))
+      .select(col("query_id").as("aq"), col("s").as("qs"),
+        col("c").as("qc"), col("qd"))
+
+    val top = codes.join(broadcast(probes), "list_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(adc),
+        col("query_id") === col("aq") && col("s") === col("qs") &&
+          col("code") === col("qc"))
+      .groupBy("query_id", "vec_id")
+      .agg(graft.ops.Num.cround(sum("qd"), 6).as("adc_dist2"))
+      .groupBy("query_id")
+      .agg(expr(s"top_k_by(-adc_dist2, vec_id, $k)").as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("r", "t")))
+      .select(col("query_id"), (col("r") + 1).cast("int").as("rank"),
+        col("t.id").as("vec_id"), (-col("t.score")).as("adc_dist2"))
+    // fetch each winner's list id — broadcast the bounded top rows
+    // against the assignment, never vice versa (the e3 label-fetch shape)
+    assigned.join(broadcast(top), "vec_id")
+      .select("query_id", "rank", "vec_id", "list_id", "adc_dist2")
+  }
+
   /** Contrastive hard-negative mining: for each sampled anchor (vec_id %
     * queryMod == 0), the k most-cosine-similar vectors carrying a
     * DIFFERENT label — the negatives an embedding fine-tune actually

@@ -1097,6 +1097,52 @@ class ExtSpec extends AnyFunSuite {
       .forall(r => math.abs(r.getAs[Double]("adc_dist2")) < 1e-9))
   }
 
+  test("IVF-PQ: winners come only from probed lists; ADC agrees with a driver-side recomputation") {
+    val emb = graft.io.Sources.embeddings(spark, "/root/testdata/sf0.001")
+      .localCheckpoint(true)
+    val anchors = Similarity.ivfAnchors(spark)
+    val cbDf = Similarity.pqCodebook(spark)
+    val out = Similarity.ivfPqTopK(emb, anchors, cbDf).collect()
+    assert(out.nonEmpty)
+
+    // driver-side ground recomputation from raw parts
+    val vecs = emb.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray).toMap
+    val aw = anchors.collect().map(r => ((r.getAs[Long]("c"),
+      r.getAs[Long]("d")), r.getAs[Double]("w"))).toMap
+    val cw = cbDf.collect().map(r => ((r.getAs[Long]("s"), r.getAs[Long]("c"),
+      r.getAs[Long]("d")), r.getAs[Double]("w"))).toMap
+    val codes = Similarity.pqEncode(emb, cbDf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("s")) ->
+        r.getAs[Long]("code")).toMap
+
+    def anchorScore(v: Array[Double], c: Long): Double = {
+      val dot = (1 to 64).map(d => v(d - 1) * aw((c, d.toLong))).sum
+      val nrm = math.sqrt((1 to 64).map(d =>
+        aw((c, d.toLong)) * aw((c, d.toLong))).sum)
+      dot / nrm
+    }
+    def rankedLists(v: Array[Double]): Seq[Long] =
+      (0L until 16L).sortBy(c => (-anchorScore(v, c), c))
+    def qd(q: Array[Double], s: Long, c: Long): Double =
+      (1 to 8).map(d =>
+        math.pow(q((s * 8 + d - 1).toInt) - cw((s, c, d.toLong)), 2)).sum
+
+    out.foreach { r =>
+      val (q, vid) = (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))
+      // list constraint: the winner's list is one of the query's 2 probes
+      val probed = rankedLists(vecs(q)).take(2).toSet
+      assert(probed.contains(r.getAs[Long]("list_id")),
+        s"query $q returned vec $vid from unprobed list ${r.getAs[Long]("list_id")}")
+      assert(rankedLists(vecs(vid)).head == r.getAs[Long]("list_id"),
+        "reported list must be the winner's own assignment")
+      // ADC agreement with the independent recomputation
+      val expected = (0L until 8L).map(s => qd(vecs(q), s, codes((vid, s)))).sum
+      assert(math.abs(expected - r.getAs[Double]("adc_dist2")) < 1e-5,
+        s"ADC mismatch for ($q, $vid)")
+    }
+  }
+
   test("hard negatives exclude same-label vectors, rank by cosine") {
     // anchor = vec 0 (id % 100 == 0), label 0, pointing along +x.
     // vec 1 is the NEAREST overall (cos = 1) but shares the label — it
