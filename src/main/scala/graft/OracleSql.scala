@@ -254,6 +254,13 @@ object OracleSql {
         |SELECT symbol FROM stock WHERE "date" BETWEEN DATE '1995-07-01' AND DATE '1995-12-31'
         |ORDER BY symbol""".stripMargin),
 
+    "u6_except_all" -> withCtes(stockCte)(
+      """SELECT symbol, CAST(COUNT(*) AS BIGINT) AS surplus FROM (
+        |  SELECT symbol FROM stock WHERE "date" BETWEEN DATE '1995-01-01' AND DATE '1995-06-30'
+        |  EXCEPT ALL
+        |  SELECT symbol FROM stock WHERE "date" BETWEEN DATE '1995-07-01' AND DATE '1995-12-31')
+        |GROUP BY symbol ORDER BY symbol""".stripMargin),
+
     "w1_lag_diff" -> withCtes(stockCte, cleanCte, dedupCte)(
       s"""SELECT symbol, "date",
          |  ${R("close - LAG(close) OVER w", 6)} AS daily_change

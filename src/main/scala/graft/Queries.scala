@@ -119,6 +119,22 @@ object Queries {
       .orderBy("symbol")
   }
 
+  /** Multiset (bag) set-ops — EXCEPT ALL preserves multiplicity where
+    * u5's EXCEPT collapses to distinct: per symbol, how many MORE H1
+    * trading rows than H2 rows exist (occurrence difference clamped at
+    * zero — the multiset semantics both engines define identically). The
+    * aggregate over the surviving bag makes the output deterministic. */
+  def u6ExceptAll(s: SparkSession, dir: String): DataFrame = {
+    val stock = Sources.stockFromLineitem(s, dir)
+    stock.filter(col("date").between("1995-01-01", "1995-06-30"))
+      .select("symbol")
+      .exceptAll(
+        stock.filter(col("date").between("1995-07-01", "1995-12-31"))
+          .select("symbol"))
+      .groupBy("symbol").agg(count(lit(1)).as("surplus"))
+      .orderBy("symbol")
+  }
+
   // ===== window functions (W1-W5) ==========================================
 
   private def windowQuery(s: SparkSession, dir: String)(expr: DataFrame => DataFrame): DataFrame =
@@ -1511,6 +1527,7 @@ object Queries {
     "w12_rsi" -> (w12Rsi _),
     "w13_robust_outliers" -> (w13RobustOutliers _),
     "w14_macd" -> (w14Macd _),
+    "u6_except_all" -> (u6ExceptAll _),
     "f9_winsorize" -> (f9Winsorize _),
     "d1_dedup_exact" -> (d1DedupExact _),
     "d7_keep_first" -> (d7KeepFirst _),
