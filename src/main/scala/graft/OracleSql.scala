@@ -1268,7 +1268,8 @@ object OracleSql {
          |  SELECT anchor_id, neg_id, ${R("dp / (nq.nv * nc.nv)", 6)} AS cosine
          |  FROM qd JOIN nrm nq ON nq.vec_id = anchor_id
          |           JOIN nrm nc ON nc.vec_id = neg_id)""".stripMargin)(
-      """SELECT anchor_id, ql.label AS anchor_label, rank, neg_id,
+      """SELECT anchor_id, ql.label AS anchor_label,
+        |       CAST(rank AS INTEGER) AS rank, neg_id,
         |       cl.label AS neg_label, cosine FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY cosine DESC, neg_id) AS rank
         |  FROM sc) r
@@ -1700,7 +1701,12 @@ object OracleSql {
 
     // Normalization twin: nfc_normalize + lower + strip_accents is
     // utf8proc's rendering of the engine's NFC -> lowercase -> NFD-drop-Mn
-    // fold (verified byte-equal on the injected fixture chars); the
+    // fold (verified byte-equal on the injected fixture chars). The OUTER
+    // nfc_normalize pins the post-strip text back to NFC: the engine's
+    // FoldText re-composes to NFC after dropping marks, while utf8proc's
+    // strip_accents does not guarantee NFC for every script — without the
+    // pin, a future non-Latin decomposable fixture char could byte-diverge
+    // while being canonically equal; the
     // injected dirt mirrors Queries.t21Normalize byte-for-byte (Scala
     // \uXXXX escapes on both sides; the E-string \t/\n are DuckDB escapes
     // producing the same control characters the engine's Scala literal
@@ -1719,8 +1725,9 @@ object OracleSql {
          |  FROM documents),
          |n AS (
          |  SELECT doc_id,
-         |         TRIM(regexp_replace(strip_accents(lower(nfc_normalize(t))),
-         |                             '[ \\t\\n\\r\\f]+', ' ', 'g')) AS norm_text,
+         |         TRIM(regexp_replace(
+         |                nfc_normalize(strip_accents(lower(nfc_normalize(t)))),
+         |                '[ \\t\\n\\r\\f]+', ' ', 'g')) AS norm_text,
          |         CAST(length(t) AS INTEGER) AS raw_len
          |  FROM seeded)
          |SELECT doc_id, md5(norm_text) AS norm_md5, raw_len,
@@ -2126,7 +2133,9 @@ object OracleSql {
          |             -SUM((n / tot) * ln(n / tot)) AS hh
          |      FROM c, t)
          |SELECT n_sources, ${R("hh", 6)} AS entropy_nats,
-         |       ${R("hh / ln(CAST(n_sources AS DOUBLE))", 6)} AS norm_entropy,
+         |       CASE WHEN n_sources > 1
+         |            THEN ${R("hh / ln(CAST(n_sources AS DOUBLE))", 6)}
+         |            ELSE NULL END AS norm_entropy,
          |       ${R("exp(hh)", 6)} AS eff_sources
          |FROM h""".stripMargin),
 

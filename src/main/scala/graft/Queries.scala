@@ -1292,7 +1292,13 @@ object Queries {
       .agg(count(lit(1)).as("n_sources"), (-sum(p * log(p))).as("h"))
       .select(col("n_sources"),
         Num.cround(col("h"), 6).as("entropy_nats"),
-        Num.cround(col("h") / log(col("n_sources").cast("double")), 6)
+        // n_sources = 1 makes this 0/ln(1) = 0/0: Spark renders NaN where
+        // DuckDB's NULL/IEEE treatment can differ, flipping the hash on a
+        // degenerate single-source corpus. Normalized entropy is simply
+        // undefined there — say NULL explicitly (oracle mirrors the CASE).
+        when(col("n_sources") > 1,
+          Num.cround(col("h") / log(col("n_sources").cast("double")), 6))
+          .otherwise(lit(null).cast("double"))
           .as("norm_entropy"),
         Num.cround(exp(col("h")), 6).as("eff_sources"))
   }

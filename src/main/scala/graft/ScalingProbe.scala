@@ -65,7 +65,14 @@ object ScalingProbe {
       "e3_hard_negatives",
       // PQ ADC is corpus x queries lookups by construction (8 adds/pair);
       // fixed query batch -> linear in the corpus
-      "sim7_pq_topk")
+      "sim7_pq_topk",
+      // sim8's IVF routing divides the ADC work by ~nLists/nprobe but the
+      // corpus-growing queryMod still multiplies it by the corpus — same
+      // corpus x queries regime as sim7 at an 8x smaller constant. Its
+      // measured alpha sits at the linear floor today only because that
+      // constant keeps it overhead-dominated; at deeper decades it would
+      // leave the floor for the same declared-by-design reason as sim7.
+      "sim8_ivfpq")
 
   // ===== generation ========================================================
 
