@@ -1025,6 +1025,27 @@ object Queries {
       ext.Similarity.ivfAnchors(s), ext.Similarity.pqCodebook(s))
       .orderBy("query_id", "rank")
 
+  /** sim7 + the exact-rerank tier (Jegou et al. 2011 §V / FAISS
+    * IndexRefine): ADC proposes a 50-deep shortlist per query, exact
+    * cosine re-scores ONLY those 50 and keeps 5 — recall becomes ADC's
+    * COVERAGE at depth 50 instead of its point accuracy at 5 (measured
+    * 0.020 -> 0.110 on the driver fixture with this fixed codebook; the
+    * learned-codebook variant reaches 0.300 and is ExtSpec-gated). See
+    * [[graft.ext.Similarity.pqTopKRerank]]. */
+  def sim9PqRerank(s: SparkSession, dir: String): DataFrame =
+    ext.Similarity.pqTopKRerank(Sources.embeddings(s, dir),
+      ext.Similarity.pqCodebook(s))
+      .orderBy("query_id", "rank")
+
+  /** sim8 + the exact-rerank tier — the full production retrieval stack
+    * (IVF routing x compressed ADC proposal x exact refine) under the
+    * cross-engine oracle. See
+    * [[graft.ext.Similarity.ivfPqTopKRerank]]. */
+  def sim10IvfPqRerank(s: SparkSession, dir: String): DataFrame =
+    ext.Similarity.ivfPqTopKRerank(Sources.embeddings(s, dir),
+      ext.Similarity.ivfAnchors(s), ext.Similarity.pqCodebook(s))
+      .orderBy("query_id", "rank")
+
   /** Contrastive hard negatives: k nearest DIFFERENT-label vectors per
     * sampled anchor — the corpus reduces through the bounded `top_k_by`
     * aggregate, never a per-anchor corpus sort (see
@@ -1032,6 +1053,22 @@ object Queries {
   def e3HardNegatives(s: SparkSession, dir: String): DataFrame =
     ext.Similarity.hardNegatives(Sources.embeddings(s, dir))
       .orderBy("anchor_id", "rank")
+
+  /** e3's PRODUCTION shape (r9 verdict item #4): a FIXED anchor batch —
+    * vec_id ≡ 50 (mod 100) below 2000, i.e. a batch that stops growing
+    * once the corpus passes the driver's sf0.1 size — mined against the
+    * whole corpus. e3's corpus-sampled anchors make the scan corpus ×
+    * anchors (declared quadratic under the ScalingProbe); this shape is
+    * what a fine-tune actually runs (a bounded training batch against a
+    * growing corpus) and is linear in the corpus: one broadcast-anchor
+    * scan reduced by the bounded `top_k_by` (see
+    * [[graft.ext.Similarity.hardNegativesFor]]). */
+  def e4HardNegativesBatch(s: SparkSession, dir: String): DataFrame = {
+    val emb = Sources.embeddings(s, dir)
+    ext.Similarity.hardNegativesFor(emb,
+      emb.filter(col("vec_id") % 100 === 50 && col("vec_id") < 2000))
+      .orderBy("anchor_id", "rank")
+  }
 
   def sim2LshTopk(s: SparkSession, dir: String): DataFrame =
     ext.Similarity.lshTopK(Sources.embeddings(s, dir), ext.Similarity.planes(s))
@@ -1549,6 +1586,8 @@ object Queries {
     "sim6_lsh_multiprobe" -> (sim6LshMultiprobe _),
     "sim7_pq_topk" -> (sim7PqTopk _),
     "sim8_ivfpq" -> (sim8IvfPq _),
+    "sim9_pq_rerank" -> (sim9PqRerank _),
+    "sim10_ivfpq_rerank" -> (sim10IvfPqRerank _),
     "sim3_ivf_topk" -> (sim3IvfTopk _),
     "sim4_quantize" -> (sim4Quantize _),
     "sim5_prefix_rerank" -> (sim5PrefixRerank _),
@@ -1577,6 +1616,7 @@ object Queries {
     "e1_centroids" -> (e1Centroids _),
     "e2_rocchio" -> (e2NearestCentroid _),
     "e3_hard_negatives" -> (e3HardNegatives _),
+    "e4_hard_negatives_batch" -> (e4HardNegativesBatch _),
     "ev1_funnel" -> (ev1Funnel _),
     "ev2_funnel_salted" -> (ev2FunnelSalted _),
     "ev3_funnel_shuffled" -> (ev3FunnelShuffledGates _),

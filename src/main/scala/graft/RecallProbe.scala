@@ -3,10 +3,20 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Dev-only ANN quality probe (round-8 verdict item #3): put a NUMBER on
-  * every approximate top-k path's recall against the sim1 brute-force
-  * truth, and sweep the learned-IVF knobs to settle whether distributed
-  * k-means buys recall on this corpus or only costs code.
+/** Dev-only ANN quality probe (round-8 verdict item #3; extended for the
+  * round-9 verdict items #1/#2): put a NUMBER on every approximate top-k
+  * path's recall against the sim1 brute-force truth, sweep the learned
+  * codebook knobs (IVF and PQ), and measure the exact-rerank tier.
+  *
+  * Two corpora, because one can't separate operator quality from corpus
+  * pathology:
+  *   - the driver's sf fixture (near-uniform sphere embeddings — true
+  *     neighbors sit at cosine ~0.3-0.4, adversarial to every hashing
+  *     path: sign-LSH collision odds are near coin-flip per plane);
+  *   - [[plantedEmbeddings]], a planted-neighborhood corpus with real
+  *     cluster structure (k md5-derived centers + bounded noise — true
+  *     neighbors at cosine ~0.9+, the geometry real embedding corpora
+  *     have), where hashing-path success is actually measurable.
   *
   * recall@k = |approx ∩ truth| / |truth| summed over the query set, with
   * truth = [[ext.Similarity.bruteForceTopK]] at the same (queryMod, k).
@@ -15,7 +25,7 @@ import org.apache.spark.sql.functions._
   * (same dev-tool scalar-pull pattern as ScalingProbe).
   *
   * Usage: runMain graft.RecallProbe [sfDir] (default the driver's sf0.1)
-  * Prints a markdown table for COVERAGE.md.
+  * Prints one markdown table per corpus for COVERAGE.md.
   */
 object RecallProbe {
 
@@ -28,25 +38,45 @@ object RecallProbe {
     if (r == 0) 0.0 else hit.agg(count(lit(1))).first().getLong(0).toDouble / r
   }
 
-  def main(args: Array[String]): Unit = {
-    val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    import ext.Similarity
+  /** Planted-neighborhood embedding corpus (round-9 verdict item #2):
+    * `nClusters` md5-derived centers (coordinates uniform in [-1, 1]),
+    * every vector = its cluster's center + `noise`-bounded md5-derived
+    * jitter. Same schema as the driver fixture (vec_id, embedding
+    * float[dims], label = cluster id). Deterministic end to end —
+    * reproducible from public md5 alone, no RNG state.
+    *
+    * Geometry: center norm ~ sqrt(dims/3) ≈ 4.6 at dims=64, jitter norm ~
+    * noise * sqrt(dims/3) ≈ 1.15 at noise=0.25, so same-cluster cosine
+    * sits at ~1/(1+noise²) ≈ 0.94 and cross-cluster at ~0 — the planted
+    * true top-k is same-cluster, exactly the clustered-neighbor regime
+    * COVERAGE.md's sim2 reading says real corpora occupy. Cluster
+    * assignment hashes vec_id (md5, NOT vec_id % nClusters) so it is
+    * decorrelated from the vec_id % 100 query-selection convention. */
+  def plantedEmbeddings(spark: SparkSession, n: Int = 2000, dims: Int = 64,
+                        nClusters: Int = 20, noise: Double = 0.25): DataFrame =
+    spark.range(n).withColumnRenamed("id", "vec_id")
+      .withColumn("__k",
+        conv(substring(md5(concat(lit("pc_"), col("vec_id"))), 1, 8), 16, 10)
+          .cast("long") % nClusters)
+      .withColumn("embedding", expr(
+        s"""transform(sequence(1, $dims), d -> cast(
+           |  (cast(conv(substring(md5(concat('pctr_', __k, '_', d)), 1, 8),
+           |        16, 10) as long) % 2001 - 1000) / 1000.0
+           |  + $noise *
+           |  ((cast(conv(substring(md5(concat('pnz_', vec_id, '_', d)), 1, 8),
+           |         16, 10) as long) % 2001 - 1000) / 1000.0)
+           |  as float))""".stripMargin))
+      .withColumn("label", col("__k").cast("int"))
+      .select("vec_id", "embedding", "label")
 
-    val emb = io.Sources.embeddings(spark, dir).localCheckpoint(true)
+  /** The full path x config recall sweep over one corpus. */
+  def sweep(spark: SparkSession, emb: DataFrame, corpus: String): Unit = {
+    import ext.Similarity
     val (qm, k) = (100, 5)
     val truth = Similarity.bruteForceTopK(emb, queryMod = qm, k = k)
       .localCheckpoint(true)
     val nq = truth.select("query_id").distinct().count()
-    println(s"corpus=$dir vectors=${emb.count()} queries=$nq k=$k")
+    println(s"\ncorpus=$corpus vectors=${emb.count()} queries=$nq k=$k")
     println("| path | config | recall@5 |")
     println("|---|---|---|")
     def row(path: String, config: String, r: Double): Unit =
@@ -69,44 +99,89 @@ object RecallProbe {
       row("sim6 multiprobe", s"nPlanes=8 probes=$probes", r)
     }
 
-    // sim3: IVF fixed codebook — nprobe/nLists sweep
-    for (nLists <- Seq(16, 32); nprobe <- Seq(1, 2, 4)) {
+    // sim3: IVF fixed codebook — nprobe sweep at the registered nLists
+    for (nprobe <- Seq(1, 2, 4)) {
       val r = recall(Similarity.ivfTopK(emb,
-        Similarity.ivfAnchors(spark, nLists = nLists), queryMod = qm, k = k,
+        Similarity.ivfAnchors(spark), queryMod = qm, k = k,
         nprobe = nprobe), truth)
-      row("sim3 ivf fixed", s"nLists=$nLists nprobe=$nprobe", r)
+      row("sim3 ivf fixed", s"nLists=16 nprobe=$nprobe", r)
     }
 
-    // sim3: learned codebook — iterations sweep at the registered shape
-    for (nLists <- Seq(16, 32); iters <- Seq(1, 3, 6)) {
-      val r = recall(Similarity.ivfTopK(emb,
-        Similarity.learnIvfAnchors(emb, nLists = nLists, iters = iters),
-        queryMod = qm, k = k, nprobe = 2), truth)
-      row("sim3 ivf learned", s"nLists=$nLists iters=$iters nprobe=2", r)
-    }
+    // sim3: learned codebook at the registered/ExtSpec-tracked shape
+    val learnedIvf = Similarity.learnIvfAnchors(emb).localCheckpoint(true)
+    row("sim3 ivf learned", "nLists=16 iters=3 nprobe=2",
+      recall(Similarity.ivfTopK(emb, learnedIvf,
+        queryMod = qm, k = k, nprobe = 2), truth))
 
     // sim5: prefix-rerank — shortlist depth sweep (stage-2 rerank is exact,
     // so recall == shortlist's coverage of the true top-k)
-    for (shortlist <- Seq(5, 10, 20, 50, 100)) {
+    for (shortlist <- Seq(10, 20, 50, 100)) {
       val r = recall(Similarity.prefixRerankTopK(emb, pdims = 16,
         shortlist = shortlist, queryMod = qm, k = k), truth)
       row("sim5 prefix-rerank", s"pdims=16 shortlist=$shortlist", r)
     }
 
-    // sim7: PQ/ADC — quantization-distortion recall at the registered
-    // shape (ADC ranks by L2 over a random codebook, truth is cosine over
-    // raw floats: both the metric mismatch and the unlearned codebook cost
-    // recall; production pairs ADC with k-means codebooks + a rerank tier)
-    row("sim7 pq adc", "nSub=8 nCentroids=16",
-      recall(Similarity.pqTopK(emb, Similarity.pqCodebook(spark),
-        queryMod = qm, k = k), truth))
+    // sim7: PQ/ADC point accuracy at depth k — fixed vs learned codebook
+    val fixedCb = Similarity.pqCodebook(spark)
+    val learnedCb = Similarity.learnPqCodebook(emb).localCheckpoint(true)
+    row("sim7 pq adc", "nSub=8 nCentroids=16 fixed",
+      recall(Similarity.pqTopK(emb, fixedCb, queryMod = qm, k = k), truth))
+    row("sim7 pq adc", "nSub=8 nCentroids=16 learned iters=3",
+      recall(Similarity.pqTopK(emb, learnedCb, queryMod = qm, k = k), truth))
 
-    // sim8: IVF routing x PQ distance — recall compounds both
-    // approximations (on this corpus both are near-floor; the composed
-    // MECHANISM is what the oracle + driver-side recomputation pin)
-    row("sim8 ivf-pq", "nLists=16 nprobe=2 nSub=8",
+    // sim7 + rerank: ADC coverage at depth `shortlist`, exact-rerank to k
+    for (shortlist <- Seq(10, 25, 50, 100)) {
+      row("sim7 pq+rerank", s"fixed shortlist=$shortlist",
+        recall(Similarity.pqTopKRerank(emb, fixedCb, queryMod = qm, k = k,
+          shortlist = shortlist), truth))
+      row("sim7 pq+rerank", s"learned shortlist=$shortlist",
+        recall(Similarity.pqTopKRerank(emb, learnedCb, queryMod = qm, k = k,
+          shortlist = shortlist), truth))
+    }
+
+    // sim8: IVF routing x PQ distance, then the full production stack
+    // (routing x ADC proposal x exact rerank)
+    row("sim8 ivf-pq", "nLists=16 nprobe=2 nSub=8 fixed",
       recall(Similarity.ivfPqTopK(emb, Similarity.ivfAnchors(spark),
-        Similarity.pqCodebook(spark), queryMod = qm, k = k), truth))
+        fixedCb, queryMod = qm, k = k), truth))
+    row("sim8 ivf-pq+rerank", "fixed cb, fixed anchors, shortlist=50",
+      recall(Similarity.ivfPqTopKRerank(emb, Similarity.ivfAnchors(spark),
+        fixedCb, queryMod = qm, k = k, shortlist = 50), truth))
+    for (shortlist <- Seq(50, 100))
+      row("sim8 ivf-pq+rerank", s"learned cb+anchors, shortlist=$shortlist",
+        recall(Similarity.ivfPqTopKRerank(emb, learnedIvf,
+          learnedCb, queryMod = qm, k = k, shortlist = shortlist), truth))
+
+    // residual IVFADC (the actual FAISS formulation): PQ over
+    // list-centroid residuals at the SAME code budget (8x16x8) — on a
+    // clustered corpus raw-vector k-means codebooks collapse onto the
+    // cluster centers (same-cluster vectors -> identical codes -> ADC
+    // ties), which residuals repair
+    row("sim8 residual ivf-pq", "learned anchors, residual-learned cb",
+      recall(Similarity.ivfPqResidualTopK(emb, learnedIvf,
+        queryMod = qm, k = k), truth))
+    for (shortlist <- Seq(50, 100))
+      row("sim8 residual+rerank", s"learned anchors, shortlist=$shortlist",
+        recall(Similarity.ivfPqResidualTopKRerank(emb, learnedIvf,
+          queryMod = qm, k = k, shortlist = shortlist), truth))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    sweep(spark, io.Sources.embeddings(spark, dir).localCheckpoint(true),
+      s"$dir (near-uniform)")
+    sweep(spark, plantedEmbeddings(spark).localCheckpoint(true),
+      "planted-neighborhood (20 clusters, noise 0.25)")
     spark.stop()
   }
 }

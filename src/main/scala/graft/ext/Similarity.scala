@@ -500,6 +500,65 @@ object Similarity {
           lit("_"), col("d"))), 1, 8), 16, 10)
           .cast("long") % 2001 - 1000).cast("double") / 1000.0)
 
+  /** Learned PQ codebook: per-subspace Lloyd's k-means over the subvector
+    * population, seeded from the fixed md5 [[pqCodebook]] — the
+    * [[learnIvfAnchors]] recipe applied independently to each of the nSub
+    * 8-dim subspaces (production PQ trains exactly this way: k-means per
+    * subspace over a corpus sample; Jegou et al. 2011 §III). Deterministic
+    * like its IVF sibling: fixed iteration count, md5 init, tie-safe
+    * argmin on the 6-dp-rounded subspace distance (the [[pqEncode]]
+    * discipline), centroid means rounded to 9 dp so shuffle-arrival
+    * summation ulps can't drift a codebook across runs. Empty cells keep
+    * their previous centroid.
+    *
+    * Fully distributed: per iteration the assignment is one exploded
+    * broadcast join against the (nSub x nCentroids x subDim)-row codebook
+    * + a (vec, subspace) argmin, and the update is one (s, c, d)-grouped
+    * mean — shuffled rows are (sample x nSub x nCentroids) scores and
+    * codebook-sized centroids, never the corpus; `sampleMod` trains on a
+    * slice the way a 100 TB deployment does. The exploded sample is
+    * checkpointed once and reused across iterations. */
+  def learnPqCodebook(emb: DataFrame, nSub: Int = 8, nCentroids: Int = 16,
+                      subDim: Int = 8, iters: Int = 3,
+                      sampleMod: Int = 1): DataFrame =
+    learnPqFromLong(
+      (if (sampleMod > 1) emb.filter(col("vec_id") % sampleMod === 0) else emb)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("vec_id"), col("pos"), col("v").cast("double").as("v")),
+      emb.sparkSession, nSub, nCentroids, subDim, iters)
+
+  /** The k-means loop of [[learnPqCodebook]] over an already-exploded
+    * (vec_id, pos, v) training population — shared with the residual
+    * trainer, whose population is `v - centroid(list(v))` rather than the
+    * raw coordinates. */
+  private def learnPqFromLong(popLong: DataFrame, spark: SparkSession,
+                              nSub: Int, nCentroids: Int, subDim: Int,
+                              iters: Int): DataFrame = {
+    val sample = popLong
+      .withColumn("s", floor(col("pos") / subDim).cast("long"))
+      .withColumn("d", col("pos") % subDim + 1)
+      .select(col("vec_id"), col("s"), col("d"), col("v"))
+      .localCheckpoint(true)
+    var codebook = pqCodebook(spark, nSub, nCentroids, subDim)
+      .select("s", "c", "d", "w")
+    for (_ <- 0 until iters) {
+      val assigned = sample.join(broadcast(codebook), Seq("s", "d"))
+        .groupBy("vec_id", "s", "c")
+        .agg(sum((col("v") - col("w")) * (col("v") - col("w"))).as("dist2"))
+        .groupBy("vec_id", "s")
+        .agg(min_by(col("c"),
+          struct(graft.ops.Num.cround(col("dist2"), 6), col("c"))).as("c"))
+      val updated = sample.join(assigned, Seq("vec_id", "s"))
+        .groupBy("s", "c", "d").agg(round(avg(col("v")), 9).as("w"))
+      codebook = codebook.as("old")
+        .join(updated.as("new"), Seq("s", "c", "d"), "left")
+        .select(col("s"), col("c"), col("d"),
+          coalesce(col("new.w"), col("old.w")).as("w"))
+        .localCheckpoint(true)
+    }
+    codebook
+  }
+
   /** PQ encode: nearest codebook centroid per (vector, subspace) —
     * squared L2, argmin on the tie-safe-ROUNDED distance with centroid id
     * tiebreak (the [[nearestCentroid]] discipline: per-subspace sums are
@@ -567,6 +626,62 @@ object Similarity {
         col("t.id").as("vec_id"), (-col("t.score")).as("adc_dist2"))
   }
 
+  /** Exact-cosine rerank of an ADC shortlist — the second tier every
+    * production PQ deployment runs (Jegou et al. 2011 §V's "re-ranking
+    * with source coding" stage, FAISS's IndexRefine): the compressed index
+    * proposes `shortlist` candidates per query cheaply, then the true
+    * vectors of ONLY those candidates are fetched and re-scored with
+    * full-precision cosine. Quantization error then costs recall only when
+    * a true neighbor misses the whole shortlist — not whenever codes
+    * mis-order two near ties — which is why a 32x-compressed index can
+    * still retrieve accurately.
+    *
+    * Shape at scale: the sim5 stage-2 shape exactly — the shortlist is
+    * n_queries x shortlist rows (bounded, broadcast against the corpus to
+    * fetch full vectors, never vice versa); the rank window runs over that
+    * bounded table only. Ranking compares the tie-safe-ROUNDED cosine with
+    * vec_id tiebreak, so the final order is engine-reproducible. */
+  private def rerankShortlist(emb: DataFrame, short: DataFrame,
+                              queryMod: Int, k: Int): DataFrame = {
+    val base = withDoubles(emb)
+    val qFull = base.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("emb_d").as("q_d"))
+    val scored = base
+      .join(broadcast(short.select("query_id", "vec_id", "adc_dist2")), "vec_id")
+      .join(broadcast(qFull), "query_id")
+      .withColumn("cosine", graft.ops.Num.cround(
+        nativeCosine(col("emb_d"), col("q_d")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cosine", "adc_dist2")
+  }
+
+  /** [[pqTopK]] with the exact-rerank tier: ADC proposes the top
+    * `shortlist` codes per query, [[rerankShortlist]] re-scores them with
+    * full-precision cosine and keeps k. recall@k becomes ADC's COVERAGE of
+    * the true top-k at depth `shortlist` rather than its point accuracy at
+    * depth k — see COVERAGE.md's recall table for the measured lift. */
+  def pqTopKRerank(emb: DataFrame, codebook: DataFrame, queryMod: Int = 100,
+                   k: Int = 5, shortlist: Int = 50,
+                   subDim: Int = 8): DataFrame =
+    rerankShortlist(emb,
+      pqTopK(emb, codebook, queryMod, shortlist, subDim), queryMod, k)
+
+  /** [[ivfPqTopK]] with the exact-rerank tier — IVF routing x PQ/ADC
+    * proposal x exact rerank, the full production retrieval stack
+    * (FAISS IVFADC + refine). The shortlist is drawn from the probed
+    * lists only, so routing misses stay missed (that is nprobe's knob);
+    * the rerank repairs quantization error within the probed candidates. */
+  def ivfPqTopKRerank(emb: DataFrame, anchors: DataFrame,
+                      codebook: DataFrame, queryMod: Int = 100, k: Int = 5,
+                      nprobe: Int = 2, shortlist: Int = 50,
+                      subDim: Int = 8): DataFrame =
+    rerankShortlist(emb,
+      ivfPqTopK(emb, anchors, codebook, queryMod, shortlist, nprobe, subDim),
+      queryMod, k)
+
   /** IVF-PQ search — the production billion-vector configuration, end to
     * end (Jegou et al. 2011, the FAISS IVFADC index): the IVF coarse
     * quantizer routes each query to its nprobe nearest lists — the
@@ -629,6 +744,117 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "list_id", "adc_dist2")
   }
 
+  /** Residual-encoded IVF-PQ top-k — the ACTUAL FAISS IVFADC formulation
+    * (Jegou et al. 2011 §IV.A): PQ encodes each vector's RESIDUAL from its
+    * IVF list centroid, `r(v) = v - centroid(list(v))`, not the raw
+    * vector, and each query builds its ADC table per probed list from its
+    * own residual against that list's centroid. Why residuals matter: on a
+    * clustered corpus a codebook trained on raw vectors collapses onto the
+    * cluster centers — every same-cluster vector gets the SAME codes, ADC
+    * ties everywhere, and within-cluster ranking (where the true top-k
+    * lives) is destroyed (RecallProbe measures exactly this: learned
+    * raw-vector PQ UNDERPERFORMS the fixed codebook on the planted
+    * corpus). Subtracting the centroid removes the shared cluster
+    * component, so the codebook's 16 centroids spend their capacity on the
+    * within-cluster structure ADC actually needs to rank.
+    *
+    * Shape at scale: identical to [[ivfPqTopK]] plus one corpus-linear
+    * residual pass (an exploded join against the broadcast
+    * nLists x dims centroid table — index-BUILD work, amortized across
+    * queries in production exactly like the encode itself); candidates
+    * still flow as (vec_id, list_id, s, code), ADC tables
+    * (queries x nprobe x nSub x nCentroids) still broadcast, the per-query
+    * reduction is still the bounded `top_k_by`. Codebook: per-subspace
+    * k-means over the RESIDUAL population when `learnedCodebook` (the
+    * production configuration), else the fixed md5 codebook. Determinism:
+    * same rounded-argmin/rounded-ADC discipline as [[pqEncode]]/[[pqTopK]].
+    */
+  def ivfPqResidualTopK(emb: DataFrame, anchors: DataFrame,
+                        queryMod: Int = 100, k: Int = 5, nprobe: Int = 2,
+                        subDim: Int = 8, nSub: Int = 8, nCentroids: Int = 16,
+                        learnedCodebook: Boolean = true,
+                        iters: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    val spark = emb.sparkSession
+    val scores = anchorScores(emb, anchors)
+    val wBest = Window.partitionBy("vec_id").orderBy(desc("score"), col("c"))
+    val assigned = scores.withColumn("rnk", row_number().over(wBest))
+      .filter(col("rnk") === 1).select(col("vec_id"), col("c").as("list_id"))
+    val centroidsByPos = anchors.select(col("c").as("list_id"),
+      (col("d") - 1).as("pos"), col("w").as("cw"))
+    // corpus residuals, checkpointed once: reused by codebook training AND
+    // the encode (two consumers of one linear pass)
+    val resid = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .join(assigned, "vec_id")
+      .join(broadcast(centroidsByPos), Seq("list_id", "pos"))
+      .select(col("vec_id"), col("list_id"), col("pos"),
+        (col("v").cast("double") - col("cw")).as("v"))
+      .localCheckpoint(true)
+    val codebook =
+      if (learnedCodebook)
+        learnPqFromLong(resid.select("vec_id", "pos", "v"), spark,
+          nSub, nCentroids, subDim, iters)
+      else pqCodebook(spark, nSub, nCentroids, subDim)
+    val rl = resid
+      .withColumn("s", floor(col("pos") / subDim).cast("long"))
+      .withColumn("d", col("pos") % subDim + 1)
+    val codes = rl.join(broadcast(codebook), Seq("s", "d"))
+      .groupBy("vec_id", "list_id", "s", "c")
+      .agg(sum((col("v") - col("w")) * (col("v") - col("w"))).as("dist2"))
+      .groupBy("vec_id", "list_id", "s")
+      .agg(min_by(col("c"),
+        struct(graft.ops.Num.cround(col("dist2"), 6), col("c"))).as("code"))
+
+    val probes = scores.filter(col("vec_id") % queryMod === 0)
+      .withColumn("rnk", row_number().over(wBest))
+      .filter(col("rnk") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("c").as("list_id"))
+    // per-(query, probed list) residual -> per-list ADC table
+    val qresid = emb.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .join(probes, "query_id")
+      .join(broadcast(centroidsByPos), Seq("list_id", "pos"))
+      .withColumn("s", floor(col("pos") / subDim).cast("long"))
+      .withColumn("d", col("pos") % subDim + 1)
+      .select(col("query_id"), col("list_id"), col("s"), col("d"),
+        (col("v").cast("double") - col("cw")).as("v"))
+    val adc = qresid.join(broadcast(codebook), Seq("s", "d"))
+      .groupBy("query_id", "list_id", "s", "c")
+      .agg(sum((col("v") - col("w")) * (col("v") - col("w"))).as("qd"))
+      .select(col("query_id").as("aq"), col("list_id").as("al"),
+        col("s").as("qs"), col("c").as("qc"), col("qd"))
+
+    val top = codes.join(broadcast(probes), "list_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(adc),
+        col("query_id") === col("aq") && col("list_id") === col("al") &&
+          col("s") === col("qs") && col("code") === col("qc"))
+      .groupBy("query_id", "vec_id")
+      .agg(graft.ops.Num.cround(sum("qd"), 6).as("adc_dist2"))
+      .groupBy("query_id")
+      .agg(expr(s"top_k_by(-adc_dist2, vec_id, $k)").as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("r", "t")))
+      .select(col("query_id"), (col("r") + 1).cast("int").as("rank"),
+        col("t.id").as("vec_id"), (-col("t.score")).as("adc_dist2"))
+    assigned.join(broadcast(top), "vec_id")
+      .select("query_id", "rank", "vec_id", "list_id", "adc_dist2")
+  }
+
+  /** [[ivfPqResidualTopK]] with the exact-rerank tier — residual IVFADC +
+    * refine, the full production stack at its best configuration. */
+  def ivfPqResidualTopKRerank(emb: DataFrame, anchors: DataFrame,
+                              queryMod: Int = 100, k: Int = 5,
+                              nprobe: Int = 2, shortlist: Int = 50,
+                              subDim: Int = 8, learnedCodebook: Boolean = true
+                             ): DataFrame =
+    rerankShortlist(emb,
+      ivfPqResidualTopK(emb, anchors, queryMod, shortlist, nprobe, subDim,
+        learnedCodebook = learnedCodebook),
+      queryMod, k)
+
   /** Contrastive hard-negative mining: for each sampled anchor (vec_id %
     * queryMod == 0), the k most-cosine-similar vectors carrying a
     * DIFFERENT label — the negatives an embedding fine-tune actually
@@ -650,14 +876,25 @@ object Similarity {
     * quadratic regime. Ranking compares the tie-safe-ROUNDED cosine with
     * neg_id as tiebreak, so the shortlist boundary and the final order
     * are engine-reproducible. */
-  def hardNegatives(emb: DataFrame, queryMod: Int = 100, k: Int = 5): DataFrame = {
+  def hardNegatives(emb: DataFrame, queryMod: Int = 100, k: Int = 5): DataFrame =
+    hardNegativesFor(emb, emb.filter(col("vec_id") % queryMod === 0), k)
+
+  /** [[hardNegatives]] against an EXPLICIT anchor frame — the production
+    * shape: a training batch is a FIXED set of anchors mined against a
+    * growing corpus, so the scan is linear in the corpus (the registered
+    * e3's corpus-sampled anchors are the probe-friendly special case;
+    * under the ScalingProbe's corpus-growing queryMod that special case
+    * inherits sim1's declared-quadratic regime while THIS shape does
+    * not). `anchorVecs` must carry (vec_id, label, embedding). */
+  def hardNegativesFor(emb: DataFrame, anchorVecs: DataFrame,
+                       k: Int = 5): DataFrame = {
     graft.functions.GraftFunctions.register(
       org.apache.spark.sql.SparkSession.active)
     val vecs = emb.select(col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast("double")).as("emb_d"))
-    val anchors = vecs.filter(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("anchor_id"),
-        col("label").as("anchor_label"), col("emb_d").as("a_emb"))
+    val anchors = anchorVecs
+      .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
+        transform(col("embedding"), x => x.cast("double")).as("a_emb"))
     val short = vecs.join(broadcast(anchors),
         col("label") =!= col("anchor_label"))
       .withColumn("cosine", graft.ops.Num.cround(

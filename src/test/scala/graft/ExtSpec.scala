@@ -268,6 +268,77 @@ class ExtSpec extends AnyFunSuite {
       f"learned-codebook recall@5 regressed: $learned%.3f < 0.40 (r9: 0.430)")
   }
 
+  test("learned PQ codebook + exact rerank lift ADC recall (sf0.1)") {
+    // r9 verdict item #1: recall@5 0.020 at sim7's registered shape was
+    // the only number saying an operator doesn't do its job. The fix is
+    // the production configuration — per-subspace k-means codebooks
+    // (learnPqCodebook) plus the exact-rerank tier (pqTopKRerank). r10
+    // RecallProbe on this fixture: fixed ADC 0.020 -> learned ADC 0.080
+    // -> learned + rerank@50 0.300 (and 0.350 for sim8's learned stack,
+    // vs sim3-fixed's 0.300 at comparable candidate cost).
+    val emb = graft.io.Sources.embeddings(spark, "/root/testdata/sf0.1")
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "vec_id").collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val truth = sets(Similarity.bruteForceTopK(emb, queryMod = 100, k = 5))
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = sets(df)
+      truth.map { case (q, t) => (got.getOrElse(q, Set.empty[Long]) & t).size }
+        .sum.toDouble / truth.values.map(_.size).sum
+    }
+    val fixedAdc = recallOf(Similarity.pqTopK(emb,
+      Similarity.pqCodebook(spark), queryMod = 100, k = 5))
+    val learnedRerank = recallOf(Similarity.pqTopKRerank(emb,
+      Similarity.learnPqCodebook(emb), queryMod = 100, k = 5, shortlist = 50))
+    info(f"recall@5 fixedADC=$fixedAdc%.3f learned+rerank@50=$learnedRerank%.3f")
+    assert(learnedRerank > fixedAdc,
+      f"learned-PQ + rerank recall $learnedRerank%.3f not above the fixed " +
+        f"ADC's $fixedAdc%.3f — the production tier stopped earning its code")
+    // tracked metric (deterministic: rounded centroids/argmin/cosine):
+    // r10 measured 0.300. A codebook or rerank regression moves this.
+    assert(learnedRerank >= 0.25,
+      f"learned-PQ + rerank recall@5 regressed: $learnedRerank%.3f < 0.25 " +
+        "(r10: 0.300)")
+  }
+
+  test("residual PQ encoding beats raw-vector learned PQ on a clustered corpus") {
+    // The r9 verdict's stretch item, measured where it matters: on a
+    // corpus with planted cluster structure, a k-means codebook trained
+    // on RAW vectors collapses onto the cluster centers — same-cluster
+    // vectors encode to identical codes, ADC ties everywhere, and
+    // within-cluster ranking (where the true top-k lives) is destroyed
+    // (r10 RecallProbe: learned raw-PQ 0.070 vs fixed 0.150 ADC-only —
+    // learning HURTS there). Encoding list-centroid RESIDUALS (the actual
+    // FAISS IVFADC formulation) removes the shared cluster component, so
+    // codebook capacity goes to the within-cluster structure: at equal
+    // code budget (8x16x8) and shortlist 50, residual+rerank reads 0.750
+    // vs raw-learned+rerank 0.480 on the planted fixture.
+    val emb = RecallProbe.plantedEmbeddings(spark).localCheckpoint(true)
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "vec_id").collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val truth = sets(Similarity.bruteForceTopK(emb, queryMod = 100, k = 5))
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = sets(df)
+      truth.map { case (q, t) => (got.getOrElse(q, Set.empty[Long]) & t).size }
+        .sum.toDouble / truth.values.map(_.size).sum
+    }
+    val anchors = Similarity.learnIvfAnchors(emb).localCheckpoint(true)
+    val plain = recallOf(Similarity.ivfPqTopKRerank(emb, anchors,
+      Similarity.learnPqCodebook(emb), queryMod = 100, k = 5, shortlist = 50))
+    val residual = recallOf(Similarity.ivfPqResidualTopKRerank(emb, anchors,
+      queryMod = 100, k = 5, shortlist = 50))
+    info(f"recall@5 raw-learned+rerank=$plain%.3f residual+rerank=$residual%.3f")
+    assert(residual > plain,
+      f"residual encoding $residual%.3f not above raw-vector learned PQ " +
+        f"$plain%.3f on the clustered corpus — the IVFADC formulation " +
+        "stopped earning its code")
+    assert(residual >= 0.65,
+      f"residual+rerank recall@5 regressed: $residual%.3f < 0.65 (r10: 0.750)")
+  }
+
   test("multi-probe LSH: probes=0 degenerates to lshTopK; probing lifts recall") {
     val emb = graft.io.Sources.embeddings(spark, "/root/testdata/sf0.01")
     val planes = Similarity.planes(spark)

@@ -375,4 +375,64 @@ class StreamingSpec extends AnyFunSuite {
       batch.exceptAll(streamed).count() == 0,
       "streamed transition counts diverge from the batch matrix")
   }
+
+  test("streaming retention snapshots fold to the batch cohort triangle") {
+    // ev5's streaming twin: per-user (cohort week, active-week set) state
+    // across 3 micro-batches; the latest snapshots folded through
+    // fromSnapshots must equal Retention.cohortRetention over all events —
+    // including users whose activity spans different batches (the week-set
+    // union carries across). Slices are SHUFFLED by user hash, not
+    // time-ordered: cohort min + week-set union are order-insensitive, so
+    // the twin's equality contract is stronger than the funnel's
+    // event-time-ordered one, and the test exercises exactly that.
+    val dir = "/root/testdata/sf0.001"
+    val landing = java.nio.file.Files.createTempDirectory("graft-events-ret")
+    val src = spark.read.parquet(s"$dir/events.parquet")
+      .orderBy(expr("hash(user_id)"), col("event_id")).cache()
+    val n = src.count()
+    import scala.jdk.CollectionConverters._
+    val thirds = src.collect().grouped((n / 3 + 1).toInt).toSeq
+    thirds.zipWithIndex.foreach { case (rows, i) =>
+      val sliceDir = landing.resolve(f"stage-$i%02d")
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1), src.schema)
+        .write.parquet(sliceDir.toString)
+      val part = java.nio.file.Files.list(sliceDir).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dest = landing.resolve(f"slice-$i%02d.parquet")
+      java.nio.file.Files.move(part, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val fileStream = spark.readStream
+      .schema(src.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "slice-*.parquet")
+      .parquet(landing.toString)
+    val q = graft.streaming.StreamingRetention.retentionStream(spark,
+        graft.streaming.StreamingRetention.toRetentionEvents(spark, fileStream))
+      .writeStream.format("memory").queryName("retention_stream_test")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.lastProgress.batchId >= 2,
+      s"expected >= 3 micro-batches, saw ${q.lastProgress.batchId + 1}")
+
+    val latest = spark.table("retention_stream_test")
+      .groupBy("user_id")
+      .agg(max_by(struct(col("cohort_days"), col("week_set")),
+        col("n_events_seen")).as("s"))
+      .select(col("s.cohort_days").as("cohort_days"),
+        col("s.week_set").as("week_set"))
+    val streamed = graft.streaming.StreamingRetention.fromSnapshots(latest)
+    val batch = graft.analytics.Retention
+      .cohortRetention(Sources.events(spark, dir))
+      .select("cohort_week", "week_offset", "n_users", "cohort_size",
+        "retention")
+    assert(batch.count() > 0 && streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "streamed retention triangle diverges from the batch operator")
+  }
 }
