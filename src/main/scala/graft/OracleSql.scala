@@ -803,6 +803,23 @@ object OracleSql {
          |       ${R("macd_raw - sig", 2)} AS macd_hist
          |FROM sg ORDER BY symbol, "date"""".stripMargin),
 
+    // Bollinger twin: the w3/w5-proven frame aggregates; %B's sd = 0 and
+    // one-row-window (NULL sample stddev) branches are explicit NULLs on
+    // both engines so 0/0 NaN-vs-NULL can never diverge.
+    "w15_bollinger" -> withCtes(stockCte, cleanCte, dedupCte,
+      """bb AS (
+        |  SELECT symbol, "date", close,
+        |    AVG(close) OVER w20 AS mid,
+        |    STDDEV_SAMP(close) OVER w20 AS sd
+        |  FROM dedup WINDOW w20 AS (PARTITION BY symbol ORDER BY "date" ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))""".stripMargin)(
+      s"""SELECT symbol, "date",
+         |  ${R("mid", 2)} AS bb_mid,
+         |  ${R("mid + 2 * sd", 2)} AS bb_up,
+         |  ${R("mid - 2 * sd", 2)} AS bb_dn,
+         |  CASE WHEN sd IS NULL OR sd = 0 THEN NULL
+         |       ELSE ${R("(close - (mid - 2 * sd)) / (4 * sd)", 4)} END AS pct_b
+         |FROM bb ORDER BY symbol, "date"""".stripMargin),
+
     // Winsorize twin: quantile_cont == Spark percentile bit-exact (a5), so
     // LEAST/GREATEST take identical branches on identical doubles.
     "f9_winsorize" -> withCtes(stockCte, cleanCte, dedupCte,
@@ -1402,18 +1419,26 @@ object OracleSql {
         |JOIN lab cl ON cl.vec_id = r.neg_id
         |WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin),
 
-    // e3's production shape: the anchor predicate is the only change — a
-    // FIXED batch (vec_id ≡ 50 mod 100, below 2000) instead of the
-    // corpus-growing queryMod sample, so the mined set is constant once
-    // the corpus passes the driver's sf0.1 size.
+    // e3's production shape: the anchor predicate is the only semantic
+    // change — a FIXED batch (vec_id ≡ 50 mod 100, below 2000) instead of
+    // the corpus-growing queryMod sample, so the mined set is constant
+    // once the corpus passes the driver's sf0.1 size. The anchors are
+    // pre-filtered in their own CTE (not an ON-clause predicate like
+    // e3's): the pair join's key `i` has only 64 distinct values, so an
+    // unpushed anchor filter would leave a 64-key self-join of the full
+    // unnest — at sf10 (12.8 M unnest rows) DuckDB's plan spilled past
+    // the disk before the filter applied; the CTE makes the pushdown
+    // structural. Same rows, same hash.
     "e4_hard_negatives_batch" -> withCtes(
       embUnnestCte(""), normCte,
       "lab AS (SELECT vec_id, label FROM embeddings)",
+      """qsel AS (
+        |  SELECT vec_id, i, v FROM u
+        |  WHERE vec_id % 100 = 50 AND vec_id < 2000)""".stripMargin,
       """qd AS (
         |  SELECT q.vec_id AS anchor_id, c.vec_id AS neg_id,
         |         SUM(CAST(q.v AS DOUBLE) * CAST(c.v AS DOUBLE)) AS dp
-        |  FROM u q JOIN u c ON q.i = c.i
-        |       AND q.vec_id % 100 = 50 AND q.vec_id < 2000
+        |  FROM qsel q JOIN u c ON q.i = c.i
         |  JOIN lab ql ON ql.vec_id = q.vec_id
         |  JOIN lab cl ON cl.vec_id = c.vec_id AND cl.label <> ql.label
         |  GROUP BY 1, 2)""".stripMargin,
@@ -1768,6 +1793,29 @@ object OracleSql {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rank
         |  FROM hs)
         |WHERE rank <= 5 ORDER BY source, rank""".stripMargin),
+
+    // Zipf twin: t11's token counts, the same (count DESC, token) rank,
+    // OLS over exactly the top 100 — ln agrees across engines to 1 ulp
+    // (the t22 precedent) and the 6-dp rounding sits ~8 orders above the
+    // 100-term summation-order noise.
+    "t25_zipf_fit" -> (
+      s"""WITH tok AS (
+         |  SELECT doc_id, t AS token
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         |  CROSS JOIN UNNEST(w) AS u(t)),
+         |tc AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS c
+         |       FROM tok GROUP BY token),
+         |top AS (
+         |  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, token) AS r
+         |  FROM tc ORDER BY c DESC, token LIMIT 100),
+         |xy AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(c) AS y FROM top),
+         |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx,
+         |              SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+         |       FROM xy)
+         |SELECT CAST(n AS BIGINT) AS n_tokens,
+         |  ${R("(n * sxy - sx * sy) / (n * sxx - sx * sx)", 6)} AS zipf_slope,
+         |  ${R("(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n", 6)} AS zipf_intercept
+         |FROM st""".stripMargin),
 
     // URL-host twin: one Java/RE2-common extract on identically-injected
     // text; both engines return '' on no match.
@@ -2229,6 +2277,26 @@ object OracleSql {
          |       (${R("ABS((n_events - avg_24) / sd_24)", 6)} > 3.0) AS is_anomaly
          |FROM b WHERE rn > 8 AND sd_24 > 0
          |ORDER BY event_type, hour""".stripMargin),
+
+    // Rolling-active twin: the same inverted formulation (distinct
+    // (user, day) pairs, bounded +0..6 contribution expansion, plain
+    // counts) — exact integers end to end, no rounding discipline.
+    "ev9_active_users" -> (
+      """WITH daily AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events),
+        |mx AS (SELECT MAX(day) AS mxd FROM daily),
+        |contrib AS (
+        |  SELECT DISTINCT user_id, day + CAST(i AS INTEGER) AS day
+        |  FROM daily, range(0, 7) r(i), mx
+        |  WHERE day + CAST(i AS INTEGER) <= mxd),
+        |wau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS wau
+        |        FROM contrib GROUP BY 1),
+        |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+        |        FROM daily GROUP BY 1)
+        |SELECT w.day, COALESCE(d.dau, CAST(0 AS BIGINT)) AS dau, w.wau
+        |FROM wau w LEFT JOIN dau d USING (day)
+        |ORDER BY w.day""".stripMargin),
 
     // Session-path twin: st2's sessionization CTEs, in-session rank, then
     // ordered string_agg — the engine's sort_array(collect_list) renders

@@ -227,6 +227,29 @@ object Queries {
         Seq("macd", "macd_signal", "macd_hist"), 2)
     }
 
+  /** Bollinger bands (20, 2): mid = 20-day rolling mean, band = ±2
+    * rolling sample stddevs, %B = where close sits inside the band — the
+    * mean-reversion channel next to w3/w4/w5, riding the SAME shared
+    * per-symbol window sort (one exchange, all four outputs). sd = 0
+    * windows (constant price) and the first row of each symbol
+    * (STDDEV_SAMP over one row is NULL on both engines — the w5-proven
+    * contract) leave %B NULL explicitly: Spark's 0/0 = NaN vs DuckDB's
+    * NULL would diverge. Bands round at 2 (price-like), %B at 4 (a
+    * ratio of O(1) quantities — summation ulps sit ~1e-13 below). */
+  def w15Bollinger(s: SparkSession, dir: String): DataFrame =
+    windowQuery(s, dir) { df =>
+      val f20 = w.rowsBetween(-19, 0)
+      val mid = avg("close").over(f20)
+      val sd = stddev_samp("close").over(f20)
+      rounded(rounded(df.select(col("symbol"), col("date"),
+        mid.as("bb_mid"),
+        (mid + sd * 2).as("bb_up"),
+        (mid - sd * 2).as("bb_dn"),
+        when(sd.isNull || sd === 0.0, lit(null).cast("double"))
+          .otherwise((col("close") - (mid - sd * 2)) / (sd * 4)).as("pct_b")),
+        Seq("bb_mid", "bb_up", "bb_dn"), 2), Seq("pct_b"), 4)
+    }
+
   /** Per-symbol winsorization — clamp close into its exact [p05, p95]
     * (the robust-cleaning transform next to w13's outlier FILTER: training
     * pipelines clip features more often than they drop rows). Both bounds
@@ -575,6 +598,14 @@ object Queries {
   def ev8VolumeAnomaly(s: SparkSession, dir: String): DataFrame =
     graft.analytics.Anomaly.volumeAnomalies(Sources.events(s, dir))
       .orderBy("event_type", "hour")
+
+  /** DAU + rolling 7-day distinct active users per day — one (user, day)
+    * distinct exchange, a bounded ×7 contribution explode, plain counts;
+    * no count-distinct Expand anywhere (see
+    * [[graft.analytics.ActiveUsers.rollingActive]]). */
+  def ev9ActiveUsers(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.ActiveUsers.rollingActive(Sources.events(s, dir))
+      .orderBy("day")
 
   /** Rollup aggregate beyond the reference surface: revenue by
     * (region, segment) with subtotals and grand total. */
@@ -1204,6 +1235,11 @@ object Queries {
   def t11Vocab(s: SparkSession, dir: String): DataFrame =
     ext.TextOps.vocabulary(Sources.documents(s, dir), k = 20)
 
+  /** Zipf slope of the top-100 token frequency spectrum (see
+    * [[graft.ext.TextOps.zipfFit]]). */
+  def t25ZipfFit(s: SparkSession, dir: String): DataFrame =
+    ext.TextOps.zipfFit(Sources.documents(s, dir))
+
   /** Top-3 TF-IDF keywords per document. */
   def t12Tfidf(s: SparkSession, dir: String): DataFrame =
     ext.TextOps.withTfIdfKeywords(Sources.documents(s, dir), topK = 3)
@@ -1570,6 +1606,7 @@ object Queries {
     "w12_rsi" -> (w12Rsi _),
     "w13_robust_outliers" -> (w13RobustOutliers _),
     "w14_macd" -> (w14Macd _),
+    "w15_bollinger" -> (w15Bollinger _),
     "u6_except_all" -> (u6ExceptAll _),
     "f9_winsorize" -> (f9Winsorize _),
     "d1_dedup_exact" -> (d1DedupExact _),
@@ -1613,6 +1650,7 @@ object Queries {
     "t21_normalize" -> (t21Normalize _),
     "t23_weighted_sample" -> (t23WeightedSample _),
     "t24_url_hosts" -> (t24UrlHosts _),
+    "t25_zipf_fit" -> (t25ZipfFit _),
     "e1_centroids" -> (e1Centroids _),
     "e2_rocchio" -> (e2NearestCentroid _),
     "e3_hard_negatives" -> (e3HardNegatives _),
@@ -1625,6 +1663,7 @@ object Queries {
     "ev6_transitions" -> (ev6Transitions _),
     "ev7_session_paths" -> (ev7SessionPaths _),
     "ev8_volume_anomaly" -> (ev8VolumeAnomaly _),
+    "ev9_active_users" -> (ev9ActiveUsers _),
     "t22_source_entropy" -> (t22SourceEntropy _),
     "x12_pivot" -> (x12Pivot _),
     "st3_interval_join" -> (st3IntervalJoin _),

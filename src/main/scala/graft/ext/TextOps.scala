@@ -495,6 +495,39 @@ object TextOps {
       .limit(k)
   }
 
+  /** Zipf/power-law fit of the token frequency spectrum: OLS slope of
+    * ln(frequency) on ln(rank) over the `topN` most frequent tokens —
+    * natural text follows Zipf's law with slope ≈ −1, so the fitted
+    * slope is a one-number corpus-health probe (synthetic, templated, or
+    * boilerplate-heavy corpora read far from −1; a training-mix monitor
+    * watches this per source next to [[sourceEntropy]]'s mix entropy).
+    * Output: one row (n_tokens, zipf_slope, zipf_intercept).
+    *
+    * Shape at scale: token counting is the [[vocabulary]] two-stage
+    * aggregate (the only corpus-sized work); the regression runs over
+    * `topN` rows — the rank window and the OLS sums never see the corpus.
+    * Determinism: rank orders by (count DESC, token) — exact integers —
+    * and the OLS sums are `topN` O(1) doubles with no cancellation
+    * (n·Σx² − (Σx)² ≈ 0.14·n·Σx² at topN=100), so the 6-dp rounding
+    * sits ~8 orders above cross-engine summation ulps. */
+  def zipfFit(docs: DataFrame, topN: Int = 100): DataFrame = {
+    val ranked = vocabulary(docs, k = topN)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_occurrences").desc, col("token").asc)))
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("n_occurrences").cast("double")).as("y"))
+    val s = ranked.agg(
+      count(lit(1)).cast("double").as("n"), sum("x").as("sx"),
+      sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    s.select(col("n").cast("bigint").as("n_tokens"),
+      graft.ops.Num.cround(slope, 6).as("zipf_slope"),
+      graft.ops.Num.cround((col("sy") - slope * col("sx")) / col("n"), 6)
+        .as("zipf_intercept"))
+  }
+
   /** Per-document top-`topK` keywords by smoothed TF-IDF (sklearn-style
     * idf = ln((N+1)/(df+1)) + 1) — the corpus-analysis / clustering-prep
     * primitive. Output: (doc_id, keyword_rank, token, tf, score).

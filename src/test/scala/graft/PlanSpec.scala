@@ -195,6 +195,30 @@ class PlanSpec extends AnyFunSuite {
       "sim5: only the bounded final-rank window is allowed")
   }
 
+  test("PQ rerank: ADC proposes via bounded aggregate, rerank broadcasts the shortlist") {
+    val p = plan("sim9_pq_rerank")
+    assert(!p.contains("CartesianProduct"), "sim9 plans a cartesian product")
+    // the only tolerated nested loops are the deliberate broadcast-crosses
+    // CONSTRUCTING the tiny 8x16x8 codebook table (range x range x range,
+    // 1024 constant rows); every data join is keyed (codebook s/d, ADC
+    // s/code, shortlist vec_id/query_id) and must not degenerate
+    val badBnlj = p.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin"))
+      .filterNot(_.contains("Cross")).toSeq
+    assert(badBnlj.isEmpty, s"sim9 plans a non-cross nested-loop join: $badBnlj")
+    // ADC shortlist via top_k_by: two-level ObjectHashAggregate, so every
+    // map partition ships <= shortlist pairs per query before the shuffle
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      "sim9: ADC proposal should plan two-level ObjectHashAggregate")
+    // codebook, ADC tables, shortlist and query vectors all broadcast —
+    // the corpus side never shuffles for the rerank
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      "sim9: codebook/ADC/shortlist/query joins must broadcast")
+    // the only Window node is the final rank over n_queries x shortlist
+    assert("Window \\[".r.findAllIn(p).length <= 1,
+      "sim9: only the bounded final-rank window is allowed")
+  }
+
   test("funnel runs every stage over one user_id exchange") {
     val p = plan("ev1_funnel")
     val userExchanges = "hashpartitioning\\(user_id".r.findAllIn(p).length

@@ -34,6 +34,26 @@ class RetentionSpec extends AnyFunSuite {
       ("2024-01-08", 0, 1L, 1L, 1.0)))
   }
 
+  test("rolling active users: in-window dedup, gap days, max-day cap") {
+    import spark.implicits._
+    // u1 twice on day 1 and once on day 3 (counts once per window); u2
+    // day 1 only. Day 2 has no events but both users are still
+    // rolling-active (dau = 0, wau = 2); the curve stops at the last
+    // observed day (no contribution days past Jan 3).
+    val events = Seq(
+      (1L, ts("2024-01-01")), (1L, ts("2024-01-01")), (1L, ts("2024-01-03")),
+      (2L, ts("2024-01-01"))
+    ).toDF("user_id", "ts")
+    val out = graft.analytics.ActiveUsers.rollingActive(events)
+      .orderBy("day")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+      .toList
+    assert(out == List(
+      ("2024-01-01", 2L, 2L),
+      ("2024-01-02", 0L, 2L),
+      ("2024-01-03", 1L, 2L)))
+  }
+
   test("randomized equivalence with a brute-force pandas-style computation") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
