@@ -178,12 +178,18 @@ object Queries {
   def w12Rsi(s: SparkSession, dir: String): DataFrame =
     windowQuery(s, dir) { df =>
       val f14 = w.rowsBetween(-13, 0)
-      val g = avg("gain").over(f14)
-      val l = avg("loss").over(f14)
+      // materialize the two frame averages ONCE (the w15 lesson: separate
+      // .over() Column instances are separate window expressions, and
+      // inlining g/l into the RSI formula made WindowExec evaluate five
+      // frame aggregates instead of two)
+      val g = col("__g")
+      val l = col("__l")
       rounded(df
         .withColumn("diff", col("close") - lag("close", 1).over(w))
         .withColumn("gain", greatest(col("diff"), lit(0.0)))
         .withColumn("loss", greatest(-col("diff"), lit(0.0)))
+        .withColumn("__g", avg("gain").over(f14))
+        .withColumn("__l", avg("loss").over(f14))
         .select(col("symbol"), col("date"),
           when(g + l === 0.0, lit(null))
             .otherwise(lit(100.0) * g / (g + l)).as("rsi_14")),

@@ -108,10 +108,16 @@ object Derive {
     val w20 = w.rowsBetween(-19, 0)
 
     val base = df
-      // W1/W2: lag diff and percent change (src/transform.py:218-219)
-      .withColumn("daily_change", col("close") - lag("close", 1).over(w))
+      // W1/W2: lag diff and percent change (src/transform.py:218-219).
+      // The previous close materializes ONCE: two inline lag(...).over(w)
+      // instances are two separate window expressions to
+      // ExtractWindowExpressions (the w15/w12 lesson), and this frame is
+      // the pipeline's hottest node.
+      .withColumn("__prev_close", lag("close", 1).over(w))
+      .withColumn("daily_change", col("close") - col("__prev_close"))
       .withColumn("daily_change_percent",
-        (col("close") / lag("close", 1).over(w) - 1) * 100)
+        (col("close") / col("__prev_close") - 1) * 100)
+      .drop("__prev_close")
       // X1: ranges (src/transform.py:222-223)
       .withColumn("price_range", col("high") - col("low"))
       .withColumn("price_range_percent", col("price_range") / col("close") * 100)
