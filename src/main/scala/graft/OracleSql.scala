@@ -2298,6 +2298,40 @@ object OracleSql {
         |FROM wau w LEFT JOIN dau d USING (day)
         |ORDER BY w.day""".stripMargin),
 
+    // RFM twin: one user aggregate, NTILE(5) quintiles over the users
+    // table — every ntile orders (metric, user_id) with the monetary key
+    // tie-safe-rounded at 6, so quintile boundaries agree cross-engine;
+    // both engines' NTILE hand the remainder to the earliest tiles.
+    "ev10_rfm" -> (
+      s"""WITH p AS (
+         |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d, value
+         |  FROM events WHERE event_type = 'purchase'),
+         |mx AS (SELECT MAX(d) AS mxd FROM p),
+         |rfm AS (
+         |  SELECT user_id, MAX(d) AS last_day,
+         |         CAST(COUNT(*) AS BIGINT) AS frequency,
+         |         SUM(value) AS mraw
+         |  FROM p GROUP BY 1),
+         |sc AS (
+         |  SELECT user_id, CAST(mxd - last_day AS INTEGER) AS recency_days,
+         |         frequency, mraw, ${R("mraw", 6)} AS m6
+         |  FROM rfm, mx),
+         |t AS (
+         |  SELECT user_id, recency_days, frequency, mraw,
+         |    CAST(NTILE(5) OVER (ORDER BY recency_days DESC, user_id) AS INTEGER) AS r_score,
+         |    CAST(NTILE(5) OVER (ORDER BY frequency, user_id) AS INTEGER) AS f_score,
+         |    CAST(NTILE(5) OVER (ORDER BY m6, user_id) AS INTEGER) AS m_score
+         |  FROM sc)
+         |SELECT user_id, recency_days, frequency, ${R("mraw", 2)} AS monetary,
+         |       r_score, f_score, m_score,
+         |       CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champions'
+         |            WHEN f_score >= 4 THEN 'loyal'
+         |            WHEN r_score >= 4 THEN 'recent'
+         |            WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+         |            WHEN r_score <= 2 THEN 'hibernating'
+         |            ELSE 'regular' END AS segment
+         |FROM t ORDER BY user_id""".stripMargin),
+
     // Session-path twin: st2's sessionization CTEs, in-session rank, then
     // ordered string_agg — the engine's sort_array(collect_list) renders
     // the identical rn-ordered concatenation.

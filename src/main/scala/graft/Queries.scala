@@ -621,6 +621,51 @@ object Queries {
     graft.analytics.ActiveUsers.rollingActive(Sources.events(s, dir))
       .orderBy("day")
 
+  /** RFM user segmentation over purchase events — the classic
+    * growth-marketing cut: per user, recency (days since last purchase,
+    * anchored at the corpus's last observed day), frequency (purchase
+    * count) and monetary (value sum), each scored into quintiles via
+    * `ntile(5)`, then labeled (champions / loyal / recent / at_risk /
+    * hibernating / regular).
+    *
+    * Shape at scale: ONE user-keyed aggregate reduces the event log
+    * (partial map-side combine); every window after that runs over the
+    * users-sized RFM table, never events — the global ntile sort is over
+    * one row per purchasing user, and a deployment at billions of users
+    * swaps it for the a15 histogram-quantile cut without touching the
+    * aggregate. Determinism: every ntile orders (metric, user_id) — the
+    * monetary sort key is the tie-safe-ROUNDED sum (scale 6) so a
+    * cross-engine summation-order ulp can never flip a quintile
+    * boundary; displayed monetary rounds at 2. */
+  def ev10Rfm(s: SparkSession, dir: String): DataFrame = {
+    val p = Sources.events(s, dir).filter(col("event_type") === "purchase")
+    val mx = p.agg(max(date_trunc("day", col("ts")).cast("date")).as("__mx"))
+    val rfm = p.groupBy("user_id")
+      .agg(max(date_trunc("day", col("ts")).cast("date")).as("__last"),
+        count(lit(1)).as("frequency"),
+        sum("value").as("__mraw"))
+      .crossJoin(broadcast(mx))
+      .withColumn("recency_days", datediff(col("__mx"), col("__last")))
+      .withColumn("__m6", Num.cround(col("__mraw"), 6))
+    val r5 = ntile(5).over(Window.orderBy(col("recency_days").desc, col("user_id")))
+    val f5 = ntile(5).over(Window.orderBy(col("frequency"), col("user_id")))
+    val m5 = ntile(5).over(Window.orderBy(col("__m6"), col("user_id")))
+    rfm
+      .withColumn("r_score", r5)
+      .withColumn("f_score", f5)
+      .withColumn("m_score", m5)
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        Num.cround(col("__mraw"), 2).as("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        when(col("r_score") >= 4 && col("f_score") >= 4, "champions")
+          .when(col("f_score") >= 4, "loyal")
+          .when(col("r_score") >= 4, "recent")
+          .when(col("r_score") <= 2 && col("f_score") >= 3, "at_risk")
+          .when(col("r_score") <= 2, "hibernating")
+          .otherwise("regular").as("segment"))
+      .orderBy("user_id")
+  }
+
   /** Rollup aggregate beyond the reference surface: revenue by
     * (region, segment) with subtotals and grand total. */
   def j4Rollup(s: SparkSession, dir: String): DataFrame = {
@@ -1678,6 +1723,7 @@ object Queries {
     "ev7_session_paths" -> (ev7SessionPaths _),
     "ev8_volume_anomaly" -> (ev8VolumeAnomaly _),
     "ev9_active_users" -> (ev9ActiveUsers _),
+    "ev10_rfm" -> (ev10Rfm _),
     "t22_source_entropy" -> (t22SourceEntropy _),
     "x12_pivot" -> (x12Pivot _),
     "st3_interval_join" -> (st3IntervalJoin _),

@@ -435,4 +435,55 @@ class StreamingSpec extends AnyFunSuite {
       batch.exceptAll(streamed).count() == 0,
       "streamed retention triangle diverges from the batch operator")
   }
+
+  test("streaming active-user snapshots fold to the batch DAU/WAU curve") {
+    // ev9's streaming twin, same shuffled-micro-batch contract as the
+    // retention twin: day-set union is order-insensitive, so the fold of
+    // the latest per-user snapshots must equal ActiveUsers.rollingActive
+    // over all events regardless of arrival order.
+    val dir = "/root/testdata/sf0.001"
+    val landing = java.nio.file.Files.createTempDirectory("graft-events-act")
+    val src = spark.read.parquet(s"$dir/events.parquet")
+      .orderBy(expr("hash(user_id)"), col("event_id")).cache()
+    val n = src.count()
+    import scala.jdk.CollectionConverters._
+    val thirds = src.collect().grouped((n / 3 + 1).toInt).toSeq
+    thirds.zipWithIndex.foreach { case (rows, i) =>
+      val sliceDir = landing.resolve(f"stage-$i%02d")
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1), src.schema)
+        .write.parquet(sliceDir.toString)
+      val part = java.nio.file.Files.list(sliceDir).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dest = landing.resolve(f"slice-$i%02d.parquet")
+      java.nio.file.Files.move(part, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val fileStream = spark.readStream
+      .schema(src.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "slice-*.parquet")
+      .parquet(landing.toString)
+    val q = graft.streaming.StreamingActiveUsers.activeStream(spark,
+        graft.streaming.StreamingActiveUsers.toActiveEvents(spark, fileStream))
+      .writeStream.format("memory").queryName("active_stream_test")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.lastProgress.batchId >= 2,
+      s"expected >= 3 micro-batches, saw ${q.lastProgress.batchId + 1}")
+
+    val latest = spark.table("active_stream_test")
+      .groupBy("user_id")
+      .agg(max_by(col("day_set"), col("n_events_seen")).as("day_set"))
+    val streamed = graft.streaming.StreamingActiveUsers.fromSnapshots(latest)
+    val batch = graft.analytics.ActiveUsers
+      .rollingActive(Sources.events(spark, dir))
+    assert(batch.count() > 0 && streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "streamed DAU/WAU curve diverges from the batch operator")
+  }
 }
