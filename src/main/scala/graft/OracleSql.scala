@@ -2332,6 +2332,53 @@ object OracleSql {
          |            ELSE 'regular' END AS segment
          |FROM t ORDER BY user_id""".stripMargin),
 
+    // Power-user twin: per-user counts, NTILE(10) deciles with the ev10
+    // (metric desc, user_id) tie-safe ordering, then 10-row share math.
+    // SUM(BIGINT) is HUGEINT in DuckDB — cast back so schemas agree.
+    "ev11_power_users" -> (
+      s"""WITH pu AS (
+         |  SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1),
+         |d AS (
+         |  SELECT user_id, n_events,
+         |    CAST(NTILE(10) OVER (ORDER BY n_events DESC, user_id) AS INTEGER) AS decile
+         |  FROM pu),
+         |g AS (
+         |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+         |         CAST(SUM(n_events) AS BIGINT) AS n_events
+         |  FROM d GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_events) AS BIGINT) AS tot FROM g)
+         |SELECT decile, n_users, g.n_events,
+         |  ${R("CAST(g.n_events AS DOUBLE) / tot", 6)} AS event_share,
+         |  ${R("CAST(CAST(SUM(g.n_events) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS DOUBLE) / tot", 6)} AS cum_share
+         |FROM g, t ORDER BY decile""".stripMargin),
+
+    // Time-to-convert twin: the ev1 funnel CTEs (strict-order stage
+    // minima), converters only, exact interpolated quantiles over the
+    // identical long-microsecond-difference doubles.
+    "ev12_time_to_convert" -> (
+      s"""WITH v AS (
+         |  SELECT user_id, MIN(ts) AS fv FROM events
+         |  WHERE event_type = 'view' GROUP BY 1),
+         |c AS (
+         |  SELECT e.user_id, MIN(e.ts) AS fc
+         |  FROM events e JOIN v USING (user_id)
+         |  WHERE e.event_type = 'click' AND e.ts > v.fv GROUP BY 1),
+         |p AS (
+         |  SELECT e.user_id, MIN(e.ts) AS fp
+         |  FROM events e JOIN c USING (user_id)
+         |  WHERE e.event_type = 'purchase' AND e.ts > c.fc GROUP BY 1),
+         |conv AS (
+         |  SELECT CAST(date_trunc('week', v.fv) AS DATE) AS cohort_week,
+         |         (epoch_us(p.fp) - epoch_us(v.fv)) / 1e6 AS latency_sec
+         |  FROM p JOIN v USING (user_id))
+         |SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_converted,
+         |  ${R("quantile_cont(latency_sec, 0.25)", 6)} AS p25_sec,
+         |  ${R("quantile_cont(latency_sec, 0.50)", 6)} AS p50_sec,
+         |  ${R("quantile_cont(latency_sec, 0.75)", 6)} AS p75_sec,
+         |  ${R("quantile_cont(latency_sec, 0.90)", 6)} AS p90_sec,
+         |  ${R("AVG(latency_sec)", 2)} AS avg_sec
+         |FROM conv GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // Session-path twin: st2's sessionization CTEs, in-session rank, then
     // ordered string_agg — the engine's sort_array(collect_list) renders
     // the identical rn-ordered concatenation.

@@ -666,6 +666,74 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** Power-user concentration (Lorenz/Pareto cut): users ranked by event
+    * count into activity deciles (ntile 10 over (count desc, user_id) —
+    * the ev10 tie-safe ordering), then per decile the user count, event
+    * count, event share, and the cumulative share from the most-active
+    * decile down ("the top 10% of users generate X% of all events").
+    *
+    * Shape at scale: ONE user-keyed count reduces the event log with
+    * map-side partial aggregation; the ntile sorts the users-sized count
+    * table, the decile aggregate collapses it to exactly 10 rows, and the
+    * share/cumulative windows run over those 10 — the grand total rides a
+    * broadcast of a 1-row aggregate, never a second events pass. */
+  def ev11PowerUsers(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Sources.events(s, dir).groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+    val byDecile = perUser
+      .withColumn("decile",
+        ntile(10).over(Window.orderBy(col("n_events").desc, col("user_id"))))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_users"), sum("n_events").as("n_events"))
+    byDecile
+      .crossJoin(broadcast(byDecile.agg(sum("n_events").as("__tot"))))
+      .withColumn("event_share",
+        Num.cround(col("n_events") / col("__tot"), 6))
+      .withColumn("cum_share",
+        Num.cround(sum("n_events").over(
+            Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0))
+          / col("__tot"), 6))
+      .select("decile", "n_users", "n_events", "event_share", "cum_share")
+      .orderBy("decile")
+  }
+
+  /** Conversion-latency distribution by cohort week: for every user who
+    * completed the full view->click->purchase funnel (ev1's strict
+    * event-time ordering, reusing [[graft.analytics.Funnel.userFunnel]]),
+    * seconds from first view to first ordered purchase, summarized per
+    * first-view week as exact p25/p50/p75/p90 + mean — the
+    * "time-to-convert" report product analytics pairs with the funnel
+    * counts.
+    *
+    * Shape at scale: the funnel's single user_id exchange does all the
+    * heavy lifting; this adds one aggregate over the CONVERTERS-sized
+    * table keyed by ~52 cohort weeks/year. Percentiles are exact
+    * (`percentile` == quantile_cont bit-identical, the a5/f9 contract) —
+    * at billions of converters per week swap for a15's mergeable binned
+    * quantiles without touching the funnel. Latency is an exact long
+    * microsecond difference scaled by 1e6 — identical doubles
+    * cross-engine, so the interpolated order statistics agree bit-for-bit
+    * (tie-safe round at 6 anyway); the mean rounds at 2 (summation-order
+    * ulps sit far below a centisecond). */
+  def ev12TimeToConvert(s: SparkSession, dir: String): DataFrame = {
+    val conv = analytics.Funnel.userFunnel(Sources.events(s, dir))
+      .filter(col("funnel_stage") === 3)
+      .select(
+        date_trunc("week", timestamp_micros(col("first_view_us")))
+          .cast("date").as("cohort_week"),
+        ((col("first_purchase_us") - col("first_view_us")) / lit(1e6))
+          .as("latency_sec"))
+    conv.groupBy("cohort_week")
+      .agg(
+        count(lit(1)).as("n_converted"),
+        Num.cround(percentile(col("latency_sec"), lit(0.25)), 6).as("p25_sec"),
+        Num.cround(percentile(col("latency_sec"), lit(0.50)), 6).as("p50_sec"),
+        Num.cround(percentile(col("latency_sec"), lit(0.75)), 6).as("p75_sec"),
+        Num.cround(percentile(col("latency_sec"), lit(0.90)), 6).as("p90_sec"),
+        Num.cround(avg(col("latency_sec")), 2).as("avg_sec"))
+      .orderBy("cohort_week")
+  }
+
   /** Rollup aggregate beyond the reference surface: revenue by
     * (region, segment) with subtotals and grand total. */
   def j4Rollup(s: SparkSession, dir: String): DataFrame = {
@@ -1724,6 +1792,8 @@ object Queries {
     "ev8_volume_anomaly" -> (ev8VolumeAnomaly _),
     "ev9_active_users" -> (ev9ActiveUsers _),
     "ev10_rfm" -> (ev10Rfm _),
+    "ev11_power_users" -> (ev11PowerUsers _),
+    "ev12_time_to_convert" -> (ev12TimeToConvert _),
     "t22_source_entropy" -> (t22SourceEntropy _),
     "x12_pivot" -> (x12Pivot _),
     "st3_interval_join" -> (st3IntervalJoin _),
