@@ -1155,6 +1155,38 @@ object OracleSql {
          |WHERE dp / (na.nv * nb.nv) >= 0.3
          |ORDER BY vec_a, vec_b""".stripMargin),
 
+    // Fuzzy-dedup twin: the same (lang, normalized-prefix) blocking, the
+    // same 64-per-block cap, then DuckDB's levenshtein over the identical
+    // pure-ASCII 64-char normalized prefixes (the normalization strips to
+    // lowercase alnum+space, so both engines' edit distance counts the
+    // same units). regexp_replace needs the 'g' flag here — Spark's is
+    // global by default.
+    "d10_fuzzy_dedup" -> (
+      s"""WITH nm AS (
+         |  SELECT doc_id, COALESCE(lang, '') AS lang,
+         |         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+         |  FROM documents),
+         |blocked AS (
+         |  SELECT doc_id, lang, substr(norm, 1, 16) AS block_key,
+         |         substr(norm, 1, 64) AS cmp
+         |  FROM nm),
+         |capped AS (
+         |  SELECT doc_id, lang, block_key, cmp FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY lang, block_key ORDER BY doc_id) AS rn
+         |    FROM blocked) WHERE rn <= 64),
+         |pr AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(levenshtein(a.cmp, b.cmp) AS INTEGER) AS edit_distance,
+         |         GREATEST(length(a.cmp), length(b.cmp)) AS mx
+         |  FROM capped a JOIN capped b
+         |    ON a.lang = b.lang AND a.block_key = b.block_key
+         |   AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, edit_distance,
+         |  CASE WHEN mx = 0 THEN 1.0
+         |       ELSE ${R("1 - CAST(edit_distance AS DOUBLE) / mx", 6)} END AS sim_ratio
+         |FROM pr WHERE edit_distance <= 8 ORDER BY doc_a, doc_b""".stripMargin),
+
     "sim1_cosine_topk" -> withCtes(
       embUnnestCte(""), normCte,
       """qd AS (
@@ -2519,6 +2551,24 @@ object OracleSql {
         |FROM cp a JOIN cp b
         |  ON a.band = b.band AND a.value = b.value AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.phash, b.phash)) <= 4
-        |ORDER BY doc_a, doc_b""".stripMargin)
+        |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // Frame-sampling twin: byte slicing via the payload's hex rendering
+    // (16-byte frame = 32 hex chars; hex is uppercase in both engines, and
+    // DuckDB has no blob slicing — the hex route makes the identical
+    // arithmetic expressible). encode(text) == Spark's text-cast-to-binary
+    // (both UTF-8), and md5 runs over the ASCII hex slice on both sides.
+    "m3_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id, hex(encode(text)) AS h FROM documents),
+        |f AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+        |         substring(h, CAST(i * 32 + 1 AS BIGINT), 32) AS fh
+        |  FROM m, UNNEST(range(0, CAST(ceil(length(h) / 32.0) AS BIGINT))) t(i)
+        |  WHERE i % 2 = 0)
+        |SELECT doc_id, frame_idx,
+        |  CAST(length(fh) // 2 AS INTEGER) AS frame_len,
+        |  md5(fh) AS frame_md5
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

@@ -1144,6 +1144,13 @@ object Queries {
   def d3Simhash(s: SparkSession, dir: String): DataFrame =
     ext.Dedup.simhash(Sources.documents(s, dir)).orderBy("doc_id")
 
+  /** Edit-distance fuzzy dedup (see [[graft.ext.Dedup.fuzzyDupPairs]]):
+    * blocking on (lang, normalized 16-char prefix) with the d2 hot-bucket
+    * cap, levenshtein verification over 64-char normalized prefixes. */
+  def d10FuzzyDedup(s: SparkSession, dir: String): DataFrame =
+    rounded(ext.Dedup.fuzzyDupPairs(Sources.documents(s, dir)),
+      Seq("sim_ratio")).orderBy("doc_a", "doc_b")
+
   def d4NgramJaccard(s: SparkSession, dir: String): DataFrame =
     rounded(ext.Dedup.ngramJaccardPairs(Sources.documents(s, dir)),
       Seq("jaccard")).orderBy("doc_a", "doc_b")
@@ -1674,6 +1681,15 @@ object Queries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Frame sampling over binary payloads (see
+    * [[graft.ext.Multimodal.frameDigests]]): every 2nd 16-byte frame of
+    * each payload as (frame_idx, length, digest) — the declarative,
+    * codegen'd twin of the imperative sampleFrames chunker. */
+  def m3FrameSample(s: SparkSession, dir: String): DataFrame =
+    ext.Multimodal.frameDigests(
+      ext.Multimodal.asMediaTable(Sources.documents(s, dir)))
+      .orderBy("doc_id", "frame_idx")
+
   // ===== registry ==========================================================
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1745,6 +1761,7 @@ object Queries {
     "d6_dup_clusters" -> (d6DupClusters _),
     "d4_ngram_jaccard" -> (d4NgramJaccard _),
     "d5_embedding_neardup" -> (d5EmbeddingNeardup _),
+    "d10_fuzzy_dedup" -> (d10FuzzyDedup _),
     "sim1_cosine_topk" -> (sim1CosineTopk _),
     "sim2_lsh_topk" -> (sim2LshTopk _),
     "sim6_lsh_multiprobe" -> (sim6LshMultiprobe _),
@@ -1802,6 +1819,7 @@ object Queries {
     "t4_fingerprint" -> (t4Fingerprint _),
     "m1_multimodal_meta" -> (m1MultimodalMeta _),
     "m2_phash_pairs" -> (m2PhashPairs _),
+    "m3_frame_sample" -> (m3FrameSample _),
     "p1_rename" -> (p1Rename _),
     "p2_cast" -> (p2Cast _),
     "p3_literals" -> (p3Literals _),

@@ -273,4 +273,34 @@ object Multimodal {
       }
     }
   }
+
+  /** Declarative, whole-stage-codegen twin of [[sampleFrames]] that emits
+    * per-frame DIGESTS instead of raw frame bytes — the shape a dedup or
+    * integrity pass over sampled frames actually consumes (a byte payload
+    * would just ride along; the digest is the join key). Byte slicing runs
+    * over the payload's hex rendering (frame of k bytes = 2k hex chars) so
+    * the identical arithmetic is expressible in engines without blob
+    * slicing; `hex` is uppercase in both Spark and DuckDB, and the frame
+    * digest is md5 of that ASCII hex slice — byte-faithful regardless of
+    * the payload's UTF-8 validity. Everything here (hex, sequence,
+    * explode, substring, md5) is codegen'd — no UDF, no mapPartitions.
+    * ExtSpec proves (doc_id, frame_idx, frame_len, digest)
+    * equality against [[sampleFrames]]'s imperative chunking. */
+  def frameDigests(media: DataFrame, frameBytes: Int = 16,
+                   stride: Int = 2): DataFrame = {
+    val w = 2 * frameBytes
+    media
+      .select(col("doc_id"), hex(col("payload")).as("__h"))
+      .withColumn("__nf",
+        ceil(length(col("__h")) / lit(w.toDouble)).cast("int"))
+      .select(col("doc_id"), col("__h"), explode(expr(
+        "CASE WHEN __nf > 0 THEN sequence(0, __nf - 1) " +
+          "ELSE CAST(array() AS ARRAY<INT>) END")).as("frame_idx"))
+      .filter(col("frame_idx") % stride === 0)
+      .withColumn("__fh",
+        expr(s"substring(__h, frame_idx * $w + 1, $w)"))
+      .select(col("doc_id"), col("frame_idx"),
+        (length(col("__fh")) / 2).cast("int").as("frame_len"),
+        md5(col("__fh")).as("frame_md5"))
+  }
 }

@@ -514,6 +514,46 @@ class ExtSpec extends AnyFunSuite {
     assert(frames.head.frame.length == 16 && frames.last.frame.length == 11)
   }
 
+  test("fuzzy dedup: typo variants verify; reorderings miss the block; caps hold") {
+    val d = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight", "en"),
+      (11L, "the quick brown fox jumps over the lazy dog tonite!", "en"),
+      (12L, "tonight the lazy dog jumps over the quick brown fox", "en"),
+      (13L, "the quick brown fox jumps over the lazy dog tonight", null)
+    ).toDF("doc_id", "text", "lang")
+    val pairs = Dedup.fuzzyDupPairs(d).collect()
+    // 10-11: same 16-char prefix block, levenshtein on the normalized
+    // 64-char prefixes is small -> verified. 12 reorders tokens: its
+    // opening chars differ, so blocking (correctly, by design) skips it —
+    // that pair is the d2/d8 shingle path's job. 13 has NULL lang -> ''
+    // block, never joins the 'en' block.
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((10L, 11L)))
+    val p = pairs.head
+    assert(p.getAs[Int]("edit_distance") == 3 && // tonight -> tonite
+      p.getAs[Double]("sim_ratio") > 0.9)
+  }
+
+  test("multimodal: declarative frameDigests == imperative sampleFrames") {
+    // multibyte chars land in the fixture via a crafted row so the hex
+    // slicing is proven byte-faithful where UTF-8 units straddle frames
+    val media = Multimodal.asMediaTable(docs.unionByName(
+      Seq((6L, "héllo wörld — ünïcode straddles frame boundaries hère", "en"))
+        .toDF("doc_id", "text", "lang")))
+    val declarative = Multimodal.frameDigests(media)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getString(3))).toSet
+    val imperative = Multimodal.sampleFrames(spark, media).collect().map { f =>
+      val hexSlice = f.frame.map("%02X".format(_)).mkString
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(hexSlice.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (f.doc_id, f.frame_idx, f.frame.length, d)
+    }.toSet
+    assert(declarative == imperative,
+      "hex-sliced digest table diverges from the byte-chunked frames")
+    assert(declarative.exists(_._3 < 16),
+      "fixture should exercise a short tail frame")
+  }
+
   test("multimodal: stub decode is deterministic; image tags attempt real decode") {
     val meta = Multimodal.decodeMeta(spark, Multimodal.asMediaTable(docs)).collect()
     // doc 0 is jpeg-tagged (doc_id % 3 == 0): real ImageIO decode of text
