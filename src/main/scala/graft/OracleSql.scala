@@ -1610,6 +1610,53 @@ object OracleSql {
         |  FROM sc)
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
 
+    // Filtered-ANN twin: sim3's IVF pipeline with the label%3 predicate
+    // applied to the ASSIGNED corpus (pre-filter strategy; assignment is
+    // per-vector independent, so filtering before/after assignment is the
+    // same corpus). Queries stay unfiltered; output carries the label as
+    // filter evidence.
+    "sim11_filtered_ann" -> withCtes(
+      embUnnestCte(""), normCte,
+      """an AS (
+        |  SELECT c, d,
+        |    (CAST(('0x' || substr(md5(CAST(c AS VARCHAR) || '~' || CAST(d AS VARCHAR)), 1, 8)) AS BIGINT)
+        |     % 2001 - 1000) / 1000.0 AS w
+        |  FROM range(0, 16) t1(c), range(1, 65) t2(d))""".stripMargin,
+      "anorm AS (SELECT c, SQRT(SUM(w * w)) AS anorm FROM an GROUP BY c)",
+      """sc0 AS (
+        |  SELECT u.vec_id, an.c, SUM(CAST(u.v AS DOUBLE) * an.w) AS adot
+        |  FROM u JOIN an ON an.d = u.i GROUP BY 1, 2)""".stripMargin,
+      """scr AS (
+        |  SELECT vec_id, c, adot / anorm AS score,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY adot / anorm DESC, c) AS rnk
+        |  FROM sc0 JOIN anorm USING (c))""".stripMargin,
+      """assigned AS (
+        |  SELECT s.vec_id, s.c AS list_id FROM scr s
+        |  JOIN embeddings e ON e.vec_id = s.vec_id
+        |  WHERE s.rnk = 1 AND e.label % 3 = 0)""".stripMargin,
+      """probes AS (
+        |  SELECT vec_id AS query_id, c AS list_id FROM scr
+        |  WHERE vec_id % 100 = 0 AND rnk <= 2)""".stripMargin,
+      """cand AS (
+        |  SELECT p.query_id, a.vec_id, a.list_id
+        |  FROM probes p JOIN assigned a ON a.list_id = p.list_id AND a.vec_id <> p.query_id)""".stripMargin,
+      """cd AS (
+        |  SELECT c.query_id, c.vec_id, c.list_id,
+        |         SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dp
+        |  FROM cand c JOIN u a ON a.vec_id = c.query_id
+        |              JOIN u b ON b.vec_id = c.vec_id AND b.i = a.i
+        |  GROUP BY 1, 2, 3)""".stripMargin,
+      s"""sc AS (
+         |  SELECT query_id, cd.vec_id, list_id,
+         |         ${R("dp / (nq.nv * nc.nv)", 6)} AS cosine
+         |  FROM cd JOIN nrm nq ON nq.vec_id = query_id
+         |           JOIN nrm nc ON nc.vec_id = cd.vec_id)""".stripMargin)(
+      """SELECT query_id, rank, vec_id, list_id, e.label, cosine FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM sc)
+        |JOIN embeddings e USING (vec_id)
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+
     // Two-stage prefix rerank: stage 1 ranks every candidate by the
     // 16-dim-prefix cosine (rounded, vec_id tiebreak — identical shortlist
     // boundary to the engine's top_k_by), stage 2 reranks the 20-deep

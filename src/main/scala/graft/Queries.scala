@@ -1252,6 +1252,14 @@ object Queries {
     ext.Similarity.ivfTopK(Sources.embeddings(s, dir), ext.Similarity.ivfAnchors(s))
       .orderBy("query_id", "rank")
 
+  /** Metadata-filtered vector search (see
+    * [[graft.ext.Similarity.ivfTopKFiltered]]): sim3's IVF probe over the
+    * label%3==0 slice only — the tenant/category-filter retrieval shape. */
+  def sim11FilteredAnn(s: SparkSession, dir: String): DataFrame =
+    ext.Similarity.ivfTopKFiltered(Sources.embeddings(s, dir),
+      ext.Similarity.ivfAnchors(s), col("label") % 3 === 0)
+      .orderBy("query_id", "rank")
+
   /** SemDeDup-style semantic duplicate clusters over the embeddings: IVF
     * list assignment -> within-list tie-safe cosine pairs -> min-label
     * connected components (the d6 machinery on an embedding pair graph).
@@ -1769,6 +1777,7 @@ object Queries {
     "sim8_ivfpq" -> (sim8IvfPq _),
     "sim9_pq_rerank" -> (sim9PqRerank _),
     "sim10_ivfpq_rerank" -> (sim10IvfPqRerank _),
+    "sim11_filtered_ann" -> (sim11FilteredAnn _),
     "sim3_ivf_topk" -> (sim3IvfTopk _),
     "sim4_quantize" -> (sim4Quantize _),
     "sim5_prefix_rerank" -> (sim5PrefixRerank _),

@@ -272,6 +272,54 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "list_id", "cosine")
   }
 
+  /** Metadata-filtered IVF search — the "filtered vector search" every
+    * production retrieval stack needs (search only docs matching a
+    * predicate: a tenant, a category, a date range). PRE-filter strategy:
+    * the predicate restricts the candidate corpus BEFORE list probing, so
+    * pruned lists shrink and no post-hoc k-shortfall correction is needed
+    * — the right default when the filter is broad (here: a label class
+    * keeping ~1/3 of the corpus). A selectivity-adaptive engine would
+    * flip to brute force over the survivors when the filter keeps <~ k *
+    * nLists vectors; that cutover is a planner choice, not a semantics
+    * change — both strategies return exactly this result.
+    *
+    * Queries stay UNfiltered (any caller may search the filtered slice);
+    * list assignment is per-vector independent (nearest anchor), so
+    * filtering before or after assignment is provably the same corpus.
+    * Scale shape inherits [[ivfTopK]]: anchors broadcast, the corpus
+    * shuffles once on list_id, per-query candidates are bounded at
+    * nprobe/nLists of the FILTERED corpus. */
+  def ivfTopKFiltered(emb: DataFrame, anchors: DataFrame, pred: Column,
+                      queryMod: Int = 100, k: Int = 3,
+                      nprobe: Int = 2): DataFrame = {
+    val corpus = emb.filter(pred)
+    val wBest = Window.partitionBy("vec_id").orderBy(desc("score"), col("c"))
+    val assigned = anchorScores(corpus, anchors)
+      .withColumn("rnk", row_number().over(wBest))
+      .filter(col("rnk") === 1).select(col("vec_id"), col("c").as("list_id"))
+    val vecs = withDoubles(corpus).join(assigned, "vec_id")
+
+    val qset = emb.filter(col("vec_id") % queryMod === 0)
+    val probes = anchorScores(qset, anchors)
+      .withColumn("rnk", row_number().over(wBest))
+      .filter(col("rnk") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("c").as("list_id"))
+    val queries = withDoubles(qset)
+      .select(col("vec_id").as("query_id"), col("emb_d").as("q_emb"))
+      .join(probes, "query_id")
+
+    val scored = vecs.join(broadcast(queries), Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", graft.ops.Num.cround(
+        nativeCosine(col("emb_d"), col("q_emb")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .select("query_id", "rank", "vec_id", "list_id", "label", "cosine")
+  }
+
   /** SemDeDup-style semantic duplicate clusters (Abbas et al. 2023: cluster
     * the embedding space, then pairwise-compare WITHIN clusters only):
     * assign every vector to its nearest IVF anchor, form within-list pairs
