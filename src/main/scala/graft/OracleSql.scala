@@ -1610,6 +1610,67 @@ object OracleSql {
         |  FROM sc)
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
 
+    // k-NN-classify twin: sim3's IVF pipeline at rank<=5, then labeled
+    // majority vote with the (votes desc, label asc) tiebreak.
+    "sim12_knn_classify" -> withCtes(
+      embUnnestCte(""), normCte,
+      """an AS (
+        |  SELECT c, d,
+        |    (CAST(('0x' || substr(md5(CAST(c AS VARCHAR) || '~' || CAST(d AS VARCHAR)), 1, 8)) AS BIGINT)
+        |     % 2001 - 1000) / 1000.0 AS w
+        |  FROM range(0, 16) t1(c), range(1, 65) t2(d))""".stripMargin,
+      "anorm AS (SELECT c, SQRT(SUM(w * w)) AS anorm FROM an GROUP BY c)",
+      """sc0 AS (
+        |  SELECT u.vec_id, an.c, SUM(CAST(u.v AS DOUBLE) * an.w) AS adot
+        |  FROM u JOIN an ON an.d = u.i GROUP BY 1, 2)""".stripMargin,
+      """scr AS (
+        |  SELECT vec_id, c, adot / anorm AS score,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY adot / anorm DESC, c) AS rnk
+        |  FROM sc0 JOIN anorm USING (c))""".stripMargin,
+      "assigned AS (SELECT vec_id, c AS list_id FROM scr WHERE rnk = 1)",
+      """probes AS (
+        |  SELECT vec_id AS query_id, c AS list_id FROM scr
+        |  WHERE vec_id % 100 = 0 AND rnk <= 2)""".stripMargin,
+      """cand AS (
+        |  SELECT p.query_id, a.vec_id, a.list_id
+        |  FROM probes p JOIN assigned a ON a.list_id = p.list_id AND a.vec_id <> p.query_id)""".stripMargin,
+      """cd AS (
+        |  SELECT c.query_id, c.vec_id,
+        |         SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dp
+        |  FROM cand c JOIN u a ON a.vec_id = c.query_id
+        |              JOIN u b ON b.vec_id = c.vec_id AND b.i = a.i
+        |  GROUP BY 1, 2)""".stripMargin,
+      s"""sc AS (
+         |  SELECT query_id, cd.vec_id,
+         |         ${R("dp / (nq.nv * nc.nv)", 6)} AS cosine
+         |  FROM cd JOIN nrm nq ON nq.vec_id = query_id
+         |           JOIN nrm nc ON nc.vec_id = cd.vec_id)""".stripMargin,
+      """topk AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        |    FROM sc)
+        |  WHERE rank <= 5)""".stripMargin,
+      """nnl AS (
+        |  SELECT t.query_id, e.label AS n_label
+        |  FROM topk t JOIN embeddings e USING (vec_id))""".stripMargin,
+      """v AS (
+        |  SELECT query_id, n_label, CAST(COUNT(*) AS INTEGER) AS n_votes
+        |  FROM nnl GROUP BY 1, 2)""".stripMargin,
+      """tot AS (
+        |  SELECT query_id, CAST(COUNT(*) AS INTEGER) AS n_neighbors
+        |  FROM nnl GROUP BY 1)""".stripMargin,
+      """win AS (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY query_id ORDER BY n_votes DESC, n_label) AS rnk
+        |  FROM v)""".stripMargin)(
+      s"""SELECT w.query_id, w.n_label AS predicted_label, w.n_votes,
+         |  tot.n_neighbors,
+         |  ${R("CAST(w.n_votes AS DOUBLE) / tot.n_neighbors", 6)} AS agreement,
+         |  eq.label AS true_label, (w.n_label = eq.label) AS correct
+         |FROM win w JOIN tot USING (query_id)
+         |JOIN embeddings eq ON eq.vec_id = w.query_id
+         |WHERE w.rnk = 1 ORDER BY w.query_id""".stripMargin),
+
     // Filtered-ANN twin: sim3's IVF pipeline with the label%3 predicate
     // applied to the ASSIGNED corpus (pre-filter strategy; assignment is
     // per-vector independent, so filtering before/after assignment is the

@@ -1252,6 +1252,14 @@ object Queries {
     ext.Similarity.ivfTopK(Sources.embeddings(s, dir), ext.Similarity.ivfAnchors(s))
       .orderBy("query_id", "rank")
 
+  /** k-NN (k=5) majority-vote classification over the IVF shortlist (see
+    * [[graft.ext.Similarity.knnClassify]]) — the local-boundary companion
+    * to e2's nearest-centroid classifier. */
+  def sim12KnnClassify(s: SparkSession, dir: String): DataFrame =
+    ext.Similarity.knnClassify(Sources.embeddings(s, dir),
+      ext.Similarity.ivfAnchors(s))
+      .orderBy("query_id")
+
   /** Metadata-filtered vector search (see
     * [[graft.ext.Similarity.ivfTopKFiltered]]): sim3's IVF probe over the
     * label%3==0 slice only — the tenant/category-filter retrieval shape. */
@@ -1778,6 +1786,7 @@ object Queries {
     "sim9_pq_rerank" -> (sim9PqRerank _),
     "sim10_ivfpq_rerank" -> (sim10IvfPqRerank _),
     "sim11_filtered_ann" -> (sim11FilteredAnn _),
+    "sim12_knn_classify" -> (sim12KnnClassify _),
     "sim3_ivf_topk" -> (sim3IvfTopk _),
     "sim4_quantize" -> (sim4Quantize _),
     "sim5_prefix_rerank" -> (sim5PrefixRerank _),

@@ -272,6 +272,39 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "list_id", "cosine")
   }
 
+  /** k-NN majority-vote classification over the IVF shortlist — the
+    * retrieval-based classifier next to e2's nearest-centroid (Rocchio):
+    * e2 votes with ONE prototype per class, k-NN votes with the k actual
+    * nearest neighbors, so it follows local class boundaries a centroid
+    * smooths away. Prediction = most-voted neighbor label, tie-broken
+    * (votes desc, label asc) — deterministic cross-engine; `agreement` =
+    * vote share, the usable confidence signal.
+    *
+    * Scale shape: everything heavy is [[ivfTopK]] (bounded per-query
+    * candidates); the vote runs over the k·|queries| shortlist, and the
+    * two label joins key the shortlist against the corpus's (vec_id,
+    * label) projection — payload-free. */
+  def knnClassify(emb: DataFrame, anchors: DataFrame, queryMod: Int = 100,
+                  k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val nn = ivfTopK(emb, anchors, queryMod, k, nprobe)
+      .join(emb.select(col("vec_id"), col("label").as("n_label")), "vec_id")
+    val totals = nn.groupBy("query_id").agg(count(lit(1)).as("n_total"))
+    val wv = Window.partitionBy("query_id")
+      .orderBy(col("n_votes").desc, col("n_label"))
+    nn.groupBy("query_id", "n_label").agg(count(lit(1)).as("n_votes"))
+      .withColumn("rnk", row_number().over(wv)).filter(col("rnk") === 1)
+      .join(totals, "query_id")
+      .join(emb.select(col("vec_id").as("query_id"),
+        col("label").as("true_label")), "query_id")
+      .select(col("query_id"), col("n_label").as("predicted_label"),
+        col("n_votes").cast("int").as("n_votes"),
+        col("n_total").cast("int").as("n_neighbors"),
+        graft.ops.Num.cround(col("n_votes") / col("n_total"), 6)
+          .as("agreement"),
+        col("true_label"),
+        (col("n_label") === col("true_label")).as("correct"))
+  }
+
   /** Metadata-filtered IVF search — the "filtered vector search" every
     * production retrieval stack needs (search only docs matching a
     * predicate: a tenant, a category, a date range). PRE-filter strategy:
