@@ -1116,6 +1116,48 @@ object OracleSql {
         |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_rep
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin),
 
+    // Best-of-cluster twin: the d6 recursive-CTE closure for membership,
+    // then the t2 quality formula as the survivor election key — both
+    // sides compare the tie-safe-ROUNDED score so an ulp can never flip
+    // the argmax.
+    "d11_best_of_cluster" -> {
+      val punct = "CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / nullif(length(text), 0)"
+      val stop = s"CAST(len(list_filter(tok, t -> t IN ($enList))) AS DOUBLE) / len(tok)"
+      "WITH RECURSIVE " + Seq(toksCte, shCte, shxCte, sigCte, bandsCte,
+        cappedCte,
+        """pairs AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM capped a JOIN capped b
+          |    ON a.band = b.band AND a.band_value = b.band_value AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2)""".stripMargin,
+        """edges AS (
+          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+          |  UNION ALL
+          |  SELECT doc_b AS src, doc_a AS dst FROM pairs)""".stripMargin,
+        """reach AS (
+          |  SELECT src, dst FROM edges
+          |  UNION
+          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)""".stripMargin,
+        """memb AS (
+          |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_rep
+          |  FROM reach GROUP BY src)""".stripMargin,
+        s"""ql AS (
+           |  SELECT doc_id,
+           |    ${R(s"0.4 * LEAST(CAST(len(tok) AS DOUBLE) / 100, 1.0) + 0.3 * (1.0 - $punct) + 0.3 * LEAST($stop * 5, 1.0)", 6)} AS q6
+           |  FROM toks)""".stripMargin,
+        """sel AS (
+          |  SELECT m.cluster_rep, m.doc_id, q.q6,
+          |    ROW_NUMBER() OVER (PARTITION BY m.cluster_rep ORDER BY q.q6 DESC, m.doc_id) AS rn,
+          |    COUNT(*) OVER (PARTITION BY m.cluster_rep) AS n_members,
+          |    MAX(q.q6) OVER (PARTITION BY m.cluster_rep) AS best_quality
+          |  FROM memb m JOIN ql q USING (doc_id))""".stripMargin)
+        .mkString(",\n") +
+        """
+          |SELECT cluster_rep, CAST(n_members AS BIGINT) AS n_members,
+          |       doc_id AS keep_doc_id, best_quality
+          |FROM sel WHERE rn = 1 ORDER BY cluster_rep""".stripMargin
+    },
+
     "d3_simhash" -> {
       val votes = (0 until 16).map(i =>
         s"SUM(CASE WHEN (h // ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END) AS s_$i")

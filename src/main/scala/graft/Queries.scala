@@ -1144,6 +1144,18 @@ object Queries {
   def d3Simhash(s: SparkSession, dir: String): DataFrame =
     ext.Dedup.simhash(Sources.documents(s, dir)).orderBy("doc_id")
 
+  /** Best-quality canonical per near-dup cluster (see
+    * [[graft.ext.Dedup.qualityCanonical]]): d6's clusters, survivors
+    * elected by t2 quality score instead of min id. */
+  def d11BestOfCluster(s: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(s, dir)
+    ext.Dedup.qualityCanonical(docs,
+      ext.Dedup.duplicateClusters(
+        ext.Dedup.lshCandidatePairs(
+          ext.Dedup.minhashSignatures(docs).localCheckpoint(true))))
+      .orderBy("cluster_rep")
+  }
+
   /** Edit-distance fuzzy dedup (see [[graft.ext.Dedup.fuzzyDupPairs]]):
     * blocking on (lang, normalized 16-char prefix) with the d2 hot-bucket
     * cap, levenshtein verification over 64-char normalized prefixes. */
@@ -1778,6 +1790,7 @@ object Queries {
     "d4_ngram_jaccard" -> (d4NgramJaccard _),
     "d5_embedding_neardup" -> (d5EmbeddingNeardup _),
     "d10_fuzzy_dedup" -> (d10FuzzyDedup _),
+    "d11_best_of_cluster" -> (d11BestOfCluster _),
     "sim1_cosine_topk" -> (sim1CosineTopk _),
     "sim2_lsh_topk" -> (sim2LshTopk _),
     "sim6_lsh_multiprobe" -> (sim6LshMultiprobe _),

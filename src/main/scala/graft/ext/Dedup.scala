@@ -277,6 +277,30 @@ object Dedup {
       .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
   }
 
+  /** Quality-aware canonical selection over near-dup clusters: a real
+    * curation pipeline does not keep the MIN-ID member of each duplicate
+    * cluster (that is an arbitrary survivor), it keeps the BEST one —
+    * highest t2 quality score, doc_id as the deterministic tiebreak. The
+    * comparison key is the tie-safe-ROUNDED score (scale 6): quality is a
+    * blend of float ratios, and an unrounded argmax could flip survivors
+    * on a cross-engine ulp.
+    *
+    * Takes the (doc_id, cluster_rep) membership from [[duplicateClusters]]
+    * — all shuffles downstream of it are keyed on cluster_rep over the
+    * members-sized table (payload-free after the score projection). */
+  def qualityCanonical(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val q = TextOps.withQualityScore(docs)
+      .select(col("doc_id"),
+        graft.ops.Num.cround(col("quality_score"), 6).as("q6"))
+    clusters.join(q, "doc_id")
+      .groupBy("cluster_rep")
+      .agg(count(lit(1)).as("n_members"),
+        // max over (q6, -doc_id): highest quality, then smallest doc_id
+        max_by(col("doc_id"), struct(col("q6"), -col("doc_id")))
+          .as("keep_doc_id"),
+        max(col("q6")).as("best_quality"))
+  }
+
   /** Edit-distance-verified fuzzy near-dup pairs — the record-linkage
     * companion to the shingle paths: d2/d8 measure set overlap (token
     * reorderings score high), while edit distance measures SEQUENCE
