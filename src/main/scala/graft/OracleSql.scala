@@ -1999,6 +1999,29 @@ object OracleSql {
          |  ${R("(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n", 6)} AS zipf_intercept
          |FROM st""".stripMargin),
 
+    // Vocab-coverage twin: t11's token counts, bounded top-10000 ranking
+    // with the (count desc, token) tie-safe order, occurrence share per
+    // candidate vocab size.
+    "t26_vocab_coverage" -> (
+      s"""WITH tok AS (
+         |  SELECT t AS token
+         |  FROM (SELECT string_split(text, ' ') AS w FROM documents)
+         |  CROSS JOIN UNNEST(w) AS u(t)),
+         |cnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+         |        FROM tok GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tot,
+         |               CAST(COUNT(*) AS BIGINT) AS vocab FROM cnt),
+         |rk AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS r
+         |       FROM cnt ORDER BY n DESC, token LIMIT 10000),
+         |sz AS (SELECT unnest([10, 100, 1000, 10000]) AS vocab_size),
+         |g AS (
+         |  SELECT vocab_size, CAST(COUNT(*) AS INTEGER) AS n_vocab_used,
+         |         CAST(SUM(n) AS BIGINT) AS n_covered
+         |  FROM rk JOIN sz ON rk.r <= sz.vocab_size GROUP BY 1)
+         |SELECT vocab_size, n_vocab_used, n_covered, tot.vocab AS total_vocab,
+         |  ${R("CAST(n_covered AS DOUBLE) / tot.tot", 6)} AS coverage
+         |FROM g, tot ORDER BY vocab_size""".stripMargin),
+
     // URL-host twin: one Java/RE2-common extract on identically-injected
     // text; both engines return '' on no match.
     "t24_url_hosts" -> (

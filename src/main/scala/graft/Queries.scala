@@ -1399,6 +1399,14 @@ object Queries {
 
   /** Zipf slope of the top-100 token frequency spectrum (see
     * [[graft.ext.TextOps.zipfFit]]). */
+  /** Vocabulary coverage curve (see
+    * [[graft.ext.TextOps.vocabCoverage]]): occurrence share covered by
+    * top-{10,100,1000,10000} vocabularies — t25's Zipf fit made
+    * operational. */
+  def t26VocabCoverage(s: SparkSession, dir: String): DataFrame =
+    ext.TextOps.vocabCoverage(Sources.documents(s, dir))
+      .orderBy("vocab_size")
+
   def t25ZipfFit(s: SparkSession, dir: String): DataFrame =
     ext.TextOps.zipfFit(Sources.documents(s, dir))
 
@@ -1826,6 +1834,7 @@ object Queries {
     "t23_weighted_sample" -> (t23WeightedSample _),
     "t24_url_hosts" -> (t24UrlHosts _),
     "t25_zipf_fit" -> (t25ZipfFit _),
+    "t26_vocab_coverage" -> (t26VocabCoverage _),
     "e1_centroids" -> (e1Centroids _),
     "e2_rocchio" -> (e2NearestCentroid _),
     "e3_hard_negatives" -> (e3HardNegatives _),

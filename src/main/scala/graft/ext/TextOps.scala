@@ -495,6 +495,45 @@ object TextOps {
       .limit(k)
   }
 
+  /** Vocabulary coverage curve — for each candidate vocab size, the share
+    * of all token OCCURRENCES a top-N frequency vocabulary covers (the
+    * tokenizer-design question "how big must the vocab be before OOV is
+    * rare?", the empirical face of t25's Zipf fit: slope ≈ -1 implies
+    * coverage grows ~log N). Ranking is (count desc, token asc) — the
+    * t11/t25 tie-safe order.
+    *
+    * Shape at scale: one token-count shuffle (map-side combine) reduces
+    * the corpus to the vocab-sized table; the candidate ranking is a
+    * bounded TakeOrdered at max(sizes) rows, and every join after it runs
+    * over those ≤ max(sizes) rows against a broadcast threshold list —
+    * the corpus is read once, and nothing downstream of the count scales
+    * with it. */
+  def vocabCoverage(docs: DataFrame,
+                    sizes: Seq[Int] = Seq(10, 100, 1000, 10000)): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__tot"),
+      count(lit(1)).as("__vocab"))
+    val ranked = counts
+      .orderBy(col("n").desc, col("token")).limit(sizes.max)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("token"))))
+    ranked.join(broadcast(sizes.toDF("vocab_size")),
+        col("rank") <= col("vocab_size"))
+      .groupBy("vocab_size")
+      .agg(count(lit(1)).as("n_vocab_used"), sum(col("n")).as("n_covered"))
+      .crossJoin(broadcast(total))
+      .select(col("vocab_size"),
+        col("n_vocab_used").cast("int").as("n_vocab_used"),
+        col("n_covered"),
+        col("__vocab").as("total_vocab"),
+        graft.ops.Num.cround(col("n_covered") / col("__tot"), 6)
+          .as("coverage"))
+  }
+
   /** Zipf/power-law fit of the token frequency spectrum: OLS slope of
     * ln(frequency) on ln(rank) over the `topN` most frequent tokens —
     * natural text follows Zipf's law with slope ≈ −1, so the fitted
