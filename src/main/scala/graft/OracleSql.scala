@@ -820,6 +820,22 @@ object OracleSql {
          |       ELSE ${R("(close - (mid - 2 * sd)) / (4 * sd)", 4)} END AS pct_b
          |FROM bb ORDER BY symbol, "date"""".stripMargin),
 
+    // Beta twin: the same in-query equal-weight market index, the same
+    // per-symbol co-moment regression; ratios round tie-safe at 6.
+    "w16_beta" -> withCtes(stockCte, cleanCte, dedupCte,
+      """r AS (
+        |  SELECT symbol, "date",
+        |         close / LAG(close) OVER (PARTITION BY symbol ORDER BY "date") - 1 AS r
+        |  FROM dedup)""".stripMargin,
+      """rn AS (SELECT * FROM r WHERE r IS NOT NULL)""",
+      """mkt AS (SELECT "date", AVG(r) AS mr FROM rn GROUP BY 1)""")(
+      s"""SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |  ${R("covar_samp(r, mr) / var_samp(mr)", 6)} AS beta,
+         |  ${R("corr(r, mr)", 6)} AS corr_rm,
+         |  ${R("AVG(r) - covar_samp(r, mr) / var_samp(mr) * AVG(mr)", 6)} AS alpha_daily
+         |FROM rn JOIN mkt USING ("date")
+         |GROUP BY symbol ORDER BY symbol""".stripMargin),
+
     // Winsorize twin: quantile_cont == Spark percentile bit-exact (a5), so
     // LEAST/GREATEST take identical branches on identical doubles.
     "f9_winsorize" -> withCtes(stockCte, cleanCte, dedupCte,

@@ -264,6 +264,37 @@ object Queries {
         Seq("bb_mid", "bb_up", "bb_dn"), 2), Seq("pct_b"), 4)
     }
 
+  /** Per-symbol market beta (CAPM): daily returns regressed on the
+    * equal-weight market return — beta = cov(r, m)/var(m), plus the
+    * Pearson correlation and the daily alpha intercept. The market index
+    * is built IN the query (avg return across symbols per date), so this
+    * exercises the build-index-then-join shape a13's within-row co-moments
+    * don't.
+    *
+    * Shape at scale: the returns ride the shared per-symbol window
+    * exchange (w1-w5's); the market index is a dates-sized aggregate that
+    * BROADCASTS back onto the returns, and the regression is one hash
+    * aggregate per symbol — co-moment state, no second pass. Determinism:
+    * beta/corr are unit-free O(1) ratios and alpha is their residual; all
+    * round tie-safe at 6, far above the co-moment summation-order noise
+    * (~1e-12 relative). Symbols with a single traded day yield NULL
+    * beta/corr on both engines (sample variance over one observation). */
+  def w16Beta(s: SparkSession, dir: String): DataFrame = {
+    val r = cleanedStock(s, dir).drop("rid")
+      .withColumn("r", col("close") / lag("close", 1).over(w) - 1)
+      .filter(col("r").isNotNull)
+    val m = r.groupBy("date").agg(avg("r").as("mr"))
+    val beta = covar_samp(col("r"), col("mr")) / var_samp(col("mr"))
+    rounded(r.join(broadcast(m), "date")
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_days"),
+        beta.as("beta"),
+        corr(col("r"), col("mr")).as("corr_rm"),
+        (avg(col("r")) - beta * avg(col("mr"))).as("alpha_daily")),
+      Seq("beta", "corr_rm", "alpha_daily"))
+      .orderBy("symbol")
+  }
+
   /** Per-symbol winsorization — clamp close into its exact [p05, p95]
     * (the robust-cleaning transform next to w13's outlier FILTER: training
     * pipelines clip features more often than they drop rows). Both bounds
@@ -1786,6 +1817,7 @@ object Queries {
     "w13_robust_outliers" -> (w13RobustOutliers _),
     "w14_macd" -> (w14Macd _),
     "w15_bollinger" -> (w15Bollinger _),
+    "w16_beta" -> (w16Beta _),
     "u6_except_all" -> (u6ExceptAll _),
     "f9_winsorize" -> (f9Winsorize _),
     "d1_dedup_exact" -> (d1DedupExact _),
