@@ -1668,6 +1668,30 @@ object OracleSql {
         |  FROM sc)
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
 
+    // Drift twin: per-(snapshot, label, dim) means tie-safe-rounded at 6
+    // BEFORE the distance math (the e1 centroid treatment), distances over
+    // the labels x dims table.
+    "sim13_drift" -> withCtes(
+      embUnnestCte(""),
+      s"""c AS (
+         |  SELECT e.label, (u.vec_id % 2 = 0) AS is_old, u.i,
+         |         ${R("AVG(CAST(u.v AS DOUBLE))", 6)} AS w
+         |  FROM u JOIN embeddings e USING (vec_id) GROUP BY 1, 2, 3)""".stripMargin,
+      "o AS (SELECT label, i, w AS wo FROM c WHERE is_old)",
+      "n AS (SELECT label, i, w AS wn FROM c WHERE NOT is_old)",
+      s"""d AS (
+         |  SELECT label,
+         |    ${R("sqrt(SUM((wo - wn) * (wo - wn)))", 6)} AS centroid_l2,
+         |    ${R("SUM(wo * wn) / (sqrt(SUM(wo * wo)) * sqrt(SUM(wn * wn)))", 6)} AS centroid_cos
+         |  FROM o JOIN n USING (label, i) GROUP BY 1)""".stripMargin,
+      """cnt AS (
+        |  SELECT label,
+        |    CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+        |    CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_new
+        |  FROM embeddings GROUP BY 1)""".stripMargin)(
+      """SELECT label, n_old, n_new, centroid_l2, centroid_cos
+        |FROM d JOIN cnt USING (label) ORDER BY label""".stripMargin),
+
     // k-NN-classify twin: sim3's IVF pipeline at rank<=5, then labeled
     // majority vote with the (votes desc, label asc) tiebreak.
     "sim12_knn_classify" -> withCtes(
@@ -2599,6 +2623,37 @@ object OracleSql {
          |  ${R("quantile_cont(latency_sec, 0.90)", 6)} AS p90_sec,
          |  ${R("AVG(latency_sec)", 2)} AS avg_sec
          |FROM conv GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Funnel-summary twin: the ev1 funnel CTEs collapsed to stage counts,
+    // then a constant 3-row long form with guarded ratio divisions.
+    "ev13_funnel_summary" -> (
+      s"""WITH v AS (
+         |  SELECT user_id, MIN(ts) AS fv FROM events
+         |  WHERE event_type = 'view' GROUP BY 1),
+         |c AS (
+         |  SELECT e.user_id, MIN(e.ts) AS fc
+         |  FROM events e JOIN v USING (user_id)
+         |  WHERE e.event_type = 'click' AND e.ts > v.fv GROUP BY 1),
+         |p AS (
+         |  SELECT e.user_id, MIN(e.ts) AS fp
+         |  FROM events e JOIN c USING (user_id)
+         |  WHERE e.event_type = 'purchase' AND e.ts > c.fc GROUP BY 1),
+         |s AS (
+         |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS s1,
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS s2,
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS s3),
+         |rows_ AS (
+         |  SELECT 1 AS stage, 'view' AS step, s1 AS n_reached, s1 AS prev, s1 AS top_ FROM s
+         |  UNION ALL
+         |  SELECT 2, 'click', s2, s1, s1 FROM s
+         |  UNION ALL
+         |  SELECT 3, 'purchase', s3, s2, s1 FROM s)
+         |SELECT stage, step, n_reached,
+         |  CASE WHEN prev = 0 THEN NULL
+         |       ELSE ${R("CAST(n_reached AS DOUBLE) / prev", 6)} END AS conv_from_prev,
+         |  CASE WHEN top_ = 0 THEN NULL
+         |       ELSE ${R("CAST(n_reached AS DOUBLE) / top_", 6)} END AS conv_from_top
+         |FROM rows_ ORDER BY stage""".stripMargin),
 
     // Session-path twin: st2's sessionization CTEs, in-session rank, then
     // ordered string_agg — the engine's sort_array(collect_list) renders

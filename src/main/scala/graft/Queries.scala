@@ -765,6 +765,36 @@ object Queries {
       .orderBy("cohort_week")
   }
 
+  /** Funnel step-conversion summary — the 3-row report product analytics
+    * draws as the funnel chart: per stage (view -> click -> purchase,
+    * ev1's strict-order semantics), users reaching it, conversion from
+    * the previous stage and from the funnel top. One aggregate over the
+    * users-sized funnel table collapses to a single row; the 3-row long
+    * form is a constant stack — nothing after the funnel's one user_id
+    * exchange scales with events. Ratios round tie-safe at 6 (exact
+    * integer divisions); a zero-user previous stage yields NULL
+    * conversion on both engines (0/0 guarded to null). */
+  def ev13FunnelSummary(s: SparkSession, dir: String): DataFrame = {
+    val f = analytics.Funnel.userFunnel(Sources.events(s, dir))
+      .agg(
+        sum(when(col("funnel_stage") >= 1, 1L).otherwise(0L)).as("s1"),
+        sum(when(col("funnel_stage") >= 2, 1L).otherwise(0L)).as("s2"),
+        sum(when(col("funnel_stage") >= 3, 1L).otherwise(0L)).as("s3"))
+    val stages = f.selectExpr(
+      "stack(3, 1, 'view', s1, s1, 2, 'click', s2, s1, 3, 'purchase', s3, s2) " +
+        "as (stage, step, n_reached, prev)")
+      .withColumn("first", first("n_reached").over(
+        Window.orderBy("stage").rowsBetween(Window.unboundedPreceding, 0)))
+    stages.select(col("stage"), col("step"), col("n_reached"),
+      when(col("prev") === 0, lit(null).cast("double"))
+        .otherwise(Num.cround(col("n_reached") / col("prev"), 6))
+        .as("conv_from_prev"),
+      when(col("first") === 0, lit(null).cast("double"))
+        .otherwise(Num.cround(col("n_reached") / col("first"), 6))
+        .as("conv_from_top"))
+      .orderBy("stage")
+  }
+
   /** Rollup aggregate beyond the reference surface: revenue by
     * (region, segment) with subtotals and grand total. */
   def j4Rollup(s: SparkSession, dir: String): DataFrame = {
@@ -1295,6 +1325,15 @@ object Queries {
     ext.Similarity.ivfTopK(Sources.embeddings(s, dir), ext.Similarity.ivfAnchors(s))
       .orderBy("query_id", "rank")
 
+  /** Per-label embedding drift between snapshot halves (see
+    * [[graft.ext.Similarity.embeddingDrift]]): centroid L2 shift + cosine
+    * between vec_id-parity snapshot proxies — the model/mix-change
+    * monitor. */
+  def sim13Drift(s: SparkSession, dir: String): DataFrame =
+    ext.Similarity.embeddingDrift(Sources.embeddings(s, dir),
+      col("vec_id") % 2 === 0)
+      .orderBy("label")
+
   /** k-NN (k=5) majority-vote classification over the IVF shortlist (see
     * [[graft.ext.Similarity.knnClassify]]) — the local-boundary companion
     * to e2's nearest-centroid classifier. */
@@ -1753,9 +1792,14 @@ object Queries {
     * each payload as (frame_idx, length, digest) — the declarative,
     * codegen'd twin of the imperative sampleFrames chunker. */
   def m3FrameSample(s: SparkSession, dir: String): DataFrame =
+    // sort-first (the t4/t21 layout): ordering the raw docs keeps the
+    // range sampling off the hex+explode+md5 projection and the exchange
+    // carries docs, not the ~32x frame explosion; explode then emits
+    // frame_idx in array order, so (doc_id, frame_idx) stays globally
+    // sorted with no trailing sort. Probed alpha fell 1.33 -> see
+    // COVERAGE.md round-10 continuation.
     ext.Multimodal.frameDigests(
-      ext.Multimodal.asMediaTable(Sources.documents(s, dir)))
-      .orderBy("doc_id", "frame_idx")
+      ext.Multimodal.asMediaTable(Sources.documents(s, dir).orderBy("doc_id")))
 
   // ===== registry ==========================================================
 
@@ -1840,6 +1884,7 @@ object Queries {
     "sim10_ivfpq_rerank" -> (sim10IvfPqRerank _),
     "sim11_filtered_ann" -> (sim11FilteredAnn _),
     "sim12_knn_classify" -> (sim12KnnClassify _),
+    "sim13_drift" -> (sim13Drift _),
     "sim3_ivf_topk" -> (sim3IvfTopk _),
     "sim4_quantize" -> (sim4Quantize _),
     "sim5_prefix_rerank" -> (sim5PrefixRerank _),
@@ -1883,6 +1928,7 @@ object Queries {
     "ev10_rfm" -> (ev10Rfm _),
     "ev11_power_users" -> (ev11PowerUsers _),
     "ev12_time_to_convert" -> (ev12TimeToConvert _),
+    "ev13_funnel_summary" -> (ev13FunnelSummary _),
     "t22_source_entropy" -> (t22SourceEntropy _),
     "x12_pivot" -> (x12Pivot _),
     "st3_interval_join" -> (st3IntervalJoin _),

@@ -534,6 +534,50 @@ object Similarity {
       .agg(count(lit(1)).as("n_vectors"),
         graft.ops.Num.cround(avg(col("__v").cast("double")), 6).as("centroid"))
 
+  /** Embedding drift monitor between two corpus snapshots — the ML-ops
+    * check a production retrieval/training stack runs when the embedding
+    * model or the ingest mix changes: per label, how far did the class
+    * centroid move (L2 and cosine between the old and new centroids), and
+    * how did the population split? Snapshot membership is a caller-given
+    * predicate (here vec_id parity proxies old/new halves; a deployment
+    * passes its snapshot column).
+    *
+    * Determinism: per-(snapshot, label, dim) means round at 6 (the e1
+    * centroid treatment) BEFORE the distance math, so summation-order
+    * ulps in the shuffle-arrival averages can never leak into the
+    * reported drift; the distances then aggregate 64 identical doubles
+    * and round tie-safe at 6.
+    *
+    * Scale shape: one (label, snapshot, dim) aggregate reduces the corpus
+    * (map-side combine over exploded dims); everything downstream runs on
+    * the labels × dims table. */
+  def embeddingDrift(emb: DataFrame, isOld: Column): DataFrame = {
+    val cents = emb
+      .select(col("label"), isOld.as("is_old"),
+        posexplode(col("embedding")).as(Seq("dim", "__v")))
+      .groupBy("label", "is_old", "dim")
+      .agg(graft.ops.Num.cround(avg(col("__v").cast("double")), 6).as("w"))
+    val o = cents.filter(col("is_old")).select(col("label"), col("dim"),
+      col("w").as("wo"))
+    val n = cents.filter(!col("is_old")).select(col("label"), col("dim"),
+      col("w").as("wn"))
+    val counts = emb.groupBy("label").agg(
+      sum(when(isOld, 1L).otherwise(0L)).as("n_old"),
+      sum(when(isOld, 0L).otherwise(1L)).as("n_new"))
+    o.join(n, Seq("label", "dim"))
+      .groupBy("label")
+      .agg(
+        graft.ops.Num.cround(
+          sqrt(sum((col("wo") - col("wn")) * (col("wo") - col("wn")))), 6)
+          .as("centroid_l2"),
+        graft.ops.Num.cround(
+          sum(col("wo") * col("wn")) /
+            (sqrt(sum(col("wo") * col("wo"))) *
+              sqrt(sum(col("wn") * col("wn")))), 6).as("centroid_cos"))
+      .join(counts, "label")
+      .select("label", "n_old", "n_new", "centroid_l2", "centroid_cos")
+  }
+
   /** Semantic decontamination: corpus vectors within cosine >= threshold
     * of ANY benchmark vector — catches paraphrased eval-set leakage that
     * n-gram overlap ([[Decontaminate]]) cannot see; the two run as
