@@ -1668,6 +1668,94 @@ object OracleSql {
         |  FROM sc)
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
 
+    // RRF twin: the sim2 chain verbatim (pl..sc) and the sim3 chain with
+    // its colliding CTEs renamed (icand/icd/isc), both cut at rank<=10,
+    // fused by the exact-reciprocal sum and re-ranked on the rounded
+    // score with the vec_id tiebreak.
+    "sim14_rrf" -> withCtes(
+      embUnnestCte(""), normCte,
+      """pl AS (
+        |  SELECT p, d,
+        |    (CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 8)) AS BIGINT)
+        |     % 2001 - 1000) / 1000.0 AS w
+        |  FROM range(0, 8) t1(p), range(1, 65) t2(d))""".stripMargin,
+      """pd AS (
+        |  SELECT u.vec_id, pl.p, SUM(CAST(u.v AS DOUBLE) * pl.w) AS pdot
+        |  FROM u JOIN pl ON pl.d = u.i GROUP BY 1, 2)""".stripMargin,
+      """bu AS (
+        |  SELECT vec_id,
+        |         CAST(SUM(CASE WHEN pdot > 0 THEN CAST(POWER(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM pd GROUP BY 1)""".stripMargin,
+      "qs AS (SELECT vec_id AS query_id, bucket FROM bu WHERE vec_id % 100 = 0)",
+      """cand AS (
+        |  SELECT qs.query_id, bu.vec_id, qs.bucket
+        |  FROM qs JOIN bu ON bu.bucket = qs.bucket AND bu.vec_id <> qs.query_id)""".stripMargin,
+      """cd AS (
+        |  SELECT c.query_id, c.vec_id, c.bucket,
+        |         SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dp
+        |  FROM cand c JOIN u a ON a.vec_id = c.query_id
+        |              JOIN u b ON b.vec_id = c.vec_id AND b.i = a.i
+        |  GROUP BY 1, 2, 3)""".stripMargin,
+      s"""sc AS (
+         |  SELECT query_id, cd.vec_id, bucket,
+         |         ${R("dp / (nq.nv * nc.nv)", 6)} AS cosine
+         |  FROM cd JOIN nrm nq ON nq.vec_id = query_id
+         |           JOIN nrm nc ON nc.vec_id = cd.vec_id)""".stripMargin,
+      """ltop AS (
+        |  SELECT query_id, vec_id, CAST(rank AS INTEGER) AS lsh_rank FROM (
+        |    SELECT query_id, vec_id,
+        |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        |    FROM sc)
+        |  WHERE rank <= 10)""".stripMargin,
+      """an AS (
+        |  SELECT c, d,
+        |    (CAST(('0x' || substr(md5(CAST(c AS VARCHAR) || '~' || CAST(d AS VARCHAR)), 1, 8)) AS BIGINT)
+        |     % 2001 - 1000) / 1000.0 AS w
+        |  FROM range(0, 16) t1(c), range(1, 65) t2(d))""".stripMargin,
+      "anorm AS (SELECT c, SQRT(SUM(w * w)) AS anorm FROM an GROUP BY c)",
+      """sc0 AS (
+        |  SELECT u.vec_id, an.c, SUM(CAST(u.v AS DOUBLE) * an.w) AS adot
+        |  FROM u JOIN an ON an.d = u.i GROUP BY 1, 2)""".stripMargin,
+      """scr AS (
+        |  SELECT vec_id, c, adot / anorm AS score,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY adot / anorm DESC, c) AS rnk
+        |  FROM sc0 JOIN anorm USING (c))""".stripMargin,
+      "assigned AS (SELECT vec_id, c AS list_id FROM scr WHERE rnk = 1)",
+      """probes AS (
+        |  SELECT vec_id AS query_id, c AS list_id FROM scr
+        |  WHERE vec_id % 100 = 0 AND rnk <= 2)""".stripMargin,
+      """icand AS (
+        |  SELECT p.query_id, a.vec_id
+        |  FROM probes p JOIN assigned a ON a.list_id = p.list_id AND a.vec_id <> p.query_id)""".stripMargin,
+      """icd AS (
+        |  SELECT c.query_id, c.vec_id,
+        |         SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dp
+        |  FROM icand c JOIN u a ON a.vec_id = c.query_id
+        |               JOIN u b ON b.vec_id = c.vec_id AND b.i = a.i
+        |  GROUP BY 1, 2)""".stripMargin,
+      s"""isc AS (
+         |  SELECT query_id, icd.vec_id,
+         |         ${R("dp / (nq.nv * nc.nv)", 6)} AS cosine
+         |  FROM icd JOIN nrm nq ON nq.vec_id = query_id
+         |           JOIN nrm nc ON nc.vec_id = icd.vec_id)""".stripMargin,
+      """itop AS (
+        |  SELECT query_id, vec_id, CAST(rank AS INTEGER) AS ivf_rank FROM (
+        |    SELECT query_id, vec_id,
+        |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        |    FROM isc)
+        |  WHERE rank <= 10)""".stripMargin,
+      s"""f AS (
+         |  SELECT COALESCE(l.query_id, i.query_id) AS query_id,
+         |         COALESCE(l.vec_id, i.vec_id) AS vec_id,
+         |         l.lsh_rank, i.ivf_rank,
+         |         ${R("COALESCE(1.0 / (60 + l.lsh_rank), 0) + COALESCE(1.0 / (60 + i.ivf_rank), 0)", 6)} AS rrf
+         |  FROM ltop l FULL OUTER JOIN itop i
+         |    ON l.query_id = i.query_id AND l.vec_id = i.vec_id)""".stripMargin)(
+      """SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, lsh_rank, ivf_rank, rrf FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, vec_id) AS rank
+        |  FROM f)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
     // Drift twin: per-(snapshot, label, dim) means tie-safe-rounded at 6
     // BEFORE the distance math (the e1 centroid treatment), distances over
     // the labels x dims table.

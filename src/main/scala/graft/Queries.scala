@@ -1325,6 +1325,14 @@ object Queries {
     ext.Similarity.ivfTopK(Sources.embeddings(s, dir), ext.Similarity.ivfAnchors(s))
       .orderBy("query_id", "rank")
 
+  /** Hybrid retrieval via reciprocal-rank fusion (see
+    * [[graft.ext.Similarity.rrfFusion]]): sim2's LSH and sim3's IVF
+    * 10-deep shortlists merged by Σ 1/(60+rank), top-5 out. */
+  def sim14Rrf(s: SparkSession, dir: String): DataFrame =
+    ext.Similarity.rrfFusion(Sources.embeddings(s, dir),
+      ext.Similarity.planes(s), ext.Similarity.ivfAnchors(s))
+      .orderBy("query_id", "rank")
+
   /** Per-label embedding drift between snapshot halves (see
     * [[graft.ext.Similarity.embeddingDrift]]): centroid L2 shift + cosine
     * between vec_id-parity snapshot proxies — the model/mix-change
@@ -1885,6 +1893,7 @@ object Queries {
     "sim11_filtered_ann" -> (sim11FilteredAnn _),
     "sim12_knn_classify" -> (sim12KnnClassify _),
     "sim13_drift" -> (sim13Drift _),
+    "sim14_rrf" -> (sim14Rrf _),
     "sim3_ivf_topk" -> (sim3IvfTopk _),
     "sim4_quantize" -> (sim4Quantize _),
     "sim5_prefix_rerank" -> (sim5PrefixRerank _),

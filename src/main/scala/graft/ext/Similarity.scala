@@ -534,6 +534,37 @@ object Similarity {
       .agg(count(lit(1)).as("n_vectors"),
         graft.ops.Num.cround(avg(col("__v").cast("double")), 6).as("centroid"))
 
+  /** Reciprocal-rank fusion of two retrieval paths (Cormack et al. SIGIR
+    * 2009: score = Σ 1/(c + rank), c=60) — the hybrid-search primitive
+    * production stacks use to merge heterogeneous retrievers without
+    * score calibration. Here it fuses the two bucketed ANN paths (LSH
+    * sim2 + IVF sim3, shortlists of `kIn` each): ranks are integers, so
+    * the fused score is a sum of exact reciprocals — identical doubles
+    * cross-engine — and both the ordering and the output use the
+    * tie-safe-ROUNDED score with vec_id as the final tiebreak.
+    *
+    * Scale shape: both inputs are the bounded shortlist operators (their
+    * plans and caps unchanged); the fusion is a full-outer join of two
+    * kIn·|queries| tables keyed (query_id, vec_id) and a kOut top-k —
+    * nothing here scales with the corpus. */
+  def rrfFusion(emb: DataFrame, planesDf: DataFrame, anchors: DataFrame,
+                queryMod: Int = 100, kIn: Int = 10, kOut: Int = 5,
+                c: Int = 60): DataFrame = {
+    val l = lshTopK(emb, planesDf, queryMod, kIn)
+      .select(col("query_id"), col("vec_id"), col("rank").as("lsh_rank"))
+    val i = ivfTopK(emb, anchors, queryMod, kIn)
+      .select(col("query_id"), col("vec_id"), col("rank").as("ivf_rank"))
+    val fused = l.join(i, Seq("query_id", "vec_id"), "full_outer")
+      .withColumn("rrf", graft.ops.Num.cround(
+        coalesce(lit(1.0) / (lit(c) + col("lsh_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("ivf_rank")), lit(0.0)), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("vec_id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kOut)
+      .select("query_id", "rank", "vec_id", "lsh_rank", "ivf_rank", "rrf")
+  }
+
   /** Embedding drift monitor between two corpus snapshots — the ML-ops
     * check a production retrieval/training stack runs when the embedding
     * model or the ingest mix changes: per label, how far did the class
