@@ -836,6 +836,48 @@ object OracleSql {
          |FROM rn JOIN mkt USING ("date")
          |GROUP BY symbol ORDER BY symbol""".stripMargin),
 
+    // Sharpe twin: same return CTE as w16; sqrt(252) is the same IEEE
+    // double in both engines; zero-variance exclusion mirrors the Spark
+    // side's NaN-vs-NULL guard.
+    "w17_sharpe" -> withCtes(stockCte, cleanCte, dedupCte,
+      """r AS (
+        |  SELECT symbol,
+        |         close / LAG(close) OVER (PARTITION BY symbol ORDER BY "date") - 1 AS r
+        |  FROM dedup)""".stripMargin,
+      """rn AS (SELECT * FROM r WHERE r IS NOT NULL)""")(
+      s"""SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |  ${R("AVG(r)", 6)} AS mean_r,
+         |  ${R("STDDEV_SAMP(r)", 6)} AS sd_r,
+         |  ${R("CASE WHEN STDDEV_SAMP(r) IS NULL OR STDDEV_SAMP(r) = 0 THEN NULL ELSE AVG(r) / STDDEV_SAMP(r) * sqrt(252) END", 6)} AS sharpe_ann
+         |FROM rn GROUP BY symbol ORDER BY symbol""".stripMargin),
+
+    // VWAP twin: date_trunc('week') is the ISO Monday in both engines;
+    // BIGINT volume sum cast back from DuckDB's HUGEINT; 0/0 guarded.
+    "w18_vwap" -> withCtes(stockCte, cleanCte, dedupCte)(
+      s"""SELECT symbol, CAST(date_trunc('week', "date") AS DATE) AS wk,
+         |  ${R("CASE WHEN SUM(volume) = 0 THEN NULL ELSE SUM(close * volume) / SUM(volume) END", 2)} AS vwap,
+         |  CAST(SUM(volume) AS BIGINT) AS wk_volume,
+         |  CAST(COUNT(*) AS BIGINT) AS n_days
+         |FROM dedup GROUP BY 1, 2 ORDER BY symbol, wk""".stripMargin),
+
+    // Streak twin: identical gaps-and-islands formulation — the grp
+    // difference is constant within each unbroken up-run.
+    "w19_streaks" -> withCtes(stockCte, cleanCte, dedupCte,
+      """f AS (
+        |  SELECT symbol, "date",
+        |         CASE WHEN close > LAG(close) OVER sw THEN 1 ELSE 0 END AS up,
+        |         ROW_NUMBER() OVER sw AS rn
+        |  FROM dedup WINDOW sw AS (PARTITION BY symbol ORDER BY "date"))""".stripMargin,
+      """u AS (
+        |  SELECT symbol,
+        |         rn - ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY "date") AS grp
+        |  FROM f WHERE up = 1)""".stripMargin,
+      """st AS (SELECT symbol, grp, COUNT(*) AS len FROM u GROUP BY 1, 2)""")(
+      """SELECT symbol, CAST(MAX(len) AS INTEGER) AS longest_up_streak,
+        |       CAST(COUNT(*) AS INTEGER) AS n_up_streaks,
+        |       CAST(SUM(len) AS BIGINT) AS total_up_days
+        |FROM st GROUP BY symbol ORDER BY symbol""".stripMargin),
+
     // Winsorize twin: quantile_cont == Spark percentile bit-exact (a5), so
     // LEAST/GREATEST take identical branches on identical doubles.
     "f9_winsorize" -> withCtes(stockCte, cleanCte, dedupCte,

@@ -295,6 +295,76 @@ object Queries {
       .orderBy("symbol")
   }
 
+  /** Per-symbol annualized Sharpe ratio — mean daily return over its
+    * sample stddev, scaled by sqrt(252 trading days). The risk-adjusted
+    * companion to w16's beta: one lag pass on the shared symbol window,
+    * then ONE hash aggregate per symbol (no second scan). Single-day
+    * symbols yield NULL (stddev_samp over one observation, the w5/w16
+    * contract); a zero-variance return series is excluded explicitly so
+    * Spark's x/0 = Infinity can't diverge from an oracle NULL. sqrt(252)
+    * is the same IEEE double in both engines. */
+  def w17Sharpe(s: SparkSession, dir: String): DataFrame = {
+    val r = cleanedStock(s, dir).drop("rid")
+      .withColumn("r", col("close") / lag("close", 1).over(w) - 1)
+      .filter(col("r").isNotNull)
+    val sd = stddev_samp(col("r"))
+    rounded(r.groupBy("symbol")
+      .agg(count(lit(1)).as("n_days"),
+        avg(col("r")).as("mean_r"),
+        sd.as("sd_r"),
+        when(sd.isNull || sd === 0.0, lit(null).cast("double"))
+          .otherwise(avg(col("r")) / sd * lit(math.sqrt(252.0)))
+          .as("sharpe_ann")),
+      Seq("mean_r", "sd_r", "sharpe_ann"))
+      .orderBy("symbol")
+  }
+
+  /** Weekly volume-weighted average price per symbol — the standard
+    * execution-quality benchmark, and the coarse-grain resample the
+    * reference's daily pipeline lacks. date_trunc('week') buckets to the
+    * ISO Monday in BOTH engines; the whole query is one hash aggregate
+    * (partial map-side combine on (symbol, week)), no window, no join.
+    * An all-zero-volume week yields NULL explicitly (0/0 NaN-vs-NULL
+    * guard, the w15 convention). vwap rounds at 2 — price-like and built
+    * from multi-term summation. */
+  def w18Vwap(s: SparkSession, dir: String): DataFrame = {
+    val pv = sum(col("close") * col("volume"))
+    val vol = sum(col("volume"))
+    rounded(cleanedStock(s, dir)
+      .groupBy(col("symbol"), date_trunc("week", col("date")).cast("date").as("wk"))
+      .agg(
+        when(vol === 0L, lit(null).cast("double")).otherwise(pv / vol).as("vwap"),
+        vol.as("wk_volume"),
+        count(lit(1)).as("n_days")),
+      Seq("vwap"), 2)
+      .orderBy("symbol", "wk")
+  }
+
+  /** Longest consecutive up-day streak per symbol — the gaps-and-islands
+    * pattern (streak id = global row_number minus up-only row_number, a
+    * constant within each unbroken run). All three windows ride the ONE
+    * shared (symbol, date) sort; the streak group-by partial-aggregates
+    * map-side to at most one row per run, and the final per-symbol
+    * aggregate reduces that. Equality days (close == lag) break a streak
+    * on both engines — the doubles compare bit-identical because both
+    * derive them from the same parquet by the same arithmetic. Symbols
+    * with zero up days have no streaks and drop out (mirrored in the
+    * oracle). */
+  def w19Streaks(s: SparkSession, dir: String): DataFrame = {
+    val flagged = cleanedStock(s, dir).drop("rid")
+      .withColumn("up", col("close") > lag("close", 1).over(w))
+      .withColumn("rn", row_number().over(w))
+    val streaks = flagged.filter(col("up") === true)
+      .withColumn("grp", col("rn") - row_number().over(w))
+      .groupBy("symbol", "grp")
+      .agg(count(lit(1)).as("len"))
+    streaks.groupBy("symbol")
+      .agg(max("len").cast("int").as("longest_up_streak"),
+        count(lit(1)).cast("int").as("n_up_streaks"),
+        sum("len").as("total_up_days"))
+      .orderBy("symbol")
+  }
+
   /** Per-symbol winsorization — clamp close into its exact [p05, p95]
     * (the robust-cleaning transform next to w13's outlier FILTER: training
     * pipelines clip features more often than they drop rows). Both bounds
@@ -1870,6 +1940,9 @@ object Queries {
     "w14_macd" -> (w14Macd _),
     "w15_bollinger" -> (w15Bollinger _),
     "w16_beta" -> (w16Beta _),
+    "w17_sharpe" -> (w17Sharpe _),
+    "w18_vwap" -> (w18Vwap _),
+    "w19_streaks" -> (w19Streaks _),
     "u6_except_all" -> (u6ExceptAll _),
     "f9_winsorize" -> (f9Winsorize _),
     "d1_dedup_exact" -> (d1DedupExact _),

@@ -495,6 +495,61 @@ object TextOps {
       .limit(k)
   }
 
+  /** Corpus bigram collocations — top-k adjacent token pairs by count,
+    * with doc frequency and pointwise mutual information against the
+    * unigram model: PMI = ln((c₁₂/N₂) / ((c₁/N₁)(c₂/N₁))). High-count
+    * high-PMI pairs are the BPE merge / collocation candidates next to
+    * t11's unigram vocabulary (reference provenance: the reference has no
+    * text surface; this extends tokenizer-prep analytics).
+    *
+    * Bigrams are built with zip_with over two offset slices of the token
+    * array — a higher-order projection, no self-join on position, no UDF.
+    * Shape at scale: the corpus reduces through TWO map-side-combining
+    * count aggregates (bigram table, unigram table); the top-k ranking is
+    * a bounded TakeOrdered at k rows; and the PMI enrichment joins the
+    * k-row shortlist (broadcast) against the unigram counts — nothing
+    * downstream of the counts scales with the corpus. Determinism: counts
+    * are exact integers, the PMI formula is rendered with identical
+    * parenthesization in the DuckDB oracle, and ln agrees across engines
+    * to 1 ulp (t22/t25 precedent) — tie-safe-rounded at 6. */
+  def bigramCollocations(docs: DataFrame, k: Int = 20): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val t = tokens(col("text"))
+    val bigrams = docs.select(col("doc_id"), explode(
+      zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bigram"))
+    val bgCounts = bigrams
+      .groupBy("bigram", "doc_id").agg(count(lit(1)).as("__c"))
+      .groupBy("bigram").agg(
+        sum("__c").as("n_occurrences"),
+        count(lit(1)).as("doc_freq"))
+    val uni = docs.select(explode(t).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).cast("double").as("uc"))
+    val nBg = bgCounts.agg(sum("n_occurrences").cast("double").as("n_bigrams"))
+    val nUni = uni.agg(sum("uc").as("n_unigrams"))
+    val top = bgCounts
+      .orderBy(col("n_occurrences").desc, col("bigram").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_occurrences").desc, col("bigram").asc)).cast("int"))
+      .withColumn("__w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("__w2", split(col("bigram"), " ").getItem(1))
+    val u1 = uni.select(col("tok").as("__w1"), col("uc").as("__uc1"))
+    val u2 = uni.select(col("tok").as("__w2"), col("uc").as("__uc2"))
+    // each join streams the big unigram table against the broadcast k-row
+    // shortlist, so only <= k rows ever leave either join
+    val withU1 = u1.join(broadcast(top), "__w1")
+    u2.join(broadcast(withU1), "__w2")
+      .crossJoin(broadcast(nBg)).crossJoin(broadcast(nUni))
+      .select(col("bigram"), col("n_occurrences"), col("doc_freq"), col("rank"),
+        graft.ops.Num.cround(
+          log((col("n_occurrences").cast("double") / col("n_bigrams")) /
+            ((col("__uc1") / col("n_unigrams")) * (col("__uc2") / col("n_unigrams")))),
+          6).as("pmi"))
+      .orderBy("rank")
+  }
+
   /** Vocabulary coverage curve — for each candidate vocab size, the share
     * of all token OCCURRENCES a top-N frequency vocabulary covers (the
     * tokenizer-design question "how big must the vocab be before OOV is
