@@ -878,6 +878,88 @@ object OracleSql {
         |       CAST(SUM(len) AS BIGINT) AS total_up_days
         |FROM st GROUP BY symbol ORDER BY symbol""".stripMargin),
 
+    // Raw-moment twin: the formula renders with IDENTICAL parenthesization
+    // to the Spark side (same IEEE arithmetic); GREATEST(var, 0) inside
+    // sqrt because DuckDB's sqrt throws on negatives even under the CASE.
+    "a16_moments" -> withCtes(stockCte, cleanCte, dedupCte,
+      """r AS (
+        |  SELECT symbol,
+        |         close / LAG(close) OVER (PARTITION BY symbol ORDER BY "date") - 1 AS r
+        |  FROM dedup)""".stripMargin,
+      """mo AS (
+        |  SELECT symbol, COUNT(*) AS n_days,
+        |         AVG(r) AS m1, AVG(r * r) AS m2,
+        |         AVG(r * r * r) AS m3, AVG(r * r * r * r) AS m4
+        |  FROM r WHERE r IS NOT NULL GROUP BY symbol)""".stripMargin)(
+      s"""SELECT symbol, CAST(n_days AS BIGINT) AS n_days,
+         |  ${R("CASE WHEN m2 - m1 * m1 <= 0 THEN NULL ELSE (m3 - 3.0 * m1 * m2 + 2.0 * m1 * m1 * m1) / ((m2 - m1 * m1) * sqrt(GREATEST(m2 - m1 * m1, 0.0))) END", 6)} AS skew_r,
+         |  ${R("CASE WHEN m2 - m1 * m1 <= 0 THEN NULL ELSE (m4 - 4.0 * m1 * m3 + 6.0 * m1 * m1 * m2 - 3.0 * m1 * m1 * m1 * m1) / ((m2 - m1 * m1) * (m2 - m1 * m1)) - 3.0 END", 6)} AS kurt_r
+         |FROM mo ORDER BY symbol""".stripMargin),
+
+    // Ranking-family twin: rank/dense_rank/percent_rank/cume_dist are
+    // tie-deterministic under the bare (volume DESC) order; only ntile
+    // needs the fully tie-broken order. INTEGER casts match Spark's ints.
+    "x13_ranks" -> withCtes(stockCte, cleanCte, dedupCte)(
+      s"""SELECT symbol, "date", volume,
+         |  CAST(RANK() OVER wv AS INTEGER) AS rnk,
+         |  CAST(DENSE_RANK() OVER wv AS INTEGER) AS drnk,
+         |  ${R("PERCENT_RANK() OVER wv", 6)} AS pct_rank,
+         |  ${R("CUME_DIST() OVER wv", 6)} AS cume,
+         |  CAST(NTILE(4) OVER (PARTITION BY symbol ORDER BY volume DESC, "date") AS INTEGER) AS quartile
+         |FROM dedup
+         |WINDOW wv AS (PARTITION BY symbol ORDER BY volume DESC)
+         |ORDER BY symbol, "date"""".stripMargin),
+
+    // Collocation twin: bigrams via list_zip over offset slices; the PMI
+    // formula renders with identical parenthesization to the Spark side
+    // (counts are exact integers; ln agrees to 1 ulp — t22/t25 precedent).
+    "t27_collocations" -> (
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |bg AS (
+         |  SELECT doc_id, bt AS bigram
+         |  FROM (SELECT doc_id,
+         |          list_transform(list_zip(w[1:-2], w[2:-1]),
+         |                         x -> x[1] || ' ' || x[2]) AS bgs
+         |        FROM tok)
+         |  CROSS JOIN UNNEST(bgs) AS u(bt)),
+         |bc AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         |              CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+         |       FROM bg GROUP BY 1),
+         |un AS (SELECT t AS tok, CAST(COUNT(*) AS DOUBLE) AS uc
+         |       FROM tok CROSS JOIN UNNEST(w) AS v(t) GROUP BY 1),
+         |nb AS (SELECT CAST(SUM(n_occurrences) AS DOUBLE) AS n_bigrams FROM bc),
+         |nu AS (SELECT SUM(uc) AS n_unigrams FROM un),
+         |top AS (SELECT bigram, n_occurrences, doc_freq,
+         |               ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, bigram) AS rank
+         |        FROM bc ORDER BY n_occurrences DESC, bigram LIMIT 20)
+         |SELECT bigram, n_occurrences, doc_freq, CAST(rank AS INTEGER) AS rank,
+         |  ${R("ln((CAST(n_occurrences AS DOUBLE) / n_bigrams) / ((u1.uc / n_unigrams) * (u2.uc / n_unigrams)))", 6)} AS pmi
+         |FROM top
+         |JOIN un u1 ON u1.tok = split_part(bigram, ' ', 1)
+         |JOIN un u2 ON u2.tok = split_part(bigram, ' ', 2)
+         |CROSS JOIN nb CROSS JOIN nu
+         |ORDER BY rank""".stripMargin),
+
+    // Stickiness twin: one (user, day) distinct, DAU/WAU both off the
+    // deduplicated pairs; avg_dau and the ratio are exact-integer
+    // divisions — identical IEEE results, rounded tie-safe anyway.
+    "ev14_stickiness" -> (
+      s"""WITH du AS (
+         |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS "day"
+         |  FROM events),
+         |dau AS (SELECT "day", COUNT(*) AS dau FROM du GROUP BY 1),
+         |wd AS (SELECT CAST(date_trunc('week', "day") AS DATE) AS wk,
+         |              CAST(COUNT(*) AS BIGINT) AS n_days, AVG(dau) AS avg_dau
+         |       FROM dau GROUP BY 1),
+         |wau AS (SELECT CAST(date_trunc('week', "day") AS DATE) AS wk,
+         |               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+         |        FROM du GROUP BY 1)
+         |SELECT wd.wk, n_days, wau,
+         |  ${R("avg_dau", 2)} AS avg_dau,
+         |  ${R("avg_dau / wau", 6)} AS stickiness
+         |FROM wd JOIN wau ON wd.wk = wau.wk
+         |ORDER BY wd.wk""".stripMargin),
+
     // Winsorize twin: quantile_cont == Spark percentile bit-exact (a5), so
     // LEAST/GREATEST take identical branches on identical doubles.
     "f9_winsorize" -> withCtes(stockCte, cleanCte, dedupCte,

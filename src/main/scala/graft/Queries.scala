@@ -365,6 +365,74 @@ object Queries {
       .orderBy("symbol")
   }
 
+  /** Per-symbol return-distribution shape — skewness and excess kurtosis
+    * of daily returns from RAW moments (one aggregate computes E[r^k] for
+    * k=1..4, then the central moments assemble algebraically). Engine
+    * builtins are deliberately avoided: Spark's skewness/kurtosis and
+    * DuckDB's use different bias corrections, while the raw-moment
+    * formula renders IDENTICALLY in both dialects — same parenthesization
+    * → same IEEE arithmetic, summation-order noise sits ~1e-11 under the
+    * 1e-9 tie guard. sqrt takes GREATEST(var, 0): near-constant series
+    * can cancel to var < 0, where DuckDB's sqrt throws (Spark's returns
+    * NaN) even under a CASE guard, because both engines evaluate
+    * vectorized branches eagerly. Zero-variance and single-day series
+    * yield NULL on both engines. */
+  def a16Moments(s: SparkSession, dir: String): DataFrame = {
+    val r = cleanedStock(s, dir).drop("rid")
+      .withColumn("r", col("close") / lag("close", 1).over(w) - 1)
+      .filter(col("r").isNotNull)
+    val agg = r.groupBy("symbol").agg(
+      count(lit(1)).as("n_days"),
+      avg(col("r")).as("m1"),
+      avg(col("r") * col("r")).as("m2"),
+      avg(col("r") * col("r") * col("r")).as("m3"),
+      avg(col("r") * col("r") * col("r") * col("r")).as("m4"))
+    val m1 = col("m1"); val m2 = col("m2"); val m3 = col("m3"); val m4 = col("m4")
+    val v = m2 - m1 * m1
+    rounded(agg.select(col("symbol"), col("n_days"),
+      when(v <= 0.0, lit(null).cast("double"))
+        .otherwise((m3 - lit(3.0) * m1 * m2 + lit(2.0) * m1 * m1 * m1) /
+          (v * sqrt(greatest(v, lit(0.0))))).as("skew_r"),
+      when(v <= 0.0, lit(null).cast("double"))
+        .otherwise((m4 - lit(4.0) * m1 * m3 + lit(6.0) * m1 * m1 * m2 -
+          lit(3.0) * m1 * m1 * m1 * m1) / (v * v) - lit(3.0)).as("kurt_r")),
+      Seq("skew_r", "kurt_r"))
+      .orderBy("symbol")
+  }
+
+  /** The SQL ranking-function family over one per-symbol volume ordering:
+    * rank (gapped), dense_rank, percent_rank, cume_dist — all
+    * TIE-DETERMINISTIC under the bare (volume desc) order, so ties in
+    * volume are exercised rather than broken away — plus ntile(4), which
+    * DOES follow raw row order and therefore ranks over the fully
+    * tie-broken (volume desc, date) order. Both window specs share the
+    * one symbol-hash exchange. percent_rank/cume_dist are exact rationals
+    * of small integers — identical doubles cross-engine. */
+  def x13Ranks(s: SparkSession, dir: String): DataFrame = {
+    val wv = Window.partitionBy("symbol").orderBy(col("volume").desc)
+    val wvT = Window.partitionBy("symbol").orderBy(col("volume").desc, col("date"))
+    rounded(cleanedStock(s, dir).drop("rid")
+      .select(col("symbol"), col("date"), col("volume"),
+        rank().over(wv).as("rnk"),
+        dense_rank().over(wv).as("drnk"),
+        percent_rank().over(wv).as("pct_rank"),
+        cume_dist().over(wv).as("cume"),
+        ntile(4).over(wvT).as("quartile")),
+      Seq("pct_rank", "cume"))
+      .orderBy("symbol", "date")
+  }
+
+  /** Corpus bigram collocations with PMI (see
+    * [[graft.ext.TextOps.bigramCollocations]]). */
+  def t27Collocations(s: SparkSession, dir: String): DataFrame =
+    ext.TextOps.bigramCollocations(Sources.documents(s, dir), k = 20)
+
+  /** Weekly DAU/WAU stickiness (see
+    * [[graft.analytics.ActiveUsers.weeklyStickiness]]). */
+  def ev14Stickiness(s: SparkSession, dir: String): DataFrame =
+    analytics.ActiveUsers.weeklyStickiness(Sources.events(s, dir))
+      .orderBy("wk")
+
   /** Per-symbol winsorization — clamp close into its exact [p05, p95]
     * (the robust-cleaning transform next to w13's outlier FILTER: training
     * pipelines clip features more often than they drop rows). Both bounds
@@ -1943,6 +2011,10 @@ object Queries {
     "w17_sharpe" -> (w17Sharpe _),
     "w18_vwap" -> (w18Vwap _),
     "w19_streaks" -> (w19Streaks _),
+    "a16_moments" -> (a16Moments _),
+    "x13_ranks" -> (x13Ranks _),
+    "t27_collocations" -> (t27Collocations _),
+    "ev14_stickiness" -> (ev14Stickiness _),
     "u6_except_all" -> (u6ExceptAll _),
     "f9_winsorize" -> (f9Winsorize _),
     "d1_dedup_exact" -> (d1DedupExact _),

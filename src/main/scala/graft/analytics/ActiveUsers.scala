@@ -54,31 +54,32 @@ object ActiveUsers {
       .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"), col("wau"))
   }
 
-  /** Monthly DAU/MAU stickiness — the "how often do monthly users show
+  /** Weekly DAU/WAU stickiness — the "how often do weekly users show
     * up" engagement ratio next to [[rollingActive]]'s daily curves.
-    * stickiness = (average DAU over the month's observed days) / MAU.
+    * stickiness = (average DAU over the week's observed days) / WAU,
+    * per calendar ISO week (vs rollingActive's sliding window).
     *
     * Same scale inversion as rollingActive: ONE distinct over
-    * (user_id, day) is the only corpus-sized exchange; DAU and MAU both
-    * aggregate the deduplicated pairs (users × days bounded), and the MAU
-    * count-distinct runs per month over those pairs — never over raw
+    * (user_id, day) is the only corpus-sized exchange; DAU and WAU both
+    * aggregate the deduplicated pairs (users × days bounded), and the WAU
+    * count-distinct runs per week over those pairs — never over raw
     * events. Determinism: avg_dau is a sum/count of exact integers and
     * stickiness its exact-integer ratio — both engines compute the same
     * IEEE divisions; rounded tie-safe anyway (2 / 6, the house scales). */
-  def monthlyStickiness(events: DataFrame): DataFrame = {
+  def weeklyStickiness(events: DataFrame): DataFrame = {
     val daily = events
       .select(col("user_id"),
         date_trunc("day", col("ts")).cast("date").as("day"))
       .distinct()
     val dau = daily.groupBy("day").agg(count(lit(1)).as("dau"))
-      .groupBy(date_trunc("month", col("day")).cast("date").as("mo"))
+      .groupBy(date_trunc("week", col("day")).cast("date").as("wk"))
       .agg(count(lit(1)).as("n_days"), avg("dau").as("avg_dau"))
-    val mau = daily
-      .groupBy(date_trunc("month", col("day")).cast("date").as("mo"))
-      .agg(countDistinct(col("user_id")).as("mau"))
-    dau.join(mau, "mo")
-      .select(col("mo"), col("n_days"), col("mau"),
+    val wau = daily
+      .groupBy(date_trunc("week", col("day")).cast("date").as("wk"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, "wk")
+      .select(col("wk"), col("n_days"), col("wau"),
         graft.ops.Num.cround(col("avg_dau"), 2).as("avg_dau"),
-        graft.ops.Num.cround(col("avg_dau") / col("mau"), 6).as("stickiness"))
+        graft.ops.Num.cround(col("avg_dau") / col("wau"), 6).as("stickiness"))
   }
 }

@@ -516,7 +516,7 @@ object TextOps {
     require(k >= 1, "k must be >= 1")
     val t = tokens(col("text"))
     val bigrams = docs.select(col("doc_id"), explode(
-      zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+      zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
         (a, b) => concat(a, lit(" "), b))).as("bigram"))
     val bgCounts = bigrams
       .groupBy("bigram", "doc_id").agg(count(lit(1)).as("__c"))

@@ -761,6 +761,54 @@ class ExtSpec extends AnyFunSuite {
       ("cherry", 1L, 1L)))
   }
 
+  test("bigram collocations count adjacent pairs and PMI rewards exclusive pairs") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "new york new york"),   // "new york" x2, "york new" x1
+      (1L, "new york is big"),
+      (2L, "old men and old dogs"),
+      (3L, "solo")                  // 1 token -> no bigrams
+    ).toDF("doc_id", "text")
+    val out = TextOps.bigramCollocations(corpus, k = 3).collect()
+    val rows = out.map(r => (r.getAs[String]("bigram"),
+      r.getAs[Long]("n_occurrences"), r.getAs[Long]("doc_freq"),
+      r.getAs[Int]("rank")))
+    // "new york": 3 occurrences across 2 docs; every other bigram occurs
+    // once (tie -> bigram asc: "and old", "is big")
+    assert(rows.toSeq == Seq(("new york", 3L, 2L, 1),
+      ("and old", 1L, 1L, 2), ("is big", 1L, 1L, 3)), rows.toSeq.toString)
+    // PMI check against the closed form: bigram totals doc0 3, doc1 3,
+    // doc2 4, doc3 0 -> N_bg = 10; unigrams: 4 + 4 + 5 + 1 = 14.
+    // c(new)=3, c(york)=3, c(new york)=3:
+    // pmi = ln((3/10) / ((3/14)*(3/14)))
+    val expected = math.log((3.0 / 10.0) / ((3.0 / 14.0) * (3.0 / 14.0)))
+    val got = out.find(_.getAs[String]("bigram") == "new york").get
+      .getAs[Double]("pmi")
+    assert(math.abs(got - expected) < 1e-6, s"pmi $got vs $expected")
+  }
+
+  test("weekly stickiness is avg DAU over WAU per calendar week") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // ISO week of 2024-01-01 (a Monday): users 1,2 active Mon; 1 active Tue
+    // -> DAU = [2, 1], avg 1.5; WAU = 2 -> stickiness 0.75.
+    // A second event of user 1 on Monday must not change anything.
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (1L, Timestamp.valueOf("2024-01-01 11:00:00")),
+      (2L, Timestamp.valueOf("2024-01-01 12:00:00")),
+      (1L, Timestamp.valueOf("2024-01-02 09:00:00")),
+      (3L, Timestamp.valueOf("2024-01-08 09:00:00")) // next week, alone
+    ).toDF("user_id", "ts")
+    val out = graft.analytics.ActiveUsers.weeklyStickiness(ev)
+      .orderBy("wk").collect()
+      .map(r => (r.getAs[java.sql.Date]("wk").toString,
+        r.getAs[Long]("n_days"), r.getAs[Long]("wau"),
+        r.getAs[Double]("avg_dau"), r.getAs[Double]("stickiness")))
+    assert(out.toSeq == Seq(("2024-01-01", 2L, 2L, 1.5, 0.75),
+      ("2024-01-08", 1L, 1L, 1.0, 1.0)), out.toSeq.toString)
+  }
+
   test("tf-idf keywords rank distinctive tokens above corpus-wide ones") {
     import spark.implicits._
     // "common" appears in every doc (minimum idf); each doc's marker token
