@@ -896,6 +896,22 @@ object OracleSql {
          |  ${R("CASE WHEN m2 - m1 * m1 <= 0 THEN NULL ELSE (m4 - 4.0 * m1 * m3 + 6.0 * m1 * m1 * m2 - 3.0 * m1 * m1 * m1 * m1) / ((m2 - m1 * m1) * (m2 - m1 * m1)) - 3.0 END", 6)} AS kurt_r
          |FROM mo ORDER BY symbol""".stripMargin),
 
+    // Autocorrelation twin: same return CTE as w16/w17, second lag for
+    // the pair, DuckDB corr (the w16-proven contract).
+    "w20_autocorr" -> withCtes(stockCte, cleanCte, dedupCte,
+      """r AS (
+        |  SELECT symbol, "date",
+        |         close / LAG(close) OVER (PARTITION BY symbol ORDER BY "date") - 1 AS r
+        |  FROM dedup)""".stripMargin,
+      """rp AS (
+        |  SELECT symbol, r,
+        |         LAG(r) OVER (PARTITION BY symbol ORDER BY "date") AS prev_r
+        |  FROM r)""".stripMargin)(
+      s"""SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  ${R("corr(r, prev_r)", 6)} AS autocorr_1
+         |FROM rp WHERE r IS NOT NULL AND prev_r IS NOT NULL
+         |GROUP BY symbol ORDER BY symbol""".stripMargin),
+
     // Ranking-family twin: rank/dense_rank/percent_rank/cume_dist are
     // tie-deterministic under the bare (volume DESC) order; only ntile
     // needs the fully tie-broken order. INTEGER casts match Spark's ints.
@@ -909,6 +925,36 @@ object OracleSql {
          |FROM dedup
          |WINDOW wv AS (PARTITION BY symbol ORDER BY volume DESC)
          |ORDER BY symbol, "date"""".stripMargin),
+
+    // Containment twin: d8's candidate/shingle/intersect CTEs verbatim,
+    // asymmetric |A∩B|/|A| and /|B| outputs; the keep filter compares the
+    // tie-safe-ROUNDED ratios on both sides (Spark filters rounded too).
+    "d12_containment" -> withCtes(toksCte, shCte, shxCte, sigCte, bandsCte,
+      cappedCte,
+      """cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM capped a JOIN capped b
+        |    ON a.band = b.band AND a.band_value = b.band_value AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)""".stripMargin,
+      "dsh AS (SELECT DISTINCT doc_id, shingle FROM shx)",
+      "sz AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id)",
+      """iv AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        |  FROM cand c JOIN dsh a ON a.doc_id = c.doc_a
+        |               JOIN dsh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        |  GROUP BY 1, 2)""".stripMargin,
+      s"""ct AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    ${R("CAST(coalesce(iv.n_common, 0) AS DOUBLE) / za.n", 6)} AS containment_a,
+         |    ${R("CAST(coalesce(iv.n_common, 0) AS DOUBLE) / zb.n", 6)} AS containment_b
+         |  FROM cand c
+         |  LEFT JOIN iv ON iv.doc_a = c.doc_a AND iv.doc_b = c.doc_b
+         |  JOIN sz za ON za.doc_id = c.doc_a
+         |  JOIN sz zb ON zb.doc_id = c.doc_b)""".stripMargin)(
+      """SELECT doc_a, doc_b, containment_a, containment_b
+        |FROM ct
+        |WHERE containment_a >= 0.3 OR containment_b >= 0.3
+        |ORDER BY 1, 2""".stripMargin),
 
     // Collocation twin: bigrams via list_zip over offset slices; the PMI
     // formula renders with identical parenthesization to the Spark side
@@ -2665,6 +2711,48 @@ object OracleSql {
          |SELECT vec_id, label, c_label AS predicted, dist2,
          |       (label = c_label) AS correct
          |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
+    },
+
+    // Silhouette twin: e2's u/cent/d CTEs; b² picks the nearest OTHER
+    // centroid via the (own-label flag, rounded dist2, c_label) order —
+    // the same tie-safe ordering the Spark min_by struct encodes.
+    "e5_silhouette" -> {
+      val cavg = R("AVG(v)", 6)
+      val d2 = R("SUM((u.v - c.centroid) * (u.v - c.centroid))", 6)
+      s"""WITH u AS (
+         |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+         |         generate_subscripts(embedding, 1) AS i
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT label AS c_label, i, $cavg AS centroid
+         |  FROM u GROUP BY 1, 2),
+         |d AS (
+         |  SELECT u.vec_id, u.label, c.c_label, $d2 AS dist2
+         |  FROM u JOIN cent c ON u.i = c.i
+         |  GROUP BY 1, 2, 3),
+         |d2r AS (
+         |  SELECT vec_id, label, dist2,
+         |    CASE WHEN c_label = label THEN 1 ELSE 0 END AS own,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+         |      CASE WHEN c_label = label THEN 1 ELSE 0 END, dist2, c_label) AS rn
+         |  FROM d),
+         |a2t AS (
+         |  SELECT vec_id, label,
+         |    MIN(CASE WHEN own = 1 THEN dist2 END) AS a2
+         |  FROM d2r GROUP BY 1, 2),
+         |b2t AS (SELECT vec_id, dist2 AS b2 FROM d2r WHERE rn = 1),
+         |pv AS (
+         |  SELECT a2t.vec_id, label, a2, b2
+         |  FROM a2t JOIN b2t ON a2t.vec_id = b2t.vec_id),
+         |s AS (
+         |  SELECT vec_id, label,
+         |    CASE WHEN GREATEST(sqrt(a2), sqrt(b2)) = 0 THEN 0.0
+         |         ELSE (sqrt(b2) - sqrt(a2)) / GREATEST(sqrt(a2), sqrt(b2))
+         |    END AS sil
+         |  FROM pv)
+         |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         |       ${R("AVG(sil)", 2)} AS mean_silhouette
+         |FROM s GROUP BY label ORDER BY label""".stripMargin
     },
 
     // dedupCte: the Spark side pivots over cleanedStock, which includes the

@@ -422,6 +422,44 @@ object Queries {
       .orderBy("symbol", "date")
   }
 
+  /** Lag-1 autocorrelation of daily returns per symbol — the
+    * momentum-vs-mean-reversion diagnostic (negative = mean-reverting,
+    * positive = trending). One lag pass for returns, a second lag for the
+    * pair, both on the shared symbol window sort, then one co-moment
+    * aggregate (the w16 corr contract: DuckDB's corr matches Spark's
+    * under tie-safe rounding at 6; < 2 pairs or zero variance yields NULL
+    * on both engines). */
+  def w20Autocorr(s: SparkSession, dir: String): DataFrame = {
+    val r = cleanedStock(s, dir).drop("rid")
+      .withColumn("r", col("close") / lag("close", 1).over(w) - 1)
+      .withColumn("rp", lag("r", 1).over(w))
+      .filter(col("r").isNotNull && col("rp").isNotNull)
+    rounded(r.groupBy("symbol")
+      .agg(count(lit(1)).as("n_pairs"),
+        corr(col("r"), col("rp")).as("autocorr_1")),
+      Seq("autocorr_1"))
+      .orderBy("symbol")
+  }
+
+  /** Asymmetric containment over the d2 LSH candidates (see
+    * [[graft.ext.Dedup.containmentVerifyPairs]]) — subset-duplicate
+    * detection next to d8's symmetric Jaccard. The 0.3 threshold matches
+    * the d8 regime on this synthetic corpus (real pipelines run ~0.8). */
+  def d12Containment(s: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(s, dir)
+    val pairs = ext.Dedup.lshCandidatePairs(
+      ext.Dedup.minhashSignatures(docs).localCheckpoint(true))
+    ext.Dedup.containmentVerifyPairs(docs, pairs, minContainment = 0.3)
+      .select("doc_a", "doc_b", "containment_a", "containment_b")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Simplified-silhouette label-separability report (see
+    * [[graft.ext.Similarity.silhouetteByLabel]]). */
+  def e5Silhouette(s: SparkSession, dir: String): DataFrame =
+    ext.Similarity.silhouetteByLabel(Sources.embeddings(s, dir))
+      .orderBy("label")
+
   /** Corpus bigram collocations with PMI (see
     * [[graft.ext.TextOps.bigramCollocations]]). */
   def t27Collocations(s: SparkSession, dir: String): DataFrame =
@@ -2015,6 +2053,9 @@ object Queries {
     "x13_ranks" -> (x13Ranks _),
     "t27_collocations" -> (t27Collocations _),
     "ev14_stickiness" -> (ev14Stickiness _),
+    "w20_autocorr" -> (w20Autocorr _),
+    "d12_containment" -> (d12Containment _),
+    "e5_silhouette" -> (e5Silhouette _),
     "u6_except_all" -> (u6ExceptAll _),
     "f9_winsorize" -> (f9Winsorize _),
     "d1_dedup_exact" -> (d1DedupExact _),

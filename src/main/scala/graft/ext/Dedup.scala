@@ -162,6 +162,48 @@ object Dedup {
       .drop("__na", "__nb", "n_common")
   }
 
+  /** Asymmetric CONTAINMENT verification over LSH candidate pairs —
+    * containment(A→B) = |A∩B| / |A| over the same distinct-shingle sets
+    * [[jaccardVerifyPairs]] intersects. Containment catches what
+    * symmetric Jaccard misses: a short document wholly embedded in a
+    * long one (quoted article, boilerplate wrapper) has high containment
+    * but LOW Jaccard, because the union is dominated by the long side
+    * (Broder's resemblance-vs-containment distinction, SEQUENCES 1997).
+    * Keeps pairs where either direction reaches `minContainment`.
+    *
+    * Scale shape: identical to jaccardVerifyPairs — bounded by the
+    * CAPPED candidate set, the intersect join carries only (doc_id,
+    * shingle-hash) pairs for candidate docs, never text. Determinism:
+    * counts are exact; the two ratios divide exact integers and round
+    * tie-safe at 6. */
+  def containmentVerifyPairs(docs: DataFrame, pairs: DataFrame,
+                             minContainment: Double = 0.8): DataFrame = {
+    val candDocs = pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val sh = docs.join(candDocs, Seq("doc_id"), "left_semi")
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"), col("toks"), explode(expr(
+        "CASE WHEN size(toks) >= 3 THEN sequence(0, size(toks) - 3) ELSE CAST(array() AS ARRAY<INT>) END")).as("i"))
+      .select(col("doc_id"), xxhash64(expr(
+        "concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2), ' ', element_at(toks, i + 3))")).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs.select("doc_a", "doc_b")
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    val nc = coalesce(col("n_common"), lit(0L)).cast("double")
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("__na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("__nb")), Seq("doc_b"))
+      .withColumn("containment_a", graft.ops.Num.cround(nc / col("__na"), 6))
+      .withColumn("containment_b", graft.ops.Num.cround(nc / col("__nb"), 6))
+      .filter(col("containment_a") >= minContainment ||
+        col("containment_b") >= minContainment)
+      .drop("__na", "__nb", "n_common")
+  }
+
   /** Connected components over candidate pairs -> duplicate clusters: the
     * step a corpus dedup pipeline runs AFTER LSH, turning pairwise
     * candidates into groups with one canonical representative (the minimum

@@ -1105,6 +1105,51 @@ object Similarity {
       .withColumn("correct", col("label") === col("predicted"))
   }
 
+  /** Simplified-silhouette cluster-quality report per label — for each
+    * vector, a = Euclidean distance to its OWN label centroid, b = the
+    * nearest OTHER centroid's distance, s = (b − a) / max(a, b)
+    * (Rousseeuw 1987's silhouette with centroid distances standing in
+    * for mean pairwise distances — the O(n·k) "simplified silhouette"
+    * used at scale, vs the O(n²) exact form). Mean s per label reads how
+    * separable the labeling is in embedding space — the diagnostic
+    * before trusting e2's nearest-centroid classifier or d9's semantic
+    * clusters.
+    *
+    * Shape at scale: reuses [[nearestCentroid]]'s exact distance plan —
+    * broadcast labels×dims centroids, one (vec, label) partial-agg sum,
+    * corpus never pairwise. The per-vector silhouette then reduces to a
+    * labels-sized report. Determinism: a²/b² compare tie-safe-ROUNDED
+    * (scale 6, c_label tiebreak) before the min_by, sqrt is correctly
+    * rounded IEEE in both engines, a degenerate max(a,b) = 0 (vector ==
+    * both centroids) yields s = 0 explicitly, and the per-label mean
+    * rounds at 2 (multi-term summation). */
+  def silhouetteByLabel(emb: DataFrame,
+                        vecCol: String = "embedding"): DataFrame = {
+    val cent = labelCentroids(emb, vecCol)
+      .select(col("label").as("c_label"), col("dim"), col("centroid"))
+    val dists = emb
+      .select(col("vec_id"), col("label"),
+        posexplode(col(vecCol)).as(Seq("dim", "__v")))
+      .join(broadcast(cent), "dim")
+      .groupBy("vec_id", "label", "c_label")
+      .agg(graft.ops.Num.cround(
+        sum((col("__v").cast("double") - col("centroid")) *
+          (col("__v").cast("double") - col("centroid"))), 6).as("dist2"))
+    val perVec = dists.groupBy("vec_id", "label")
+      .agg(
+        min(when(col("c_label") === col("label"), col("dist2"))).as("__a2"),
+        min_by(col("dist2"), struct(
+          when(col("c_label") === col("label"), lit(1)).otherwise(lit(0)),
+          col("dist2"), col("c_label"))).as("__b2"))
+    val a = sqrt(col("__a2")); val b = sqrt(col("__b2"))
+    perVec
+      .withColumn("__s", when(greatest(a, b) === 0.0, lit(0.0))
+        .otherwise((b - a) / greatest(a, b)))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vectors"),
+        graft.ops.Num.cround(avg(col("__s")), 2).as("mean_silhouette"))
+  }
+
   /** Inverse of [[quantizeInt8]]: x_i ~ q_i * scale, as array<double>. */
   def dequantizeInt8(qVecCol: String = "q_vec",
                      scaleCol: String = "q_scale"): Column =

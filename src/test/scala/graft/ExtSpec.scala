@@ -761,6 +761,44 @@ class ExtSpec extends AnyFunSuite {
       ("cherry", 1L, 1L)))
   }
 
+  test("containment flags a short doc embedded in a long one that Jaccard misses") {
+    import spark.implicits._
+    val short_ = "alpha bravo charlie delta echo"           // 3 shingles
+    val long_ = short_ + " foxtrot golf hotel india juliet kilo lima mike november"
+    val corpus = Seq((0L, short_), (1L, long_), (2L, "unrelated words entirely disjoint tokens here"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L), (0L, 2L)).toDF("doc_a", "doc_b")
+    // A ⊂ B: containment_a = 1.0 while Jaccard = 3/12 = 0.25 — the
+    // symmetric verify at 0.5 would drop exactly this pair
+    val kept = graft.ext.Dedup.containmentVerifyPairs(corpus, pairs, minContainment = 0.8)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("containment_a"), r.getAs[Double]("containment_b")))
+    assert(kept.toSeq == Seq((0L, 1L, 1.0, 0.25)), kept.toSeq.toString)
+    val jacc = graft.ext.Dedup.jaccardVerifyPairs(corpus, pairs, minJaccard = 0.5).count()
+    assert(jacc == 0, "the symmetric verify must miss the subset pair")
+  }
+
+  test("silhouette reads 1 for well-separated labels, ~0 for coincident ones") {
+    import spark.implicits._
+    val sep = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f), 1), (3L, Array(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.silhouetteByLabel(sep).orderBy("label").collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Long]("n_vectors"),
+        r.getAs[Double]("mean_silhouette")))
+    // every vector sits ON its centroid (a=0) at sqrt(2) from the other
+    assert(out.toSeq == Seq((0, 2L, 1.0), (1, 2L, 1.0)), out.toSeq.toString)
+
+    // two labels on the SAME point: a = b = 0 -> s = 0 (guarded, not NaN)
+    val coincident = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(1.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val cOut = Similarity.silhouetteByLabel(coincident).collect()
+      .map(_.getAs[Double]("mean_silhouette"))
+    assert(cOut.forall(_ == 0.0), cOut.toSeq.toString)
+  }
+
   test("bigram collocations count adjacent pairs and PMI rewards exclusive pairs") {
     import spark.implicits._
     val corpus = Seq(
