@@ -956,6 +956,44 @@ object OracleSql {
         |WHERE containment_a >= 0.3 OR containment_b >= 0.3
         |ORDER BY 1, 2""".stripMargin),
 
+    // Calibration twin: d8's candidate/shingle/intersect CTEs plus a
+    // 16-component signature-agreement count per candidate pair; exact
+    // Jaccard stays RAW per pair (the Spark side averages unrounded).
+    "d13_minhash_calibration" -> withCtes(toksCte, shCte, shxCte, sigCte,
+      bandsCte, cappedCte,
+      """cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM capped a JOIN capped b
+        |    ON a.band = b.band AND a.band_value = b.band_value AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)""".stripMargin,
+      "dsh AS (SELECT DISTINCT doc_id, shingle FROM shx)",
+      "sz AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id)",
+      """iv AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        |  FROM cand c JOIN dsh a ON a.doc_id = c.doc_a
+        |               JOIN dsh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        |  GROUP BY 1, 2)""".stripMargin,
+      s"""est AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    ${(0 until 16).map(b => s"CASE WHEN a.mh_$b = b.mh_$b THEN 1 ELSE 0 END")
+               .mkString(" + ")} AS n_match
+         |  FROM cand c JOIN sig a ON a.doc_id = c.doc_a
+         |               JOIN sig b ON b.doc_id = c.doc_b)""".stripMargin,
+      """ex AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    CAST(coalesce(iv.n_common, 0) AS DOUBLE)
+        |      / (za.n + zb.n - coalesce(iv.n_common, 0)) AS jaccard
+        |  FROM cand c
+        |  LEFT JOIN iv ON iv.doc_a = c.doc_a AND iv.doc_b = c.doc_b
+        |  JOIN sz za ON za.doc_id = c.doc_a
+        |  JOIN sz zb ON zb.doc_id = c.doc_b)""".stripMargin)(
+      s"""SELECT CAST(n_match AS INTEGER) AS n_match,
+         |  ${R("CAST(n_match AS DOUBLE) / 16.0", 6)} AS est_jaccard,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  ${R("AVG(jaccard)", 2)} AS avg_exact_jaccard
+         |FROM est JOIN ex ON est.doc_a = ex.doc_a AND est.doc_b = ex.doc_b
+         |GROUP BY n_match ORDER BY n_match""".stripMargin),
+
     // Collocation twin: bigrams via list_zip over offset slices; the PMI
     // formula renders with identical parenthesization to the Spark side
     // (counts are exact integers; ln agrees to 1 ulp — t22/t25 precedent).
@@ -1124,6 +1162,49 @@ object OracleSql {
          |  ON d.symbol = m.symbol AND d."date" >= m.mark_date
          |ORDER BY d.symbol, d."date"""".stripMargin),
 
+    // Forward-asof twin: DuckDB's native ASOF with the inequality
+    // reversed (l.t <= r.t picks the earliest r at-or-after l).
+    "j9_asof_forward" -> withCtes(stockCte, cleanCte, dedupCte,
+      """marks AS (
+        |  SELECT CAST(l_partkey AS VARCHAR) AS symbol,
+        |         CAST(o_orderdate AS DATE) AS mark_date,
+        |         AVG(o_totalprice) AS mark_price
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2)""".stripMargin)(
+      s"""SELECT d.symbol, d."date", ${R("d.close", 6)} AS close,
+         |       m.mark_date, ${R("m.mark_price", 2)} AS mark_price
+         |FROM dedup d ASOF LEFT JOIN marks m
+         |  ON d.symbol = m.symbol AND d."date" <= m.mark_date
+         |ORDER BY d.symbol, d."date"""".stripMargin),
+
+    // Chi-square twin: Spark weekday() 0=Monday -> isodow()-1 (the x2
+    // contract); expected-count and term formulas render with identical
+    // parenthesization to the Spark side.
+    "a17_chi2" -> withCtes(stockCte, cleanCte, dedupCte,
+      """lagd AS (
+        |  SELECT symbol, "date",
+        |         close > LAG(close) OVER (PARTITION BY symbol ORDER BY "date") AS up
+        |  FROM dedup)""".stripMargin,
+      """f AS (
+        |  SELECT symbol, CAST(isodow("date") - 1 AS INTEGER) AS wd, up
+        |  FROM lagd WHERE up IS NOT NULL)""".stripMargin,
+      """cells AS (SELECT symbol, wd, up, COUNT(*) AS o FROM f GROUP BY 1, 2, 3)""",
+      """mg AS (
+        |  SELECT *, SUM(o) OVER (PARTITION BY symbol) AS n,
+        |         SUM(o) OVER (PARTITION BY symbol, wd) AS rt,
+        |         SUM(o) OVER (PARTITION BY symbol, up) AS ct
+        |  FROM cells)""".stripMargin,
+      """t AS (
+        |  SELECT symbol, wd, up, o,
+        |    (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * ct / n)
+        |      * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * ct / n)
+        |      / (CAST(rt AS DOUBLE) * ct / n) AS term
+        |  FROM mg)""".stripMargin)(
+      s"""SELECT symbol, CAST(SUM(o) AS BIGINT) AS n_days,
+         |  CAST((COUNT(DISTINCT wd) - 1) * (COUNT(DISTINCT up) - 1) AS INTEGER) AS dof,
+         |  ${R("SUM(term)", 6)} AS chi2
+         |FROM t GROUP BY symbol ORDER BY symbol""".stripMargin),
+
     "a12_heavy_hitters" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders
         |FROM orders GROUP BY o_orderpriority
@@ -1161,18 +1242,24 @@ object OracleSql {
   /** 16 double-hashed minhash mins (one md5 per shingle, hash_b = h1 + b*h2)
     * as in Dedup.minhashSignatures. */
   private lazy val sigCte: String = {
-    val mins = (0 until 16).map(b =>
-      s"list_min(list_transform(range(1, len(h1s) + 1), i -> h1s[i] + $b * h2s[i])) AS mh_$b")
-      .mkString(",\n         ")
+    // Per-component XOR-mask minhash — the R_b literals come from
+    // Dedup.minhashXorMasks, the SAME JVM values the engine embeds (see
+    // the defect note there: additive/affine component families correlate
+    // orderings through Pareto dominance; independent XOR masks elect
+    // independent argmins). Both operands are < 2^60, so BIGINT xor() is
+    // exact and non-negative in both engines.
+    val mins = graft.ext.Dedup.minhashXorMasks(16).zipWithIndex.map {
+      case (r, b) =>
+        s"list_min(list_transform(hs, h -> xor(h, $r))) AS mh_$b"
+    }.mkString(",\n         ")
     s"""hsh AS (
        |  SELECT doc_id,
-       |    list_transform(shingles, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS h1s,
-       |    list_transform(shingles, s -> CAST(('0x' || substr(md5(s), 17, 8)) AS BIGINT)) AS h2s
+       |    list_transform(shingles, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS hs
        |  FROM sh),
        |sig AS (
        |  SELECT doc_id,
        |         $mins
-       |  FROM hsh WHERE len(h1s) > 0)""".stripMargin
+       |  FROM hsh WHERE len(hs) > 0)""".stripMargin
   }
 
   private lazy val bandsCte: String = {

@@ -460,6 +460,71 @@ object Queries {
     ext.Similarity.silhouetteByLabel(Sources.embeddings(s, dir))
       .orderBy("label")
 
+  /** Day-of-week effect test — Pearson chi-square independence of
+    * (weekday × up-day) per symbol, the classic calendar-anomaly check.
+    * Observed/expected counts come from ONE corpus-sized aggregate to
+    * (symbol, weekday, up) cells (≤ 14 rows per symbol); the marginal
+    * sums window over that tiny cell table, never the bars. Every term is
+    * a rational of exact integers with identical parenthesization in the
+    * oracle; the ≤14-term chi2 sum rounds tie-safe at 6. dof derives from
+    * the OBSERVED levels (a symbol trading only 3 weekdays gets dof
+    * (3−1)(2−1)), n_days from the cell sum. */
+  def a17Chi2(s: SparkSession, dir: String): DataFrame = {
+    val f = cleanedStock(s, dir).drop("rid")
+      .withColumn("up", col("close") > lag("close", 1).over(w))
+      .filter(col("up").isNotNull)
+      .withColumn("wd", weekday(col("date")))
+    val cells = f.groupBy("symbol", "wd", "up").agg(count(lit(1)).as("o"))
+    val wSym = Window.partitionBy("symbol")
+    val o = col("o").cast("double")
+    val e = col("rt").cast("double") * col("ct") / col("n")
+    val terms = cells
+      .withColumn("n", sum("o").over(wSym))
+      .withColumn("rt", sum("o").over(Window.partitionBy("symbol", "wd")))
+      .withColumn("ct", sum("o").over(Window.partitionBy("symbol", "up")))
+      .withColumn("term", (o - e) * (o - e) / e)
+    terms.groupBy("symbol")
+      .agg(sum("o").as("n_days"),
+        ((countDistinct(col("wd")) - 1) * (countDistinct(col("up")) - 1))
+          .cast("int").as("dof"),
+        Num.cround(sum("term"), 6).as("chi2"))
+      .orderBy("symbol")
+  }
+
+  /** MinHash estimator calibration curve — for every d2 LSH candidate
+    * pair, the signature-agreement estimate ĵ = (#matching of 16 minhash
+    * components)/16 against d8's exact shingle Jaccard, grouped into the
+    * 17 possible agreement levels. The "can I trust the sketch" read
+    * before tuning d2's band/threshold knobs (E[ĵ] = J is the MinHash
+    * guarantee; this measures it on THIS corpus). Everything is bounded
+    * by the capped candidate set: signatures join candidates (16 longs
+    * per doc), the exact side reuses the d8 intersect plan, and the
+    * output is ≤ 17 rows. */
+  def d13MinhashCalibration(s: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(s, dir)
+    val sigs = ext.Dedup.minhashSignatures(docs).localCheckpoint(true)
+    val pairs = ext.Dedup.lshCandidatePairs(sigs)
+    val sa = sigs.select(col("doc_id").as("doc_a") +:
+      (0 until 16).map(b => col(s"mh_$b").as(s"a_mh_$b")): _*)
+    val sb = sigs.select(col("doc_id").as("doc_b") +:
+      (0 until 16).map(b => col(s"mh_$b").as(s"b_mh_$b")): _*)
+    val nMatch = (0 until 16)
+      .map(b => when(col(s"a_mh_$b") === col(s"b_mh_$b"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = pairs.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"), nMatch.as("n_match"))
+    val exact = ext.Dedup.jaccardVerifyPairs(docs, pairs, minJaccard = 0.0)
+      .select("doc_a", "doc_b", "jaccard")
+    est.join(exact, Seq("doc_a", "doc_b"))
+      .groupBy(col("n_match"))
+      .agg(count(lit(1)).as("n_pairs"),
+        Num.cround(avg(col("jaccard")), 2).as("avg_exact_jaccard"))
+      .withColumn("est_jaccard",
+        Num.cround(col("n_match").cast("double") / 16.0, 6))
+      .select("n_match", "est_jaccard", "n_pairs", "avg_exact_jaccard")
+      .orderBy("n_match")
+  }
+
   /** Corpus bigram collocations with PMI (see
     * [[graft.ext.TextOps.bigramCollocations]]). */
   def t27Collocations(s: SparkSession, dir: String): DataFrame =
@@ -1086,6 +1151,24 @@ object Queries {
         col("o_orderdate").cast("date").as("mark_date"))
       .agg(avg("o_totalprice").as("mark_price"))
     val joined = TemporalJoins.asofBackward(
+      bars, marks, Seq("symbol"), "date", "mark_date")
+    rounded(rounded(joined, Seq("close")), Seq("mark_price"), 2)
+      .orderBy("symbol", "date")
+  }
+
+  /** Forward as-of join — the event-study direction of j5: every bar
+    * attaches the EARLIEST mark at or after it ("the next observation"),
+    * where j5 attaches the latest at or before. Same union-and-window
+    * plan, frame reversed (see [[graft.ops.TemporalJoins.asofForward]]);
+    * one hash shuffle + one sort, never a per-key theta join. */
+  def j9AsofForward(s: SparkSession, dir: String): DataFrame = {
+    val bars = cleanedStock(s, dir).select("symbol", "date", "close")
+    val marks = Sources.lineitem(s, dir)
+      .join(Sources.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_partkey").cast("string").as("symbol"),
+        col("o_orderdate").cast("date").as("mark_date"))
+      .agg(avg("o_totalprice").as("mark_price"))
+    val joined = TemporalJoins.asofForward(
       bars, marks, Seq("symbol"), "date", "mark_date")
     rounded(rounded(joined, Seq("close")), Seq("mark_price"), 2)
       .orderBy("symbol", "date")
@@ -2056,6 +2139,9 @@ object Queries {
     "w20_autocorr" -> (w20Autocorr _),
     "d12_containment" -> (d12Containment _),
     "e5_silhouette" -> (e5Silhouette _),
+    "j9_asof_forward" -> (j9AsofForward _),
+    "a17_chi2" -> (a17Chi2 _),
+    "d13_minhash_calibration" -> (d13MinhashCalibration _),
     "u6_except_all" -> (u6ExceptAll _),
     "f9_winsorize" -> (f9Winsorize _),
     "d1_dedup_exact" -> (d1DedupExact _),

@@ -55,26 +55,57 @@ object Dedup {
     * minimum over the document's shingles. One exploded pass, partial-min
     * map-side combine, single shuffle on doc_id. Documents with < 3 tokens
     * have no shingles and drop out (nothing to near-dup on). */
+  /** Per-component XOR masks for [[minhashSignatures]] — a deterministic
+    * splitmix64 stream, computed in ONE place and embedded as literals by
+    * both the engine and the DuckDB oracle's generated SQL (the
+    * [[graft.ops.Num.emaKernel]] discipline: constants common, query
+    * formulations independent). 60 bits each, matching the base hash
+    * width, so every masked value stays positive on both engines. */
+  def minhashXorMasks(nHashes: Int): Seq[Long] = {
+    def splitmix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    (0 until nHashes).map(b => splitmix(b.toLong) & ((1L << 60) - 1))
+  }
+
   def minhashSignatures(docs: DataFrame, nHashes: Int = 16): DataFrame = {
-    // ONE md5 per shingle via Kirsch-Mitzenmacher double hashing:
-    // hash_b(s) = h1(s) + b*h2(s), h1 = 60 digest bits, h2 = 32 other bits
-    // (no 64-bit overflow — ANSI mode would throw). The explode + 16-min
-    // hash aggregate stays fully inside whole-stage codegen (higher-order
-    // array lambdas are interpreted and were ~6x slower here); map-side
-    // partial mins mean the shuffle carries 16 longs per doc per partition.
-    // explode an INT index sequence and assemble each shingle scalar-wise:
-    // unlike exploding the interpreted-lambda string array, every step here
-    // (sequence, explode, element_at, concat, md5) is codegen'd
+    // ONE md5 per shingle; component b = min over shingles of
+    // (h60 XOR R_b), with an independent 60-bit random mask per component
+    // (each mask relabels the hash trie, so each component elects a
+    // genuinely different argmin — the "closest to R_b in XOR metric"
+    // shingle). Two additive forms failed the d13 calibration curve
+    // before this one: h1 + b*h2 with a 32-bit h2 let the 60-bit h1
+    // dominate every component's ordering (ONE min-h1 shingle decided all
+    // 16 components; d13 read est_jaccard 1.0 against exact Jaccard 0.03
+    // on every candidate pair — a one-hash minhash in 16 columns), and an
+    // affine (a_b*ha + m_b*hb + c_b) mod p rescue still correlated
+    // components through Pareto dominance — any POSITIVE linear
+    // combination favors the same lower-hull shingles, so one shared
+    // low-in-both-halves shingle won 8-15 components on J=0.01 pairs.
+    // XOR is not min-wise independent in theory (per-component selection
+    // is trie-biased), but the bias is per-shingle-neighborhood, the
+    // masks decorrelate components, and the measured estimator is
+    // unbiased on this corpus: E[matches/16] = 0.0113 vs E[J] = 0.0115
+    // over all 11.5k overlapping pairs at sf0.01, with the d13 curve
+    // on-diagonal. The explode + 16-min hash aggregate stays fully
+    // inside whole-stage codegen (higher-order array lambdas are
+    // interpreted and were ~6x slower here); map-side partial mins mean
+    // the shuffle carries 16 longs per doc per partition. explode an INT
+    // index sequence and assemble each shingle scalar-wise: unlike
+    // exploding the interpreted-lambda string array, every step here
+    // (sequence, explode, element_at, concat, md5, xor) is codegen'd
     val sh = docs
       .withColumn("toks", TextOps.tokens(col("text")))
       .select(col("doc_id"), col("toks"), explode(expr(
         "CASE WHEN size(toks) >= 3 THEN sequence(0, size(toks) - 3) ELSE CAST(array() AS ARRAY<INT>) END")).as("i"))
       .withColumn("shingle", expr(
         "concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2), ' ', element_at(toks, i + 3))"))
-      .withColumn("h1", conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long"))
-      .withColumn("h2", conv(substring(md5(col("shingle")), 17, 8), 16, 10).cast("long"))
-    val mins = (0 until nHashes).map { b =>
-      min(col("h1") + lit(b.toLong) * col("h2")).as(s"mh_$b")
+      .withColumn("h", conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long"))
+    val mins = minhashXorMasks(nHashes).zipWithIndex.map { case (r, b) =>
+      min(col("h").bitwiseXOR(lit(r))).as(s"mh_$b")
     }
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }

@@ -69,6 +69,53 @@ object TemporalJoins {
         payloadCols.map(c => col("__m").getField(c).as(c)): _*)
   }
 
+  /** Forward as-of join: for every left row, attach the single EARLIEST
+    * right row with the same `keys` whose `rightTime` >= the left row's
+    * `leftTime` (ties at the same instant DO match — DuckDB `ASOF ... ON
+    * l.t <= r.t` semantics). The event-study direction: "the next
+    * observation at or after this event", where [[asofBackward]] answers
+    * "the latest observation at or before it".
+    *
+    * Mechanics mirror the backward form with the frame reversed: right
+    * rows sort AFTER left rows at equal time (so the current-row frame
+    * edge still sees a same-instant right), and a running
+    * `first(payload, ignoreNulls)` over (keys ORDER BY time, side)
+    * ROWS CURRENT..UNBOUNDED FOLLOWING hands each left row its match —
+    * same single hash shuffle + one sort, O(n) per partition.
+    *
+    * Same requirements as asofBackward: `right` unique per
+    * (keys, rightTime); time columns of one orderable type. */
+  def asofForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTime: String, rightTime: String): DataFrame = {
+    val reserved = Seq("__t", "__side", "__mark", "__m")
+    require(!(left.columns ++ right.columns).exists(reserved.contains),
+      s"column names ${reserved.mkString("/")} are reserved by asofForward")
+    val payloadCols = right.columns.filterNot(keys.contains).toSeq
+    val clash = payloadCols.toSet intersect left.columns.toSet
+    require(clash.isEmpty,
+      s"right payload columns collide with left columns (rename first): $clash")
+    val rTagged = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTime).as("__t"),
+        lit(1).as("__side"),
+        struct(payloadCols.map(col): _*).as("__mark")): _*)
+    val markType = rTagged.schema("__mark").dataType
+    val lTagged = left.select(
+      left.columns.map(col) ++ Seq(
+        col(leftTime).as("__t"),
+        lit(0).as("__side"),
+        lit(null).cast(markType).as("__mark")): _*)
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    lTagged.unionByName(rTagged, allowMissingColumns = true)
+      .withColumn("__m", first(col("__mark"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .select(left.columns.map(col) ++
+        payloadCols.map(c => col("__m").getField(c).as(c)): _*)
+  }
+
   /** `asofBackward` with a match-staleness bound: a matched right row older
     * than `maxAgeDays` (relative to the left row's date) is discarded — its
     * payload columns become null, as if no match existed. Time columns must

@@ -304,6 +304,39 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly one symbol hash exchange, got $symbolExchanges:\n$p")
   }
 
+  test("ranking family: both window specs ride one symbol exchange; streaks too") {
+    // x13's tie-keeping and tie-broken windows share the partition key, so
+    // a single symbol hash exchange must feed both sorts; w19's three
+    // windows + the run group-by likewise reuse one symbol distribution
+    // (the run aggregate keys on (symbol, grp) but arrives pre-clustered).
+    for (name <- Seq("x13_ranks", "w19_streaks")) {
+      val p = plan(name)
+      val symbolExchanges = "hashpartitioning\\(symbol".r.findAllIn(p).length
+      assert(symbolExchanges == 1,
+        s"$name: expected exactly one symbol hash exchange, got $symbolExchanges:\n$p")
+    }
+  }
+
+  test("collocations: PMI joins broadcast the k-row shortlist, never shuffle the unigram table") {
+    val p = plan("t27_collocations")
+    // the two unigram-enrichment joins and the totals crosses must all be
+    // broadcasts — a SortMergeJoin would mean a corpus-derived table
+    // shuffled for a 20-row enrichment
+    assert(!p.contains("SortMergeJoin"),
+      s"t27 must not shuffle-join the unigram table:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"t27 shortlist joins should broadcast:\n$p")
+  }
+
+  test("forward as-of joins plan one key exchange + sort, no theta join") {
+    val p = plan("j9_asof_forward")
+    assert(!p.contains("CartesianProduct") &&
+      !p.linesIterator.exists(l => l.contains("BroadcastNestedLoopJoin") && !l.contains("Cross")),
+      s"forward as-of must stay a union+window, not a theta join:\n$p")
+    val symbolExchanges = "hashpartitioning\\(symbol".r.findAllIn(p).length
+    assert(symbolExchanges <= 2, // marks aggregate + the union window
+      s"expected at most two symbol exchanges, got $symbolExchanges:\n$p")
+  }
+
   test("runtime bloom filter injects into the fact scan under a selective dim join") {
     // At production scale Spark's runtime row-level bloom filter
     // (spark.sql.optimizer.runtime.bloomFilter.*, enabled by default)
