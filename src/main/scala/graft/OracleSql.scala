@@ -1318,7 +1318,108 @@ object OracleSql {
       |LEFT JOIN p USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** ev15: the funnel gates with a 7-day staleness bound per hop —
+    * INTERVAL arithmetic on timestamps is exact in both engines. */
+  private lazy val funnelWindowedSql: String =
+    """WITH v AS (
+      |  SELECT user_id, MIN(ts) AS fv FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, MIN(e.ts) AS fc
+      |  FROM events e JOIN v USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > v.fv
+      |    AND e.ts <= v.fv + INTERVAL 7 DAY GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, MIN(e.ts) AS fp
+      |  FROM events e JOIN c USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.fc
+      |    AND e.ts <= c.fc + INTERVAL 7 DAY GROUP BY 1)
+      |SELECT u.user_id,
+      |       epoch_us(v.fv) AS first_view_us,
+      |       epoch_us(c.fc) AS first_click_us,
+      |       epoch_us(p.fp) AS first_purchase_us,
+      |       CAST(CASE WHEN p.fp IS NOT NULL THEN 3
+      |                 WHEN c.fc IS NOT NULL THEN 2
+      |                 WHEN v.fv IS NOT NULL THEN 1
+      |                 ELSE 0 END AS INTEGER) AS funnel_stage
+      |FROM (SELECT DISTINCT user_id FROM events) u
+      |LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+      |LEFT JOIN p USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
   private lazy val extSql: Map[String, String] = Map(
+    "ev15_funnel_windowed" -> funnelWindowedSql,
+
+    // Bigram-LM twin: t27's list_zip bigram build; the Jelinek-Mercer
+    // interpolation renders with identical parenthesization to the Spark
+    // side (0.7/0.3 are exact the same doubles; ln to 1 ulp).
+    "t28_bigram_lm" -> (
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |bg AS (
+         |  SELECT doc_id, bt AS bigram
+         |  FROM (SELECT doc_id,
+         |          list_transform(list_zip(w[1:-2], w[2:-1]),
+         |                         x -> x[1] || ' ' || x[2]) AS bgs
+         |        FROM tok)
+         |  CROSS JOIN UNNEST(bgs) AS u(bt)),
+         |btf AS (SELECT doc_id, bigram, COUNT(*) AS btf FROM bg GROUP BY 1, 2),
+         |bocc AS (SELECT bigram, SUM(btf) AS bocc FROM btf GROUP BY 1),
+         |un AS (SELECT t AS tok, COUNT(*) AS uocc
+         |       FROM tok CROSS JOIN UNNEST(w) AS v(t) GROUP BY 1),
+         |nu AS (SELECT CAST(SUM(uocc) AS DOUBLE) AS n_unigrams FROM un),
+         |lp AS (
+         |  SELECT btf.doc_id, btf.btf,
+         |    ln(0.7 * (CAST(bocc.bocc AS DOUBLE) / u1.uocc) +
+         |       0.3 * (CAST(u2.uocc AS DOUBLE) / nu.n_unigrams)) AS lp
+         |  FROM btf
+         |  JOIN bocc USING (bigram)
+         |  JOIN un u1 ON u1.tok = split_part(btf.bigram, ' ', 1)
+         |  JOIN un u2 ON u2.tok = split_part(btf.bigram, ' ', 2)
+         |  CROSS JOIN nu),
+         |pd AS (
+         |  SELECT doc_id, CAST(SUM(btf) AS BIGINT) AS n_bigrams,
+         |         SUM(CAST(btf AS DOUBLE) * lp) AS slog
+         |  FROM lp GROUP BY 1)
+         |SELECT d.doc_id, pd.n_bigrams,
+         |  ${R("-(pd.slog / pd.n_bigrams)", 6)} AS avg_neg_logprob2
+         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+         |ORDER BY d.doc_id""".stripMargin),
+
+    // Phash-cluster twin: m2's band/hamming candidate CTEs + the d6
+    // recursive transitive closure with the LEAST representative.
+    "m4_phash_clusters" -> ("WITH RECURSIVE " + Seq(
+      s"""ph AS (
+         |  SELECT doc_id, ${graft.ext.Multimodal.syntheticPhashSql(
+                "//", (a, b) => s"xor($a, $b)",
+                p => s"(CAST(1 AS BIGINT) << $p)")} AS phash
+         |  FROM documents)""".stripMargin,
+      """bd AS (
+        |  SELECT doc_id, phash, t.band,
+        |         CASE WHEN t.band = 4 THEN phash >> 48
+        |              ELSE (phash >> (CAST(t.band AS INTEGER) * 12)) & 4095 END AS value
+        |  FROM ph, range(0, 5) t(band))""".stripMargin,
+      """cp AS (
+        |  SELECT * FROM (
+        |    SELECT bd.*, ROW_NUMBER() OVER (PARTITION BY band, value ORDER BY doc_id) AS rn
+        |    FROM bd)
+        |  WHERE rn <= 8)""".stripMargin,
+      """pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM cp a JOIN cp b
+        |    ON a.band = b.band AND a.value = b.value AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.phash, b.phash)) <= 4)""".stripMargin,
+      """edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT doc_b AS src, doc_a AS dst FROM pairs)""".stripMargin,
+      """reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)""".stripMargin)
+      .mkString(",\n") +
+      """
+        |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_rep
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin),
     "d1_dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,

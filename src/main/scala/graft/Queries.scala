@@ -525,6 +525,36 @@ object Queries {
       .orderBy("n_match")
   }
 
+  /** Conversion-window funnel (see
+    * [[graft.analytics.Funnel.userFunnelWindowed]]) — ev1 with a 7-day
+    * staleness bound per hop. Deliberately NOT ev1's oracle: on this
+    * corpus the bound demotes real conversions, which the row diff
+    * proves. */
+  def ev15FunnelWindowed(s: SparkSession, dir: String): DataFrame =
+    Funnel.userFunnelWindowed(Sources.events(s, dir))
+      .orderBy("user_id")
+
+  /** Interpolated bigram-LM surprise scoring (see
+    * [[graft.ext.TextOps.withBigramLogProb]]). */
+  def t28BigramLm(s: SparkSession, dir: String): DataFrame =
+    ext.TextOps.withBigramLogProb(Sources.documents(s, dir))
+      .select("doc_id", "n_bigrams", "avg_neg_logprob2")
+      .orderBy("doc_id")
+
+  /** Perceptual-hash duplicate clusters — m2's banded hamming pairs
+    * folded into connected components by the d6 min-label propagation
+    * (the image-side analog of d6: transitive near-dup groups, one
+    * canonical representative per cluster). */
+  def m4PhashClusters(s: SparkSession, dir: String): DataFrame = {
+    val hashed = Sources.documents(s, dir).select(col("doc_id"),
+      expr(ext.Multimodal.syntheticPhashSql(
+        "div", (a, b) => s"($a ^ $b)",
+        p => s"shiftleft(CAST(1 AS BIGINT), $p)")).as("phash"))
+    val pairs = ext.Multimodal.phashNearDupPairs(hashed, maxBits = 4, maxPerBucket = 8)
+      .select("doc_a", "doc_b")
+    ext.Dedup.duplicateClusters(pairs).orderBy("doc_id")
+  }
+
   /** Corpus bigram collocations with PMI (see
     * [[graft.ext.TextOps.bigramCollocations]]). */
   def t27Collocations(s: SparkSession, dir: String): DataFrame =
@@ -2142,6 +2172,9 @@ object Queries {
     "j9_asof_forward" -> (j9AsofForward _),
     "a17_chi2" -> (a17Chi2 _),
     "d13_minhash_calibration" -> (d13MinhashCalibration _),
+    "ev15_funnel_windowed" -> (ev15FunnelWindowed _),
+    "t28_bigram_lm" -> (t28BigramLm _),
+    "m4_phash_clusters" -> (m4PhashClusters _),
     "u6_except_all" -> (u6ExceptAll _),
     "f9_winsorize" -> (f9Winsorize _),
     "d1_dedup_exact" -> (d1DedupExact _),

@@ -48,6 +48,39 @@ object Funnel {
           .otherwise(0))
   }
 
+  /** Conversion-window funnel — [[userFunnel]] with a staleness bound per
+    * hop: each stage's first qualifying timestamp must fall within
+    * `maxLagDays` of the PREVIOUS stage's (a purchase three months after
+    * the click is organic, not funnel conversion — the windowed form is
+    * the production analytics norm; the unbounded ev1 is its limit).
+    * Same single user_id exchange and O(1) running-minima window state;
+    * the interval bound is a per-row comparison inside the same gate
+    * predicate, so the plan shape is IDENTICAL to ev1's. */
+  def userFunnelWindowed(events: DataFrame, maxLagDays: Int = 7): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val lag = expr(s"INTERVAL $maxLagDays DAYS")
+    events
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("__v",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("__c",
+        min(when(col("event_type") === "click" && col("ts") > col("__v") &&
+          col("ts") <= col("__v") + lag, col("ts"))).over(w))
+      .withColumn("__p",
+        min(when(col("event_type") === "purchase" && col("ts") > col("__c") &&
+          col("ts") <= col("__c") + lag, col("ts"))).over(w))
+      .groupBy("user_id")
+      .agg(
+        min(expr("unix_micros(__v)")).as("first_view_us"),
+        min(expr("unix_micros(__c)")).as("first_click_us"),
+        min(expr("unix_micros(__p)")).as("first_purchase_us"))
+      .withColumn("funnel_stage",
+        when(col("first_purchase_us").isNotNull, 3)
+          .when(col("first_click_us").isNotNull, 2)
+          .when(col("first_view_us").isNotNull, 1)
+          .otherwise(0))
+  }
+
   /** Skew-hardened twin of [[userFunnel]] for a dominant user (one bot
     * account = half the event log). The plain form windows over
     * `partitionBy(user_id)`, so the hot user's entire history lands in ONE

@@ -710,6 +710,57 @@ object TextOps {
       .drop("__slog")
   }
 
+  /** Interpolated bigram-LM surprise score per document — the next rung
+    * above [[withUnigramLogProb]]'s unigram filter (CCNet/KenLM-style
+    * quality scoring with context): for each adjacent token pair,
+    * P(w2|w1) = lambda * c(w1 w2)/c(w1) + (1-lambda) * c(w2)/N, and the
+    * score is the mean negative ln over the document's bigrams
+    * (Jelinek-Mercer interpolation — the unigram back-off term keeps
+    * unseen-in-context pairs finite). Low scores = predictable text; high
+    * = disfluent/OOD (or boilerplate the unigram model can't see because
+    * every WORD is common while the TRANSITIONS are not).
+    *
+    * Shape at scale: bigrams build with the t27 zip_with projection (no
+    * self-join); the per-doc bigram tf, the corpus bigram counts, and the
+    * two unigram-count joins are all hash-partitioned equi-joins with
+    * map-side-combined aggregates on both sides — linear end to end, the
+    * t13 join discipline. N rides a broadcast 1-row cross join.
+    * Row-preserving: docs with < 2 tokens (or NULL text) come back with
+    * null n_bigrams/score. Determinism: counts are exact, the
+    * interpolation renders with identical parenthesization in the oracle,
+    * ln agrees to 1 ulp (t13/t22 precedent), rounded tie-safe at 6. */
+  def withBigramLogProb(docs: DataFrame, lambda: Double = 0.7): DataFrame = {
+    require(lambda > 0 && lambda <= 1, "lambda must be in (0, 1]")
+    val t = tokens(col("text"))
+    val bigramsOf = explode(
+      zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bigram")
+    val btf = docs.select(col("doc_id"), bigramsOf)
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("btf"))
+      .localCheckpoint(true)
+    val bocc = btf.groupBy("bigram").agg(sum("btf").as("bocc"))
+    val uocc = docs.select(explode(t).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("uocc"))
+    val nUni = uocc.agg(sum("uocc").cast("double").as("n_unigrams"))
+    val perDoc = btf
+      .join(bocc, Seq("bigram"))
+      .withColumn("__w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("__w2", split(col("bigram"), " ").getItem(1))
+      .join(uocc.select(col("tok").as("__w1"), col("uocc").as("__uc1")), Seq("__w1"))
+      .join(uocc.select(col("tok").as("__w2"), col("uocc").as("__uc2")), Seq("__w2"))
+      .crossJoin(broadcast(nUni))
+      .withColumn("__lp", log(
+        lit(lambda) * (col("bocc").cast("double") / col("__uc1")) +
+          lit(1.0 - lambda) * (col("__uc2").cast("double") / col("n_unigrams"))))
+      .groupBy("doc_id").agg(
+        sum("btf").as("n_bigrams"),
+        sum(col("btf").cast("double") * col("__lp")).as("__slog"))
+    docs.join(perDoc, Seq("doc_id"), "left")
+      .withColumn("avg_neg_logprob2",
+        graft.ops.Num.cround(-(col("__slog") / col("n_bigrams")), 6))
+      .drop("__slog")
+  }
+
   /** C4-style duplicate-span removal: split every document into
     * consecutive `spanTokens`-token spans (the C4 paper drops repeated
     * three-sentence spans corpus-wide; token spans are the fixture's

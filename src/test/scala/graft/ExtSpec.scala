@@ -847,6 +847,36 @@ class ExtSpec extends AnyFunSuite {
       ("2024-01-08", 1L, 1L, 1.0, 1.0)), out.toSeq.toString)
   }
 
+  test("bigram LM scores fluent transitions below shuffled ones; short docs get nulls") {
+    import spark.implicits._
+    // "a b" is the dominant transition (3 of 5 corpus bigrams); doc 2 has
+    // the SAME unigrams but the rarer transition "b a" — its contextual
+    // surprise must be higher even though a unigram LM scores both
+    // documents identically
+    val corpus = Seq(
+      (0L, "a b a b"),
+      (1L, "a b"),
+      (2L, "b a"),
+      (3L, "solo"),                      // 1 token -> no bigrams -> nulls
+      (4L, null.asInstanceOf[String]))   // null text -> nulls
+    .toDF("doc_id", "text")
+    val out = TextOps.withBigramLogProb(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (Option(r.getAs[java.lang.Long]("n_bigrams")),
+          Option(r.getAs[java.lang.Double]("avg_neg_logprob2")))).toMap
+    assert(out(3L) == ((None, None)) && out(4L) == ((None, None)))
+    assert(out(0L)._1.contains(3L) && out(1L)._1.contains(1L))
+    val fluent = out(1L)._2.get
+    val shuffled = out(2L)._2.get
+    assert(shuffled > fluent,
+      s"unseen transition must surprise more: $shuffled vs $fluent")
+    // closed form for doc 1's single bigram "a b":
+    // c(a b)=3 (2 in doc0 + 1 in doc1), c(a)=4, c(b)=4, N=9 (incl. solo)
+    // p = 0.7*(3/4) + 0.3*(4/9)
+    val expected = -math.log(0.7 * (3.0 / 4.0) + 0.3 * (4.0 / 9.0))
+    assert(math.abs(fluent - expected) < 1e-6, s"$fluent vs $expected")
+  }
+
   test("tf-idf keywords rank distinctive tokens above corpus-wide ones") {
     import spark.implicits._
     // "common" appears in every doc (minimum idf); each doc's marker token

@@ -49,6 +49,35 @@ class FunnelSpec extends AnyFunSuite {
     assert(out(4L).isNullAt(out(4L).fieldIndex("first_view_us")))
   }
 
+  test("windowed funnel demotes hops that exceed the staleness bound") {
+    import spark.implicits._
+    val day = 86400L
+    val events = Seq(
+      // user 1: click on day 3, purchase on day 8 (5 days after click) —
+      // all hops inside the 7-day bound = stage 3
+      (1L, "view", ts(0)), (1L, "click", ts(3 * day)),
+      (1L, "purchase", ts(8 * day)),
+      // user 2: click 8 days after the view — outside the bound; the
+      // purchase cannot gate on a missing click = stage 1
+      (2L, "view", ts(0)), (2L, "click", ts(8 * day)),
+      (2L, "purchase", ts(9 * day)),
+      // user 3: click in bound, purchase 8 days after the click = stage 2
+      (3L, "view", ts(0)), (3L, "click", ts(day)),
+      (3L, "purchase", ts(9 * day)),
+      // user 4: first in-bound click day 2 gates the purchase at day 3
+      // (1 day later); the second click at day 8 is irrelevant = stage 3
+      (4L, "view", ts(0)), (4L, "click", ts(2 * day)),
+      (4L, "click", ts(8 * day)), (4L, "purchase", ts(3 * day)))
+      .toDF("user_id", "event_type", "ts")
+    val out = Funnel.userFunnelWindowed(events, maxLagDays = 7).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("funnel_stage")).toMap
+    assert(out == Map(1L -> 3, 2L -> 1, 3L -> 2, 4L -> 3), out.toString)
+    // the unbounded funnel promotes users 2 and 3 to stage 3
+    val base = Funnel.userFunnel(events).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("funnel_stage")).toMap
+    assert(base == Map(1L -> 3, 2L -> 3, 3L -> 3, 4L -> 3), base.toString)
+  }
+
   test("window, salted, and stateful-stream funnels agree on random event logs") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
