@@ -23,6 +23,60 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private val ITERS = 3
 
+  // Tiered precision — ~2 significant figures: 1 decimal from 0.1 to
+  // 10 s, whole seconds past 10, 2 decimals only below 0.1 s (so a 40 ms
+  // query doesn't print as 0). Drift adjudication compares >=10% deltas,
+  // so ~2 sig figs lose nothing that matters. Trailing zeros are stripped
+  // ("0.60"->"0.6", "3.0"->"3") — pure JSON, no precision lie.
+  // Locale.ROOT: String.format honors the JVM default locale, and a
+  // comma-decimal locale would corrupt the JSON ("value":1,23).
+  private[graft] def f2(v: Double): String = {
+    val s = String.format(java.util.Locale.ROOT,
+      if (v >= 10) "%.0f" else if (v >= 0.1) "%.1f" else "%.2f", Double.box(v))
+    if (s.contains('.')) s.replaceAll("0+$", "").replaceAll("\\.$", "") else s
+  }
+
+  // Per-query JSON keys are the queries' UNIQUE id prefixes ("d4" =
+  // d4_ngram_jaccard, "pipeline" = pipeline_features): the full-name map
+  // outgrew the 2000-char stdout tail at 93 queries (1907 chars at 92,
+  // plus ~74 chars of sbt [success] suffix, left no room to ever add a
+  // query). Every full name begins with its prefix, so the mapping is
+  // recoverable by inspection; SparkEntrySpec asserts the prefixes stay
+  // unique, and the full names print with full precision on stderr each
+  // pass.
+  private[graft] def short(name: String): String = name.takeWhile(_ != '_')
+
+  private def renderQs(ms: Seq[(String, Double)], other: Option[Double]): String =
+    (ms.map { case (k, v) => "\"" + short(k) + "\":" + f2(v) } ++
+      other.map(o => "\"other\":" + f2(o))).mkString("{", ",", "}")
+
+  /** The "queries" map for the JSON line, with the COVERAGE.md
+    * "Bench JSON budget" compaction rule: once the full map would press
+    * the driver's EXACTLY-2000-char stdout tail (sbt appends ~74 chars,
+    * envelope ~100 more — so the map itself must stay ≤ ~1700), keep only
+    * the SLOWEST 96 queries by median (ties by name — deterministic) plus
+    * a terminal "other" = sum of the rest, so the total remains
+    * reconstructible from the line alone. Failed queries (-1) always stay
+    * in the map — a regression must never hide inside "other". Full
+    * precision for EVERY query is on stderr each pass regardless, and
+    * COVERAGE.md archives full tables per round. */
+  private[graft] def queriesJson(medians: Seq[(String, Double)]): String = {
+    val full = renderQs(medians, None)
+    if (full.length <= 1700 || medians.size <= 96) full
+    else {
+      val keep = (medians.filter(_._2 < 0) ++
+        medians.filter(_._2 >= 0).sortBy { case (k, v) => (-v, k) }.take(96))
+        .sortBy(_._1)
+      val keepSet = keep.map(_._1).toSet
+      val other = medians.collect {
+        case (k, v) if !keepSet(k) && v >= 0 => v
+      }.sum
+      System.err.println(
+        s"[bench] compaction: ${medians.size} queries -> slowest 96 + other=${f2(other)}")
+      renderQs(keep, Some(other))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -84,36 +138,8 @@ object Bench {
       name -> median(samples.toSeq.map(_.toMap.apply(name)))
     }
     val failed = medians.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-    // Tiered precision — ~2 significant figures: 1 decimal from 0.1 to
-    // 10 s, whole seconds past 10, 2 decimals only below 0.1 s (so a 40 ms
-    // query doesn't print as 0). The line must stay inside the driver's
-    // EXACTLY-2000-char stdout tail (measured from BENCH_r0x.json): at 87
-    // queries the uniform-2-decimal form hit 1965 chars, and at 90 queries
-    // a 2-decimals-under-1s form reached 1976 — both past the ~1926-char
-    // safe budget (sbt appends ~74 chars of [success]); this form measures
-    // 1888 at 90 queries. Drift adjudication compares >=10% deltas, so
-    // ~2 sig figs lose nothing that matters. Trailing zeros are stripped
-    // ("0.60"->"0.6", "3.0"->"3") — pure JSON, no precision lie — and sf
-    // shortens to its basename. Full precision is on stderr per pass.
-    // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
-    // comma-decimal locale would corrupt the JSON ("value":1,23).
-    def f2(v: Double): String = {
-      val s = String.format(java.util.Locale.ROOT,
-        if (v >= 10) "%.0f" else if (v >= 0.1) "%.1f" else "%.2f", Double.box(v))
-      if (s.contains('.')) s.replaceAll("0+$", "").replaceAll("\\.$", "") else s
-    }
-    // Per-query JSON keys are the queries' UNIQUE id prefixes ("d4" =
-    // d4_ngram_jaccard, "pipeline" = pipeline_features): the full-name map
-    // outgrew the 2000-char stdout tail at 93 queries (1907 chars at 92,
-    // plus ~74 chars of sbt [success] suffix, left no room to ever add a
-    // query). Every full name begins with its prefix, so the mapping is
-    // recoverable by inspection; SparkEntrySpec asserts the prefixes stay
-    // unique, and the full names print with full precision on stderr each
-    // pass.
-    def short(name: String): String = name.takeWhile(_ != '_')
-    val qs = medians.map { case (k, v) => "\"" + short(k) + "\":" + f2(v) }
-      .mkString("{", ",", "}")
     val total = medians.map(_._2).filter(_ >= 0).sum
+    val qs = queriesJson(medians)
     // ONE compact line, last on stdout (sbt appends ~74 chars of [success]).
     // iters = passes actually RUN — it appears only when the budget stopped
     // passes early (fewer than ITERS), which is exactly when claiming a

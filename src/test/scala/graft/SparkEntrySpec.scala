@@ -23,6 +23,26 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(dups.isEmpty, s"colliding bench key prefixes: $dups")
   }
 
+  test("bench queries-map compaction keeps slowest 96 + reconstructible other") {
+    // Below the overflow threshold the map is complete and untouched.
+    val small = Seq("b_x" -> 1.5, "a_y" -> 0.05)
+    assert(Bench.queriesJson(small) == """{"b":1.5,"a":0.05}""")
+    // Force overflow: 200 queries with distinct medians. The compacted map
+    // must hold exactly the 96 slowest (plus "other"), keep any failed
+    // (-1) queries visible, and "other" must equal the sum of the dropped.
+    val many = (0 until 200).map(i => f"q$i%03d_op" -> i / 10.0) :+
+      ("zfail_op" -> -1.0)
+    val out = Bench.queriesJson(many)
+    assert(out.length <= 1700, s"compacted map still ${out.length} chars")
+    assert(out.contains("\"zfail\":-1"), "failed query hidden by compaction")
+    // slowest 96 of the 200 non-failed = q104..q199; q103 must be dropped
+    // (>= 10 s renders at whole-second precision)
+    assert(out.contains("\"q104\":10") && out.contains("\"q199\":20"))
+    assert(!out.contains("\"q103\""))
+    val expectedOther = (0 until 104).map(_ / 10.0).sum
+    assert(out.endsWith(s""","other":${Bench.f2(expectedOther)}}"""), out.takeRight(40))
+  }
+
   test("entry() returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).limit(5).count() > 0)
   }
