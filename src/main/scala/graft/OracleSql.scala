@@ -1177,6 +1177,42 @@ object OracleSql {
          |  ON d.symbol = m.symbol AND d."date" <= m.mark_date
          |ORDER BY d.symbol, d."date"""".stripMargin),
 
+    // Nearest-asof twin: DuckDB has no native 'nearest' direction, so the
+    // oracle composes BOTH native ASOF directions and picks by day
+    // distance (DATE - DATE is BIGINT days), ties to the backward match,
+    // 45-day tolerance — the operator's documented contract.
+    "j10_asof_nearest" -> withCtes(stockCte, cleanCte, dedupCte,
+      """marks AS (
+        |  SELECT CAST(l_partkey AS VARCHAR) AS symbol,
+        |         CAST(o_orderdate AS DATE) AS mark_date,
+        |         AVG(o_totalprice) AS mark_price
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2)""".stripMargin,
+      """bk AS (
+        |  SELECT d.symbol, d."date", d.close,
+        |         m.mark_date AS bd, m.mark_price AS bp
+        |  FROM dedup d ASOF LEFT JOIN marks m
+        |    ON d.symbol = m.symbol AND d."date" >= m.mark_date)""".stripMargin,
+      """fw AS (
+        |  SELECT d.symbol, d."date",
+        |         m.mark_date AS fd, m.mark_price AS fp
+        |  FROM dedup d ASOF LEFT JOIN marks m
+        |    ON d.symbol = m.symbol AND d."date" <= m.mark_date)""".stripMargin,
+      """pick AS (
+        |  SELECT bk.symbol, bk."date", bk.close, bk.bd, bk.bp, fw.fd, fw.fp,
+        |         CASE WHEN bk."date" - bk.bd <= 45
+        |              THEN bk."date" - bk.bd END AS db,
+        |         CASE WHEN fw.fd - fw."date" <= 45
+        |              THEN fw.fd - fw."date" END AS df
+        |  FROM bk JOIN fw USING (symbol, "date"))""".stripMargin)(
+      s"""SELECT symbol, "date", ${R("close", 6)} AS close,
+         |       CASE WHEN db IS NOT NULL AND (df IS NULL OR db <= df) THEN bd
+         |            WHEN df IS NOT NULL THEN fd END AS mark_date,
+         |       ${R("""CASE WHEN db IS NOT NULL AND (df IS NULL OR db <= df) THEN bp
+         |            WHEN df IS NOT NULL THEN fp END""", 2)} AS mark_price
+         |FROM pick
+         |ORDER BY symbol, "date"""".stripMargin),
+
     // Chi-square twin: Spark weekday() 0=Monday -> isodow()-1 (the x2
     // contract); expected-count and term formulas render with identical
     // parenthesization to the Spark side.
@@ -1204,6 +1240,44 @@ object OracleSql {
          |  CAST((COUNT(DISTINCT wd) - 1) * (COUNT(DISTINCT up) - 1) AS INTEGER) AS dof,
          |  ${R("SUM(term)", 6)} AS chi2
          |FROM t GROUP BY symbol ORDER BY symbol""".stripMargin),
+
+    // KS twin: identical return/split/ECDF formulas; the ECDF windows use
+    // DuckDB's default RANGE frame (peers included — the tie treatment the
+    // Spark side pins with an explicit rangeBetween), and the half-split is
+    // the same integer rn*2 <= n comparison.
+    "a18_ks_test" -> withCtes(stockCte, cleanCte, dedupCte,
+      s"""r0 AS (
+         |  SELECT symbol, "date", ${R("""(close - LAG(close) OVER (PARTITION BY symbol ORDER BY "date")) / LAG(close) OVER (PARTITION BY symbol ORDER BY "date")""", 6)} AS ret
+         |  FROM dedup)""".stripMargin,
+      """r1 AS (
+        |  SELECT symbol, ret,
+        |         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY "date") AS rn,
+        |         COUNT(*) OVER (PARTITION BY symbol) AS n
+        |  FROM r0 WHERE ret IS NOT NULL)""".stripMargin,
+      """g AS (
+        |  SELECT symbol, ret,
+        |         CASE WHEN rn * 2 <= n THEN 'a' ELSE 'b' END AS grp
+        |  FROM r1)""".stripMargin,
+      """c AS (
+        |  SELECT symbol, ret, grp,
+        |    SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY symbol) AS na,
+        |    SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY symbol) AS nb,
+        |    SUM(CASE WHEN grp = 'a' THEN 1.0 ELSE 0.0 END)
+        |      OVER (PARTITION BY symbol ORDER BY ret) AS ca,
+        |    SUM(CASE WHEN grp = 'b' THEN 1.0 ELSE 0.0 END)
+        |      OVER (PARTITION BY symbol ORDER BY ret) AS cb
+        |  FROM g)""".stripMargin,
+      """dd AS (
+        |  SELECT symbol, na, nb, ABS(ca / na - cb / nb) AS d FROM c)""".stripMargin,
+      s"""ks AS (
+         |  SELECT symbol, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+         |         ${R("MAX(d)", 6)} AS ks
+         |  FROM dd GROUP BY symbol, na, nb)""".stripMargin)(
+      s"""SELECT symbol, na, nb, ks,
+         |  ks > ${R("1.358 * SQRT((na + nb) / (CAST(na AS DOUBLE) * nb))", 6)} AS reject_95
+         |FROM ks ORDER BY symbol""".stripMargin),
 
     "a12_heavy_hitters" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders

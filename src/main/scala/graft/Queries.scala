@@ -491,6 +491,47 @@ object Queries {
       .orderBy("symbol")
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift test per symbol: the
+    * distribution of daily returns in the FIRST half of each symbol's
+    * history vs the SECOND half (D = sup |ECDF_a - ECDF_b|; reject_95
+    * compares D against the asymptotic 5% critical value
+    * 1.358·sqrt((na+nb)/(na·nb))) — the standard "did the regime change"
+    * test, and the distributional sibling of a17's categorical chi-square.
+    *
+    * Shape at scale: every window — the return lag, the row_number split,
+    * the per-symbol totals, and the ECDF running counts — partitions by
+    * symbol, so the whole test rides ONE symbol hash exchange with
+    * in-partition re-sorts (date order for the split, return order for the
+    * ECDFs). The ECDF counts use a RANGE frame so equal returns (common
+    * after 6-decimal rounding) count all their peers before the diff is
+    * read — the correct KS treatment of ties. The half-split uses the
+    * integer comparison rn*2 <= n (no float division) so both engines cut
+    * identically. */
+  def a18KsTest(s: SparkSession, dir: String): DataFrame = {
+    val bySym = Window.partitionBy("symbol")
+    val r = cleanedStock(s, dir).drop("rid")
+      .withColumn("ret", Num.cround(
+        (col("close") - lag("close", 1).over(w)) / lag("close", 1).over(w), 6))
+      .filter(col("ret").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(bySym))
+      .withColumn("grp", when(col("rn") * 2 <= col("n"), "a").otherwise("b"))
+    val ecdf = Window.partitionBy("symbol").orderBy("ret")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = r
+      .withColumn("na", sum(when(col("grp") === "a", 1L).otherwise(0L)).over(bySym))
+      .withColumn("nb", sum(when(col("grp") === "b", 1L).otherwise(0L)).over(bySym))
+      .withColumn("ca", sum(when(col("grp") === "a", 1.0).otherwise(0.0)).over(ecdf))
+      .withColumn("cb", sum(when(col("grp") === "b", 1.0).otherwise(0.0)).over(ecdf))
+      .withColumn("d", abs(col("ca") / col("na") - col("cb") / col("nb")))
+    d.groupBy("symbol", "na", "nb")
+      .agg(Num.cround(max("d"), 6).as("ks"))
+      .withColumn("reject_95", col("ks") > Num.cround(
+        lit(1.358) * sqrt((col("na") + col("nb")) /
+          (col("na").cast("double") * col("nb"))), 6))
+      .orderBy("symbol")
+  }
+
   /** MinHash estimator calibration curve — for every d2 LSH candidate
     * pair, the signature-agreement estimate ĵ = (#matching of 16 minhash
     * components)/16 against d8's exact shingle Jaccard, grouped into the
@@ -1200,6 +1241,26 @@ object Queries {
       .agg(avg("o_totalprice").as("mark_price"))
     val joined = TemporalJoins.asofForward(
       bars, marks, Seq("symbol"), "date", "mark_date")
+    rounded(rounded(joined, Seq("close")), Seq("mark_price"), 2)
+      .orderBy("symbol", "date")
+  }
+
+  /** Nearest as-of join — j5/j9's third direction: every bar attaches the
+    * mark CLOSEST in time on either side, ties to the backward match,
+    * matches farther than 45 days discarded (null payloads). One fused
+    * union — a single symbol hash exchange with two in-partition sorts —
+    * instead of composing j5+j9 (which would exchange the bars twice);
+    * see [[graft.ops.TemporalJoins.asofNearest]]. */
+  def j10AsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val bars = cleanedStock(s, dir).select("symbol", "date", "close")
+    val marks = Sources.lineitem(s, dir)
+      .join(Sources.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_partkey").cast("string").as("symbol"),
+        col("o_orderdate").cast("date").as("mark_date"))
+      .agg(avg("o_totalprice").as("mark_price"))
+    val joined = TemporalJoins.asofNearest(
+      bars, marks, Seq("symbol"), "date", "mark_date",
+      tolerance = Some(45), timeToLong = unix_date)
     rounded(rounded(joined, Seq("close")), Seq("mark_price"), 2)
       .orderBy("symbol", "date")
   }
@@ -2170,6 +2231,8 @@ object Queries {
     "d12_containment" -> (d12Containment _),
     "e5_silhouette" -> (e5Silhouette _),
     "j9_asof_forward" -> (j9AsofForward _),
+    "j10_asof_nearest" -> (j10AsofNearest _),
+    "a18_ks_test" -> (a18KsTest _),
     "a17_chi2" -> (a17Chi2 _),
     "d13_minhash_calibration" -> (d13MinhashCalibration _),
     "ev15_funnel_windowed" -> (ev15FunnelWindowed _),

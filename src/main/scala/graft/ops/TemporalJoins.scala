@@ -116,6 +116,72 @@ object TemporalJoins {
         payloadCols.map(c => col("__m").getField(c).as(c)): _*)
   }
 
+  /** Nearest as-of join: for every left row, attach the right row with the
+    * same `keys` whose `rightTime` is CLOSEST to the left row's `leftTime`
+    * in either direction (pandas `merge_asof(direction='nearest')`). Ties
+    * in distance resolve to the BACKWARD (at-or-before) match —
+    * deterministic, and the convention that favors information already
+    * known at event time. An optional `tolerance` (in the units of
+    * `timeToLong`) discards matches farther than the bound, leaving null
+    * payloads; `timeToLong` maps the time columns to a numeric axis
+    * (default `cast("long")`; pass `unix_date` for DATE columns).
+    *
+    * Mechanics — ONE hash exchange, not two: both direction passes ride a
+    * single union. Each side carries two tie-break columns (`__sb`: right
+    * sorts before left at equal time, for the backward running `last`;
+    * `__sf`: right sorts after left, for the forward running `first`), and
+    * the two window specs share the `keys` hash partitioning, so Catalyst
+    * plans one Exchange and two in-partition sorts. Composing
+    * [[asofBackward]] + [[asofForward]] would shuffle the (growing) left
+    * side twice; at 100 TB the second exchange is the bottleneck, the
+    * second sort is not.
+    *
+    * Same requirements as asofBackward: `right` unique per
+    * (keys, rightTime); time columns of one orderable type. */
+  def asofNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTime: String, rightTime: String,
+                  tolerance: Option[Long] = None,
+                  timeToLong: Column => Column = _.cast("long")): DataFrame = {
+    val reserved = Seq("__t", "__sb", "__sf", "__mark", "__mb", "__mf")
+    require(!(left.columns ++ right.columns).exists(reserved.contains),
+      s"column names ${reserved.mkString("/")} are reserved by asofNearest")
+    val payloadCols = right.columns.filterNot(keys.contains).toSeq
+    val clash = payloadCols.toSet intersect left.columns.toSet
+    require(clash.isEmpty,
+      s"right payload columns collide with left columns (rename first): $clash")
+    val rTagged = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTime).as("__t"),
+        lit(0).as("__sb"), lit(1).as("__sf"),
+        struct(payloadCols.map(col): _*).as("__mark")): _*)
+    val markType = rTagged.schema("__mark").dataType
+    val lTagged = left.select(
+      left.columns.map(col) ++ Seq(
+        col(leftTime).as("__t"),
+        lit(1).as("__sb"), lit(0).as("__sf"),
+        lit(null).cast(markType).as("__mark")): _*)
+    val wb = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__sb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__sf"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val matched = lTagged.unionByName(rTagged, allowMissingColumns = true)
+      .withColumn("__mb", last(col("__mark"), ignoreNulls = true).over(wb))
+      .withColumn("__mf", first(col("__mark"), ignoreNulls = true).over(wf))
+      .filter(col("__sb") === 1)
+    val lt = timeToLong(col("__t"))
+    val db0 = lt - timeToLong(col("__mb").getField(rightTime))
+    val df0 = timeToLong(col("__mf").getField(rightTime)) - lt
+    val db = tolerance.fold(db0)(t => when(db0 <= t, db0))
+    val df = tolerance.fold(df0)(t => when(df0 <= t, df0))
+    val useBack = db.isNotNull && (df.isNull || db <= df)
+    matched.select(left.columns.map(col) ++ payloadCols.map { c =>
+      when(useBack, col("__mb").getField(c))
+        .when(df.isNotNull, col("__mf").getField(c)).as(c)
+    }: _*)
+  }
+
   /** `asofBackward` with a match-staleness bound: a matched right row older
     * than `maxAgeDays` (relative to the left row's date) is discarded — its
     * payload columns become null, as if no match existed. Time columns must

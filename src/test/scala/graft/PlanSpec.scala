@@ -337,6 +337,20 @@ class PlanSpec extends AnyFunSuite {
       s"expected at most two symbol exchanges, got $symbolExchanges:\n$p")
   }
 
+  test("nearest as-of fuses both directions over ONE union-window exchange") {
+    val p = plan("j10_asof_nearest")
+    assert(!p.contains("CartesianProduct") &&
+      !p.linesIterator.exists(l => l.contains("BroadcastNestedLoopJoin") && !l.contains("Cross")),
+      s"nearest as-of must stay a union+window, not a theta join:\n$p")
+    // the fused form's contract: composing backward+forward would cost a
+    // THIRD symbol exchange (two union-windows); the fused plan has the
+    // marks aggregate + exactly one union-window exchange, with the second
+    // direction satisfied by an in-partition re-sort
+    val symbolExchanges = "hashpartitioning\\(symbol".r.findAllIn(p).length
+    assert(symbolExchanges <= 2,
+      s"expected at most two symbol exchanges (marks agg + ONE union window), got $symbolExchanges:\n$p")
+  }
+
   test("runtime bloom filter injects into the fact scan under a selective dim join") {
     // At production scale Spark's runtime row-level bloom filter
     // (spark.sql.optimizer.runtime.bloomFilter.*, enabled by default)

@@ -40,6 +40,36 @@ class TemporalJoinsPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("asofNearest agrees with the brute-force argmin-distance definition") {
+    val rnd = new Random(9393)
+    for (trial <- 1 to 15) {
+      val tol = if (trial % 3 == 0) None else Some(2L + rnd.nextInt(10))
+      val lRows = Seq.fill(25)((keys(rnd.nextInt(3)), rnd.nextInt(40).toLong))
+      val rRows = Seq.fill(25)((keys(rnd.nextInt(3)), rnd.nextInt(40).toLong))
+        .distinct.map { case (k, t) => (k, t, t * 100.0 + k.hashCode % 7) }
+
+      val left = lRows.zipWithIndex
+        .map { case ((k, t), i) => (k, t, i.toLong) }.toDF("k", "t", "lid")
+      val right = rRows.toDF("k", "rt", "payload")
+      val got = TemporalJoins.asofNearest(left, right, Seq("k"), "t", "rt",
+          tolerance = tol)
+        .select("lid", "rt", "payload")
+        .as[(Long, Option[Long], Option[Double])].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      val want = lRows.zipWithIndex.map { case ((k, t), i) =>
+        val inTol = rRows.filter(r => r._1 == k &&
+          tol.forall(b => math.abs(r._2 - t) <= b))
+        // min distance; ties to the backward (rt <= t) side, which for
+        // equal distance is the smaller rt
+        val best = inTol
+          .sortBy(r => (math.abs(r._2 - t), r._2))
+          .headOption
+        i.toLong -> (best.map(_._2), best.map(_._3))
+      }.toMap
+      assert(got == want, s"trial $trial: tol=$tol left=$lRows right=$rRows")
+    }
+  }
+
   test("rangeJoinBucketed agrees with the naive containment join for any bucket width") {
     val rnd = new Random(1717)
     for (trial <- 1 to 15) {

@@ -69,6 +69,48 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("close"))
   }
 
+  test("asofNearest picks the closer side, ties backward, tolerance nulls") {
+    val out = TemporalJoins.asofNearest(
+        bars, marks, Seq("symbol"), "date", "mark_date",
+        tolerance = Some(3), timeToLong = unix_date)
+      .orderBy("symbol", "date")
+      .collect()
+      .map(r => (r.getAs[String]("symbol"), r.getAs[Date]("date").toString,
+        Option(r.getAs[Date]("mark_date")).map(_.toString),
+        Option(r.getAs[java.lang.Double]("mark_price")).map(_.toDouble)))
+    assert(out.toSeq == Seq(
+      // 01-01: only forward 01-02 in tolerance (dist 1)
+      ("A", "2020-01-01", Some("2020-01-02"), Some(1.0)),
+      // 01-05: exact-instant mark (dist 0 both directions, backward = same row)
+      ("A", "2020-01-05", Some("2020-01-05"), Some(2.0)),
+      // 01-10: backward 01-09 (dist 1); no forward mark
+      ("A", "2020-01-10", Some("2020-01-09"), Some(3.0)),
+      // B has no marks at all
+      ("B", "2020-01-03", None, None)))
+  }
+
+  test("asofNearest breaks equal-distance ties to the backward match") {
+    val l = Seq(("K", 10L, 1L)).toDF("k", "t", "lid")
+    val r = Seq(("K", 8L, "back"), ("K", 12L, "fwd")).toDF("k", "rt", "tag")
+    val out = TemporalJoins.asofNearest(l, r, Seq("k"), "t", "rt")
+      .select("tag").as[String].collect()
+    assert(out.toSeq == Seq("back"))
+    // and with the backward side out of tolerance, forward wins
+    val out2 = TemporalJoins.asofNearest(
+        Seq(("K", 10L, 1L)).toDF("k", "t", "lid"),
+        Seq(("K", 2L, "back"), ("K", 12L, "fwd")).toDF("k", "rt", "tag"),
+        Seq("k"), "t", "rt", tolerance = Some(5))
+      .select("tag").as[String].collect()
+    assert(out2.toSeq == Seq("fwd"))
+    // both out of tolerance -> null payload
+    val out3 = TemporalJoins.asofNearest(
+        Seq(("K", 10L, 1L)).toDF("k", "t", "lid"),
+        Seq(("K", 2L, "back"), ("K", 20L, "fwd")).toDF("k", "rt", "tag"),
+        Seq("k"), "t", "rt", tolerance = Some(5))
+      .select("tag").collect()
+    assert(out3.head.isNullAt(0))
+  }
+
   test("asofBackwardMaxAge nulls out stale matches") {
     val out = TemporalJoins.asofBackwardMaxAge(
         bars, marks, Seq("symbol"), "date", "mark_date", maxAgeDays = 1)
