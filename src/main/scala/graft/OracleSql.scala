@@ -2011,6 +2011,76 @@ object OracleSql {
         |  FROM sc)
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
 
+    // Range-search twin: sim2's bucket/candidate/score CTEs with the
+    // denser % 10 query set; the final stage is the tau filter on the
+    // tie-safe-rounded cosine instead of a top-k window.
+    "sim15_range_search" -> withCtes(
+      embUnnestCte(""), normCte,
+      """pl AS (
+        |  SELECT p, d,
+        |    (CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 8)) AS BIGINT)
+        |     % 2001 - 1000) / 1000.0 AS w
+        |  FROM range(0, 8) t1(p), range(1, 65) t2(d))""".stripMargin,
+      """pd AS (
+        |  SELECT u.vec_id, pl.p, SUM(CAST(u.v AS DOUBLE) * pl.w) AS pdot
+        |  FROM u JOIN pl ON pl.d = u.i GROUP BY 1, 2)""".stripMargin,
+      """bu AS (
+        |  SELECT vec_id,
+        |         CAST(SUM(CASE WHEN pdot > 0 THEN CAST(POWER(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM pd GROUP BY 1)""".stripMargin,
+      "qs AS (SELECT vec_id AS query_id, bucket FROM bu WHERE vec_id % 10 = 0)",
+      """cand AS (
+        |  SELECT qs.query_id, bu.vec_id, qs.bucket
+        |  FROM qs JOIN bu ON bu.bucket = qs.bucket AND bu.vec_id <> qs.query_id)""".stripMargin,
+      """cd AS (
+        |  SELECT c.query_id, c.vec_id, c.bucket,
+        |         SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dp
+        |  FROM cand c JOIN u a ON a.vec_id = c.query_id
+        |              JOIN u b ON b.vec_id = c.vec_id AND b.i = a.i
+        |  GROUP BY 1, 2, 3)""".stripMargin,
+      s"""sc AS (
+         |  SELECT query_id, cd.vec_id, bucket,
+         |         ${R("dp / (nq.nv * nc.nv)", 6)} AS cosine
+         |  FROM cd JOIN nrm nq ON nq.vec_id = query_id
+         |           JOIN nrm nc ON nc.vec_id = cd.vec_id)""".stripMargin)(
+      """SELECT query_id, vec_id, bucket, cosine FROM sc
+        |WHERE cosine >= 0.1 ORDER BY query_id, vec_id""".stripMargin),
+
+    // Confusion twin: e2's u/cent/d/r CTEs reduced to (label, predicted)
+    // cells with window-sum marginals; recall/precision fractions render
+    // with the same n / marginal parenthesization as the Spark side.
+    "e6_confusion" -> {
+      val cavg = R("AVG(v)", 6)
+      val d2 = R("SUM((u.v - c.centroid) * (u.v - c.centroid))", 6)
+      s"""WITH u AS (
+         |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+         |         generate_subscripts(embedding, 1) AS i
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT label AS c_label, i, $cavg AS centroid
+         |  FROM u GROUP BY 1, 2),
+         |d AS (
+         |  SELECT u.vec_id, u.label, c.c_label, $d2 AS dist2
+         |  FROM u JOIN cent c ON u.i = c.i
+         |  GROUP BY 1, 2, 3),
+         |r AS (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY vec_id ORDER BY dist2, c_label) AS rn
+         |  FROM d),
+         |cells AS (
+         |  SELECT label, c_label AS predicted, COUNT(*) AS n
+         |  FROM r WHERE rn = 1 GROUP BY 1, 2),
+         |m AS (
+         |  SELECT label, predicted, n,
+         |    CAST(SUM(n) OVER (PARTITION BY label) AS BIGINT) AS n_true,
+         |    CAST(SUM(n) OVER (PARTITION BY predicted) AS BIGINT) AS n_pred
+         |  FROM cells)
+         |SELECT label, predicted, n, n_true, n_pred,
+         |  ${R("n / n_true", 6)} AS recall_frac,
+         |  ${R("n / n_pred", 6)} AS precision_frac
+         |FROM m ORDER BY label, predicted""".stripMargin
+    },
+
     // multi-probe LSH: sim2's CTEs plus single-bit flips of each query's
     // 2 lowest-|margin| hyperplanes (tie-safe-rounded margin, plane id
     // tiebreak — an unrounded float rank could pick different probe

@@ -1662,6 +1662,34 @@ object Queries {
     ext.Similarity.lshTopK(Sources.embeddings(s, dir), ext.Similarity.planes(s))
       .orderBy("query_id", "rank")
 
+  /** LSH radius search — "every neighbor with cosine >= 0.1", the
+    * data-dependent-result sibling of sim2's fixed-k retrieval (see
+    * [[graft.ext.Similarity.lshRangeSearch]]). queryMod 10 because the
+    * near-uniform fixture leaves 8-plane buckets thin at small SF — the
+    * denser query set keeps the threshold set non-empty at sf0.001. */
+  def sim15RangeSearch(s: SparkSession, dir: String): DataFrame =
+    ext.Similarity.lshRangeSearch(Sources.embeddings(s, dir),
+        ext.Similarity.planes(s), queryMod = 10, tau = 0.1)
+      .orderBy("query_id", "vec_id")
+
+  /** Confusion matrix + per-cell recall/precision of e2's nearest-centroid
+    * classifier against the true labels — the evaluation readout that
+    * turns e2's per-vector `correct` flags into the per-class error
+    * structure (which labels bleed into which). Rides e2's exact plan
+    * (broadcast centroids, one partial-agg distance pass) reduced to a
+    * labels² table; the window sums run over that tiny aggregate, not the
+    * corpus. */
+  def e6Confusion(s: SparkSession, dir: String): DataFrame = {
+    val pred = ext.Similarity.nearestCentroid(Sources.embeddings(s, dir))
+    val cells = pred.groupBy("label", "predicted").agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("n_true", sum("n").over(Window.partitionBy("label")))
+      .withColumn("n_pred", sum("n").over(Window.partitionBy("predicted")))
+      .withColumn("recall_frac", Num.cround(col("n") / col("n_true"), 6))
+      .withColumn("precision_frac", Num.cround(col("n") / col("n_pred"), 6))
+      .orderBy("label", "predicted")
+  }
+
   /** Multi-probe LSH top-k: the query's bucket plus the 2 buckets behind
     * its lowest-margin hyperplanes — recovers boundary-split neighbors at
     * 3x the candidate cost instead of 16x (fewer planes). See
@@ -2253,6 +2281,8 @@ object Queries {
     "d11_best_of_cluster" -> (d11BestOfCluster _),
     "sim1_cosine_topk" -> (sim1CosineTopk _),
     "sim2_lsh_topk" -> (sim2LshTopk _),
+    "sim15_range_search" -> (sim15RangeSearch _),
+    "e6_confusion" -> (e6Confusion _),
     "sim6_lsh_multiprobe" -> (sim6LshMultiprobe _),
     "sim7_pq_topk" -> (sim7PqTopk _),
     "sim8_ivfpq" -> (sim8IvfPq _),

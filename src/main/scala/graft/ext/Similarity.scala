@@ -432,6 +432,39 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "bucket", "cosine")
   }
 
+  /** LSH radius (range) search: every candidate sharing a query's LSH
+    * bucket whose exact cosine clears `tau` — "all near neighbors above a
+    * threshold", the retrieval analog of the d2→d8 candidate+verify dedup
+    * pipeline, where [[lshTopK]] answers "the k nearest". Range search is
+    * the primitive behind near-duplicate audit ("show me EVERYTHING this
+    * close") and threshold-based retrieval filtering; its result size is
+    * data-dependent where top-k's is fixed, so the bucket bound is what
+    * keeps it linear (candidates = bucket co-occupants only, never the
+    * corpus).
+    *
+    * Determinism at the boundary: the cosine is tie-safe-ROUNDED (scale 6)
+    * before the >= tau compare, so both engines keep the same boundary
+    * rows. Shape at scale: identical to [[lshTopK]] minus the per-query
+    * window — one corpus pass for buckets, one bounded bucket-keyed join,
+    * no top-k sort at all (a pure filter), so the operator is
+    * embarrassingly parallel after the candidate join. */
+  def lshRangeSearch(emb: DataFrame, planesDf: DataFrame,
+                     queryMod: Int = 100, tau: Double = 0.25,
+                     nPlanes: Int = 8): DataFrame = {
+    val withNorm = withDoubles(emb)
+    val buckets = lshBuckets(emb, planesDf, nPlanes)
+    val vecs = withNorm.join(buckets, "vec_id")
+    val queries = vecs.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("emb_d").as("q_emb"),
+        col("bucket"))
+    vecs.join(broadcast(queries), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", graft.ops.Num.cround(
+        nativeCosine(col("emb_d"), col("q_emb")), 6))
+      .filter(col("cosine") >= tau)
+      .select("query_id", "vec_id", "bucket", "cosine")
+  }
+
   /** Multi-probe variant of [[lshTopK]] (Lv et al., "Multi-Probe LSH:
     * Efficient Indexing for High-Dimensional Similarity Search", VLDB
     * 2007): each query searches its own bucket PLUS the `probes` buckets

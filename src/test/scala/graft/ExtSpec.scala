@@ -339,6 +339,40 @@ class ExtSpec extends AnyFunSuite {
       f"residual+rerank recall@5 regressed: $residual%.3f < 0.65 (r10: 0.750)")
   }
 
+  test("range search returns exactly the in-bucket pairs clearing tau") {
+    val emb = graft.io.Sources.embeddings(spark, "/root/testdata/sf0.001")
+    val planes = Similarity.planes(spark)
+    val tau = 0.1
+    val got = Similarity.lshRangeSearch(emb, planes, queryMod = 10, tau = tau)
+      .select("query_id", "vec_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty, "fixture must produce threshold hits at sf0.001")
+    assert(got.forall(_._3 >= tau), "a returned cosine is below tau")
+    // reference: per-bucket brute force over the collected bucket map
+    val buckets = Similarity.lshBuckets(emb, planes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = emb.collect().map { r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray
+    }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dp = a.zip(b).map { case (x, y) => x * y }.sum
+      dp / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    // compare pair sets loosely at the boundary: every got pair must be a
+    // same-bucket pair, and every clearly-above-tau reference pair (margin
+    // over rounding noise) must be in got
+    val gotPairs = got.map(p => (p._1, p._2)).toSet
+    assert(gotPairs.forall { case (q, v) => buckets(q) == buckets(v) },
+      "a returned pair does not share a bucket")
+    val mustHave = for {
+      (q, qb) <- buckets.toSeq if q % 10 == 0
+      (v, vb) <- buckets if v != q && vb == qb
+      if cos(vecs(q), vecs(v)) >= tau + 1e-4
+    } yield (q, v)
+    assert(mustHave.forall(gotPairs.contains),
+      "a same-bucket pair clearly above tau is missing")
+  }
+
   test("multi-probe LSH: probes=0 degenerates to lshTopK; probing lifts recall") {
     val emb = graft.io.Sources.embeddings(spark, "/root/testdata/sf0.01")
     val planes = Similarity.planes(spark)
