@@ -261,6 +261,40 @@ object OracleSql {
         |  SELECT symbol FROM stock WHERE "date" BETWEEN DATE '1995-07-01' AND DATE '1995-12-31')
         |GROUP BY symbol ORDER BY symbol""".stripMargin),
 
+    "u7_intersect_all" -> withCtes(stockCte)(
+      """SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_common FROM (
+        |  SELECT symbol FROM stock WHERE "date" BETWEEN DATE '1995-01-01' AND DATE '1995-06-30'
+        |  INTERSECT ALL
+        |  SELECT symbol FROM stock WHERE "date" BETWEEN DATE '1995-07-01' AND DATE '1995-12-31')
+        |GROUP BY symbol ORDER BY symbol""".stripMargin),
+
+    // Attribution twin: the same half-open 7-day pre-purchase pairing on
+    // the microsecond axis (epoch_us == Spark's unix_micros), equal-split
+    // shares, and a NOT-EXISTS 'direct' bucket.
+    "ev16_attribution" -> (
+      s"""WITH p AS (
+         |  SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us, value
+         |  FROM events WHERE event_type = 'purchase'),
+         |t AS (
+         |  SELECT user_id, event_type AS channel, epoch_us(ts) AS t_us
+         |  FROM events WHERE event_type IN ('view', 'click')),
+         |j AS (
+         |  SELECT p.p_id, p.value, t.channel
+         |  FROM p JOIN t ON t.user_id = p.user_id
+         |    AND t.t_us >= p.p_us - 604800000000
+         |    AND t.t_us < p.p_us),
+         |n AS (SELECT p_id, COUNT(*) AS n_touch FROM j GROUP BY 1),
+         |touched AS (
+         |  SELECT j.channel, CAST(COUNT(*) AS BIGINT) AS n_attributions,
+         |         ${R("SUM(j.value / n.n_touch)", 6)} AS attributed_value
+         |  FROM j JOIN n USING (p_id) GROUP BY 1),
+         |direct AS (
+         |  SELECT 'direct' AS channel, CAST(COUNT(*) AS BIGINT) AS n_attributions,
+         |         ${R("SUM(value)", 6)} AS attributed_value
+         |  FROM p WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.p_id = p.p_id))
+         |SELECT * FROM touched UNION ALL SELECT * FROM direct
+         |ORDER BY channel""".stripMargin),
+
     "w1_lag_diff" -> withCtes(stockCte, cleanCte, dedupCte)(
       s"""SELECT symbol, "date",
          |  ${R("close - LAG(close) OVER w", 6)} AS daily_change

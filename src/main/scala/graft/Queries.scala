@@ -135,6 +135,28 @@ object Queries {
       .orderBy("symbol")
   }
 
+  /** INTERSECT ALL — u6's multiset complement: per-symbol observation
+    * count common to BOTH half-years (min of the two multiplicities).
+    * Spark's intersectAll plans the same shuffle as the except-all twin;
+    * grouped to a deterministic count table for the oracle. */
+  def u7IntersectAll(s: SparkSession, dir: String): DataFrame = {
+    val stock = Sources.stockFromLineitem(s, dir)
+    stock.filter(col("date").between("1995-01-01", "1995-06-30"))
+      .select("symbol")
+      .intersectAll(
+        stock.filter(col("date").between("1995-07-01", "1995-12-31"))
+          .select("symbol"))
+      .groupBy("symbol").agg(count(lit(1)).as("n_common"))
+      .orderBy("symbol")
+  }
+
+  /** Linear multi-touch attribution — which channel gets the credit for
+    * each purchase's value (see
+    * [[graft.analytics.Attribution.linearAttribution]]). */
+  def ev16Attribution(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Attribution.linearAttribution(Sources.events(s, dir))
+      .orderBy("channel")
+
   // ===== window functions (W1-W5) ==========================================
 
   private def windowQuery(s: SparkSession, dir: String)(expr: DataFrame => DataFrame): DataFrame =
@@ -2267,6 +2289,8 @@ object Queries {
     "t28_bigram_lm" -> (t28BigramLm _),
     "m4_phash_clusters" -> (m4PhashClusters _),
     "u6_except_all" -> (u6ExceptAll _),
+    "u7_intersect_all" -> (u7IntersectAll _),
+    "ev16_attribution" -> (ev16Attribution _),
     "f9_winsorize" -> (f9Winsorize _),
     "d1_dedup_exact" -> (d1DedupExact _),
     "d7_keep_first" -> (d7KeepFirst _),

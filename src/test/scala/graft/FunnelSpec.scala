@@ -78,6 +78,36 @@ class FunnelSpec extends AnyFunSuite {
     assert(base == Map(1L -> 3, 2L -> 3, 3L -> 3, 4L -> 3), base.toString)
   }
 
+  test("linear attribution splits value across in-window touches; direct otherwise") {
+    import spark.implicits._
+    val day = 86400L
+    val events = Seq(
+      // purchase day 10 value 10: view day 5 + click day 6 in window
+      // (day 3..10), view day 2 OUT of the 7-day window, view day 20 after
+      (1L, 100L, "view", ts(2 * day), 0.0),
+      (2L, 100L, "view", ts(5 * day), 0.0),
+      (3L, 100L, "click", ts(6 * day), 0.0),
+      (4L, 100L, "purchase", ts(10 * day), 10.0),
+      (5L, 100L, "view", ts(20 * day), 0.0),
+      // a touch at the purchase instant is NOT strictly preceding
+      (6L, 200L, "view", ts(30 * day), 0.0),
+      (7L, 200L, "purchase", ts(30 * day), 8.0),
+      // two views in window -> 3.0 each
+      (8L, 300L, "view", ts(40 * day), 0.0),
+      (9L, 300L, "view", ts(41 * day), 0.0),
+      (10L, 300L, "purchase", ts(42 * day), 6.0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val out = graft.analytics.Attribution.linearAttribution(events).collect()
+      .map(r => r.getAs[String]("channel") ->
+        (r.getAs[Long]("n_attributions"), r.getAs[Double]("attributed_value")))
+      .toMap
+    // view: 5.0 (half of user 100's purchase) + 6.0 (all of user 300's)
+    assert(out("view") == ((3L, 11.0)), out.toString)
+    assert(out("click") == ((1L, 5.0)), out.toString)
+    // user 200's purchase has no strictly-preceding touch -> direct
+    assert(out("direct") == ((1L, 8.0)), out.toString)
+  }
+
   test("window, salted, and stateful-stream funnels agree on random event logs") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
