@@ -286,11 +286,11 @@ object OracleSql {
          |n AS (SELECT p_id, COUNT(*) AS n_touch FROM j GROUP BY 1),
          |touched AS (
          |  SELECT j.channel, CAST(COUNT(*) AS BIGINT) AS n_attributions,
-         |         ${R("SUM(j.value / n.n_touch)", 6)} AS attributed_value
+         |         CAST(SUM(CAST(${R("j.value / n.n_touch", 6)} AS DECIMAL(38,6))) AS DOUBLE) AS attributed_value
          |  FROM j JOIN n USING (p_id) GROUP BY 1),
          |direct AS (
          |  SELECT 'direct' AS channel, CAST(COUNT(*) AS BIGINT) AS n_attributions,
-         |         ${R("SUM(value)", 6)} AS attributed_value
+         |         CAST(SUM(CAST(${R("value", 6)} AS DECIMAL(38,6))) AS DOUBLE) AS attributed_value
          |  FROM p WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.p_id = p.p_id))
          |SELECT * FROM touched UNION ALL SELECT * FROM direct
          |ORDER BY channel""".stripMargin),
@@ -1732,6 +1732,40 @@ object OracleSql {
     // encode argmins and the final ranking both compare tie-safe-ROUNDED
     // distances (subspace sums are 8 doubles — an unrounded argmin would
     // let a summation-order ulp flip a code cross-engine).
+    // Distortion twin: sim7's cb/el/enc encode CTEs, re-joined to the
+    // codeword coordinates and reduced to the per-subspace report; per-
+    // vector dist2 rounds tie-safe before the avg/max like the Spark side.
+    "sim16_pq_distortion" -> withCtes(
+      """cb AS (
+        |  SELECT s, c, d,
+        |    (CAST(('0x' || substr(md5('pq_' || CAST(s AS VARCHAR) || '_' || CAST(c AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 8)) AS BIGINT)
+        |     % 2001 - 1000) / 1000.0 AS w
+        |  FROM range(0, 8) t1(s), range(0, 16) t2(c), range(1, 9) t3(d))""".stripMargin,
+      """u AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |         generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings)""".stripMargin,
+      "el AS (SELECT vec_id, (i - 1) // 8 AS s, (i - 1) % 8 + 1 AS d, v FROM u)",
+      """enc0 AS (
+        |  SELECT e.vec_id, e.s, cb.c, SUM((e.v - cb.w) * (e.v - cb.w)) AS dist2
+        |  FROM el e JOIN cb ON cb.s = e.s AND cb.d = e.d
+        |  GROUP BY 1, 2, 3)""".stripMargin,
+      s"""enc AS (
+         |  SELECT vec_id, s, c AS code FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |        PARTITION BY vec_id, s ORDER BY ${R("dist2", 6)}, c) AS rn
+         |    FROM enc0) WHERE rn = 1)""".stripMargin,
+      s"""ps AS (
+         |  SELECT el.vec_id, el.s,
+         |         ${R("SUM((el.v - cb.w) * (el.v - cb.w))", 6)} AS dist2
+         |  FROM el JOIN enc ON enc.vec_id = el.vec_id AND enc.s = el.s
+         |          JOIN cb ON cb.s = el.s AND cb.d = el.d AND cb.c = enc.code
+         |  GROUP BY 1, 2)""".stripMargin)(
+      s"""SELECT s, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         |  ${R("AVG(dist2)", 6)} AS avg_dist2,
+         |  ${R("MAX(dist2)", 6)} AS max_dist2
+         |FROM ps GROUP BY s ORDER BY s""".stripMargin),
+
     "sim7_pq_topk" -> withCtes(
       """cb AS (
         |  SELECT s, c, d,
@@ -2560,6 +2594,36 @@ object OracleSql {
         |       WHEN score_fr > 0 THEN 'fr'
         |       ELSE 'und' END AS detected_lang
         |FROM scs ORDER BY doc_id""".stripMargin),
+
+    // Lang-confusion twin: t1's scs scoring CTE reduced to (label,
+    // detected) cells with the per-true-label recall marginal; NULL langs
+    // fold to 'none' so grouping and ordering agree across engines.
+    "t29_lang_confusion" -> withCtes(toksCte,
+      s"""scs AS (
+         |  SELECT COALESCE(lang, 'none') AS label,
+         |    CAST(len(list_filter(tok, t -> t IN ($enList))) AS INTEGER) AS score_en,
+         |    CAST(len(list_filter(tok, t -> t IN ('der', 'die', 'das', 'und', 'nicht', 'ist'))) AS INTEGER) AS score_de,
+         |    CAST(len(list_filter(tok, t -> t IN ('el', 'la', 'que', 'y', 'en', 'los'))) AS INTEGER) AS score_es,
+         |    CAST(len(list_filter(tok, t -> t IN ('le', 'les', 'des', 'et', 'une', 'dans'))) AS INTEGER) AS score_fr
+         |  FROM toks)""".stripMargin,
+      """pred AS (
+        |  SELECT label,
+        |    CASE WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr AND score_en > 0 THEN 'en'
+        |         WHEN score_de >= score_es AND score_de >= score_fr AND score_de > 0 THEN 'de'
+        |         WHEN score_es >= score_fr AND score_es > 0 THEN 'es'
+        |         WHEN score_fr > 0 THEN 'fr'
+        |         ELSE 'und' END AS detected_lang
+        |  FROM scs)""".stripMargin,
+      """cells AS (
+        |  SELECT label, detected_lang, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM pred GROUP BY 1, 2)""".stripMargin,
+      """m AS (
+        |  SELECT label, detected_lang, n,
+        |    CAST(SUM(n) OVER (PARTITION BY label) AS BIGINT) AS n_true
+        |  FROM cells)""".stripMargin)(
+      s"""SELECT label, detected_lang, n, n_true,
+         |  ${R("n / n_true", 6)} AS recall_frac
+         |FROM m ORDER BY label, detected_lang""".stripMargin),
 
     "t5_lang_ngram" -> {
       def sc(lang: String): String = graft.ext.TextOps.ngramProfiles(lang)

@@ -1680,6 +1680,29 @@ object Queries {
       .orderBy("anchor_id", "rank")
   }
 
+  /** PQ quantization-distortion report on the fixed md5 codebook (see
+    * [[graft.ext.Similarity.pqDistortion]]); ExtSpec separately gates the
+    * learned codebook's distortion strictly below this fixed baseline —
+    * the k-means objective, measured. */
+  def sim16PqDistortion(s: SparkSession, dir: String): DataFrame =
+    ext.Similarity.pqDistortion(Sources.embeddings(s, dir),
+        ext.Similarity.pqCodebook(s))
+      .orderBy("s")
+
+  /** Language-ID confusion matrix: t1's stopword classifier against the
+    * corpus's labeled `lang` column, with per-true-label recall — the
+    * text-side sibling of e6's centroid confusion (NULL labels fold to
+    * 'none' so both engines group and order them identically). */
+  def t29LangConfusion(s: SparkSession, dir: String): DataFrame = {
+    val pred = ext.TextOps.withLangId(Sources.documents(s, dir))
+      .select(coalesce(col("lang"), lit("none")).as("label"),
+        col("detected_lang"))
+    pred.groupBy("label", "detected_lang").agg(count(lit(1)).as("n"))
+      .withColumn("n_true", sum("n").over(Window.partitionBy("label")))
+      .withColumn("recall_frac", Num.cround(col("n") / col("n_true"), 6))
+      .orderBy("label", "detected_lang")
+  }
+
   def sim2LshTopk(s: SparkSession, dir: String): DataFrame =
     ext.Similarity.lshTopK(Sources.embeddings(s, dir), ext.Similarity.planes(s))
       .orderBy("query_id", "rank")
@@ -2306,7 +2329,9 @@ object Queries {
     "sim1_cosine_topk" -> (sim1CosineTopk _),
     "sim2_lsh_topk" -> (sim2LshTopk _),
     "sim15_range_search" -> (sim15RangeSearch _),
+    "sim16_pq_distortion" -> (sim16PqDistortion _),
     "e6_confusion" -> (e6Confusion _),
+    "t29_lang_confusion" -> (t29LangConfusion _),
     "sim6_lsh_multiprobe" -> (sim6LshMultiprobe _),
     "sim7_pq_topk" -> (sim7PqTopk _),
     "sim8_ivfpq" -> (sim8IvfPq _),

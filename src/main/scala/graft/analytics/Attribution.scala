@@ -36,16 +36,25 @@ object Attribution {
       touches, expr("unix_micros(t_ts)"),
       purchases, expr("unix_micros(p_ts)") - windowUs, expr("unix_micros(p_ts)"),
       bucketWidth = windowUs, keys = Seq((col("t_user"), col("p_user"))))
+    // Exact-decimal summation: shares round tie-safe to 6 dp, then sum as
+    // DECIMAL(38,6) — integer arithmetic, associative, so the distributed
+    // partial-agg order can't move an ulp the way a double sum does (at
+    // sf1.0 the channel totals reach ~5e6 over ~2e5 terms, where double
+    // summation-order noise lands exactly on the 6-dp rounding knife edge).
+    // A double is never exactly half of 1e-6 at these magnitudes, so the
+    // per-term double->decimal rounding agrees across engines.
     val shared = pairs
       .withColumn("n_touch", count(lit(1)).over(Window.partitionBy("p_id")))
-      .withColumn("share", col("p_value") / col("n_touch"))
+      .withColumn("share", Num.cround(col("p_value") / col("n_touch"), 6)
+        .cast("decimal(38,6)"))
     val touched = shared.groupBy("channel")
       .agg(count(lit(1)).as("n_attributions"),
-        Num.cround(sum("share"), 6).as("attributed_value"))
+        sum("share").cast("double").as("attributed_value"))
     val direct = purchases
       .join(shared.select("p_id").distinct(), Seq("p_id"), "left_anti")
       .agg(count(lit(1)).as("n_attributions"),
-        Num.cround(sum("p_value"), 6).as("attributed_value"))
+        sum(Num.cround(col("p_value"), 6).cast("decimal(38,6)"))
+          .cast("double").as("attributed_value"))
       .withColumn("channel", lit("direct"))
       .select("channel", "n_attributions", "attributed_value")
     touched.unionByName(direct)

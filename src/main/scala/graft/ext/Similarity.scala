@@ -770,6 +770,38 @@ object Similarity {
         struct(graft.ops.Num.cround(col("dist2"), 6), col("c"))).as("code"))
   }
 
+  /** PQ quantization-distortion report: per subspace, the average and
+    * worst squared L2 between the raw subvectors and their assigned
+    * codewords — THE quality number for a PQ index (it is exactly the
+    * k-means objective the learned codebook minimizes, Jegou et al. 2011
+    * §III.A), read before trusting ADC distances at a given code budget.
+    * A subspace whose avg_dist2 dwarfs the others is the one to give more
+    * centroids.
+    *
+    * Shape at scale: [[pqEncode]]'s linear encode pass re-joined to the
+    * broadcast codebook, reduced to an nSub-row report — per-vector dist2
+    * is tie-safe-ROUNDED (scale 6) before the avg/max so the report is
+    * reproducible cross-engine. */
+  def pqDistortion(emb: DataFrame, codebook: DataFrame,
+                   subDim: Int = 8): DataFrame = {
+    val codes = pqEncode(emb, codebook, subDim)
+    val el = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("s", floor(col("pos") / subDim).cast("long"))
+      .withColumn("d", col("pos") % subDim + 1)
+    val perSub = el.join(codes, Seq("vec_id", "s"))
+      .join(broadcast(codebook.withColumnRenamed("c", "code")),
+        Seq("s", "d", "code"))
+      .groupBy("vec_id", "s")
+      .agg(graft.ops.Num.cround(
+        sum((col("v").cast("double") - col("w")) *
+          (col("v").cast("double") - col("w"))), 6).as("dist2"))
+    perSub.groupBy("s")
+      .agg(count(lit(1)).as("n_vectors"),
+        graft.ops.Num.cround(avg("dist2"), 6).as("avg_dist2"),
+        graft.ops.Num.cround(max("dist2"), 6).as("max_dist2"))
+  }
+
   /** Asymmetric-distance (ADC) top-k over PQ codes — the IVF-PQ search
     * kernel (Jegou, Douze & Schmid, "Product quantization for nearest
     * neighbor search", TPAMI 2011): each query precomputes its distance

@@ -339,6 +339,21 @@ class ExtSpec extends AnyFunSuite {
       f"residual+rerank recall@5 regressed: $residual%.3f < 0.65 (r10: 0.750)")
   }
 
+  test("learned PQ codebook has strictly lower distortion than the fixed one") {
+    // pqDistortion measures exactly the k-means objective learnPqCodebook
+    // minimizes — if the learned codebook ever stops beating the md5
+    // baseline on mean distortion, the trainer is broken
+    val emb = graft.io.Sources.embeddings(spark, "/root/testdata/sf0.01")
+    def meanDist(cb: org.apache.spark.sql.DataFrame): Double =
+      Similarity.pqDistortion(emb, cb)
+        .agg(avg("avg_dist2")).first().getDouble(0)
+    val fixed = meanDist(Similarity.pqCodebook(spark))
+    val learned = meanDist(Similarity.learnPqCodebook(emb))
+    info(f"mean per-subspace distortion fixed=$fixed%.4f learned=$learned%.4f")
+    assert(learned < fixed,
+      f"learned codebook distortion $learned%.4f not below fixed $fixed%.4f")
+  }
+
   test("range search returns exactly the in-bucket pairs clearing tau") {
     val emb = graft.io.Sources.embeddings(spark, "/root/testdata/sf0.001")
     val planes = Similarity.planes(spark)
