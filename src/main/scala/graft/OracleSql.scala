@@ -1313,6 +1313,29 @@ object OracleSql {
          |  ks > ${R("1.358 * SQRT((na + nb) / (CAST(na AS DOUBLE) * nb))", 6)} AS reject_95
          |FROM ks ORDER BY symbol""".stripMargin),
 
+    // Spearman twin: identical avg-rank construction (RANK + (ties-1)/2 —
+    // exact half-integers) and the same explicit Pearson sum formula, so
+    // both engines feed identical doubles into one rounded division.
+    "a19_spearman" -> withCtes(stockCte, cleanCte, dedupCte,
+      """f AS (
+        |  SELECT symbol, volume, close FROM dedup
+        |  WHERE volume IS NOT NULL AND close IS NOT NULL)""".stripMargin,
+      """rk AS (
+        |  SELECT symbol,
+        |    RANK() OVER (PARTITION BY symbol ORDER BY volume)
+        |      + (COUNT(*) OVER (PARTITION BY symbol, volume) - 1) / 2.0 AS rx,
+        |    RANK() OVER (PARTITION BY symbol ORDER BY close)
+        |      + (COUNT(*) OVER (PARTITION BY symbol, close) - 1) / 2.0 AS ry
+        |  FROM f)""".stripMargin,
+      """sums AS (
+        |  SELECT symbol, CAST(COUNT(*) AS DOUBLE) AS n,
+        |         SUM(rx) AS sx, SUM(ry) AS sy, SUM(rx * ry) AS sxy,
+        |         SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy
+        |  FROM rk GROUP BY 1)""".stripMargin)(
+      s"""SELECT symbol, CAST(n AS BIGINT) AS n_days,
+         |  ${R("(n * sxy - sx * sy) / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy))", 6)} AS rho
+         |FROM sums ORDER BY symbol""".stripMargin),
+
     "a12_heavy_hitters" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders
         |FROM orders GROUP BY o_orderpriority
@@ -1552,6 +1575,40 @@ object OracleSql {
     // >= 0.5 filter compares the RAW division: both engines divide the
     // same exact integers, so the quotient is bit-identical and cannot
     // straddle the threshold differently.
+    // Dup-rate twin: d8's full candidate+verify CTE stack, reduced to the
+    // distinct doc ids in surviving pairs and a per-source rate.
+    "t30_dup_rate_by_source" -> withCtes(toksCte, shCte, shxCte, sigCte,
+      bandsCte, cappedCte,
+      """cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM capped a JOIN capped b
+        |    ON a.band = b.band AND a.band_value = b.band_value AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)""".stripMargin,
+      "dsh AS (SELECT DISTINCT doc_id, shingle FROM shx)",
+      "sz AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id)",
+      """iv AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        |  FROM cand c JOIN dsh a ON a.doc_id = c.doc_a
+        |               JOIN dsh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        |  GROUP BY 1, 2)""".stripMargin,
+      """surv AS (
+        |  SELECT c.doc_a, c.doc_b
+        |  FROM cand c
+        |  LEFT JOIN iv ON iv.doc_a = c.doc_a AND iv.doc_b = c.doc_b
+        |  JOIN sz za ON za.doc_id = c.doc_a
+        |  JOIN sz zb ON zb.doc_id = c.doc_b
+        |  WHERE CAST(coalesce(iv.n_common, 0) AS DOUBLE)
+        |        / (za.n + zb.n - coalesce(iv.n_common, 0)) >= 0.5)""".stripMargin,
+      """dup AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT doc_a AS doc_id FROM surv
+        |    UNION ALL SELECT doc_b AS doc_id FROM surv))""".stripMargin)(
+      s"""SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+         |  ${R("SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*)", 6)} AS dup_rate
+         |FROM documents d LEFT JOIN dup ON dup.doc_id = d.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin),
+
     "d8_verified_pairs" -> withCtes(toksCte, shCte, shxCte, sigCte, bandsCte,
       cappedCte,
       """cand AS (

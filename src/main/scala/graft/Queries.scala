@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -552,6 +552,60 @@ object Queries {
         lit(1.358) * sqrt((col("na") + col("nb")) /
           (col("na").cast("double") * col("nb"))), 6))
       .orderBy("symbol")
+  }
+
+  /** Spearman rank correlation per symbol between daily volume and close —
+    * the monotone-association twin of a13's Pearson (robust to the heavy
+    * volume tail a Pearson r is dominated by). Average ranks for ties
+    * (rank() + (tie_count-1)/2 — half-integers, exactly representable),
+    * then the explicit Pearson sum formula over the ranks: every
+    * intermediate sum is an exact quarter-integer < 2^52, so both engines
+    * feed IDENTICAL doubles into the one rounded division — no reliance on
+    * either engine's incremental corr() kernel, whose summation orders
+    * differ. All windows partition by symbol: one exchange. */
+  def a19Spearman(s: SparkSession, dir: String): DataFrame = {
+    val f = cleanedStock(s, dir).drop("rid")
+      .filter(col("volume").isNotNull && col("close").isNotNull)
+    def avgRank(c: String): Column =
+      rank().over(Window.partitionBy("symbol").orderBy(c)) +
+        (count(lit(1)).over(Window.partitionBy("symbol", c)) - 1) / lit(2.0)
+    val ranked = f
+      .withColumn("rx", avgRank("volume"))
+      .withColumn("ry", avgRank("close"))
+    val sums = ranked.groupBy("symbol").agg(
+      count(lit(1)).cast("double").as("n"),
+      sum("rx").as("sx"), sum("ry").as("sy"),
+      sum(col("rx") * col("ry")).as("sxy"),
+      sum(col("rx") * col("rx")).as("sxx"),
+      sum(col("ry") * col("ry")).as("syy"))
+    sums.select(col("symbol"), col("n").cast("long").as("n_days"),
+        Num.cround(
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("rho"))
+      .orderBy("symbol")
+  }
+
+  /** Near-duplicate rate per source — the provenance-quality report: what
+    * fraction of each source's documents sit in a VERIFIED near-dup pair
+    * (d2's capped LSH candidates through d8's exact-Jaccard guard). The
+    * curation readout that decides which feeds get down-weighted. Bounded
+    * by the capped candidate set; the per-source reduce is a sources-sized
+    * aggregate. */
+  def t30DupRateBySource(s: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(s, dir)
+    val verified = ext.Dedup.jaccardVerifyPairs(docs,
+      ext.Dedup.lshCandidatePairs(
+        ext.Dedup.minhashSignatures(docs).localCheckpoint(true)))
+    val dupDocs = verified.select(col("doc_a").as("doc_id"))
+      .unionAll(verified.select(col("doc_b").as("doc_id")))
+      .distinct().withColumn("is_dup", lit(1L))
+    docs.join(dupDocs, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_docs"))
+      .withColumn("dup_rate", Num.cround(col("n_dup_docs") / col("n_docs"), 6))
+      .orderBy("source")
   }
 
   /** MinHash estimator calibration curve — for every d2 LSH candidate
@@ -2306,6 +2360,8 @@ object Queries {
     "j9_asof_forward" -> (j9AsofForward _),
     "j10_asof_nearest" -> (j10AsofNearest _),
     "a18_ks_test" -> (a18KsTest _),
+    "a19_spearman" -> (a19Spearman _),
+    "t30_dup_rate_by_source" -> (t30DupRateBySource _),
     "a17_chi2" -> (a17Chi2 _),
     "d13_minhash_calibration" -> (d13MinhashCalibration _),
     "ev15_funnel_windowed" -> (ev15FunnelWindowed _),

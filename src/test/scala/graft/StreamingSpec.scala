@@ -376,6 +376,56 @@ class StreamingSpec extends AnyFunSuite {
       "streamed transition counts diverge from the batch matrix")
   }
 
+  test("streaming attribution facts fold to the batch attribution report") {
+    // ev16's streaming twin: the appended per-purchase attribution facts,
+    // folded with the batch's decimal-sum discipline over 3 time-ordered
+    // micro-batches, must equal linearAttribution over all events —
+    // including purchases whose in-window touches arrived in EARLIER
+    // batches (the per-user touch-window state carries across).
+    val dir = "/root/testdata/sf0.001"
+    val landing = java.nio.file.Files.createTempDirectory("graft-events-attr")
+    val src = spark.read.parquet(s"$dir/events.parquet")
+      .orderBy("ts", "event_id").cache()
+    val n = src.count()
+    import scala.jdk.CollectionConverters._
+    val thirds = src.collect().grouped((n / 3 + 1).toInt).toSeq
+    thirds.zipWithIndex.foreach { case (rows, i) =>
+      val sliceDir = landing.resolve(f"stage-$i%02d")
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1), src.schema)
+        .write.parquet(sliceDir.toString)
+      val part = java.nio.file.Files.list(sliceDir).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dest = landing.resolve(f"slice-$i%02d.parquet")
+      java.nio.file.Files.move(part, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val fileStream = spark.readStream
+      .schema(src.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "slice-*.parquet")
+      .parquet(landing.toString)
+    val q = graft.streaming.StreamingAttribution.attributionStream(spark,
+        graft.streaming.StreamingAttribution.toAttrEvents(spark, fileStream))
+      .writeStream.format("memory").queryName("attribution_stream_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.lastProgress.batchId >= 2,
+      s"expected >= 3 micro-batches, saw ${q.lastProgress.batchId + 1}")
+
+    val streamed = graft.streaming.StreamingAttribution
+      .fromFacts(spark.table("attribution_stream_test"))
+    val batch = graft.analytics.Attribution
+      .linearAttribution(Sources.events(spark, dir))
+    assert(batch.count() > 0 && streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "streamed attribution report diverges from the batch report")
+  }
+
   test("streaming retention snapshots fold to the batch cohort triangle") {
     // ev5's streaming twin: per-user (cohort week, active-week set) state
     // across 3 micro-batches; the latest snapshots folded through
