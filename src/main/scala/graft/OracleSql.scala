@@ -3245,6 +3245,29 @@ object OracleSql {
     // dedupCte: the Spark side pivots over cleanedStock, which includes the
     // F4 keep-last dedup — a duplicate (symbol, date) bar must not be
     // averaged twice.
+    // Gap-fill twin: per-symbol generate_series spine (DuckDB yields
+    // timestamps — cast back to DATE), LEFT JOIN, LAST_VALUE IGNORE NULLS
+    // over the same rows-frame LOCF window.
+    "x14_gapfill" -> withCtes(stockCte, cleanCte, dedupCte,
+      """sub AS (
+        |  SELECT symbol, "date", close FROM dedup
+        |  WHERE CAST(symbol AS BIGINT) % 97 = 0)""".stripMargin,
+      """sp AS (
+        |  SELECT symbol,
+        |    CAST(UNNEST(generate_series(CAST(mn AS TIMESTAMP),
+        |      CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS "date"
+        |  FROM (SELECT symbol, MIN("date") AS mn, MAX("date") AS mx
+        |        FROM sub GROUP BY 1))""".stripMargin,
+      """g AS (
+        |  SELECT sp.symbol, sp."date", sub.close
+        |  FROM sp LEFT JOIN sub ON sub.symbol = sp.symbol AND sub."date" = sp."date")""".stripMargin)(
+      s"""SELECT symbol, "date",
+         |  ${R("""LAST_VALUE(close IGNORE NULLS) OVER (
+         |    PARTITION BY symbol ORDER BY "date"
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""", 6)} AS filled_close,
+         |  close IS NULL AS is_imputed
+         |FROM g ORDER BY symbol, "date"""".stripMargin),
+
     "x12_pivot" -> withCtes(stockCte, cleanCte, dedupCte)(
       (1 to 12).map(m =>
           s"""${R(s"""AVG(CASE WHEN month("date") = $m THEN close END)""", 6)} AS m$m""")

@@ -2017,6 +2017,32 @@ object Queries {
       (1 to 12).map("m" + _))
       .orderBy("symbol")
 
+  /** Calendar gap-fill + forward-fill (LOCF): densify each symbol's bar
+    * series onto its own min→max daily spine, carrying the last observed
+    * close across the gaps and flagging imputed rows — the resample
+    * primitive every downstream daily-grain join assumes. The % 97 symbol
+    * slice keeps the output calendar-bounded at the test scales (the
+    * operator itself is linear: the spine is |symbols| × span rows, the
+    * LOCF is a running last() with O(1) frame state over ONE symbol
+    * exchange). */
+  def x14Gapfill(s: SparkSession, dir: String): DataFrame = {
+    val f = cleanedStock(s, dir)
+      .filter(col("symbol").cast("long") % 97 === 0)
+      .select("symbol", "date", "close")
+    val spine = f.groupBy("symbol")
+      .agg(min("date").as("d0"), max("date").as("d1"))
+      .select(col("symbol"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("date"))
+    val w = Window.partitionBy("symbol").orderBy("date")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(f, Seq("symbol", "date"), "left")
+      .withColumn("filled_close",
+        Num.cround(last("close", ignoreNulls = true).over(w), 6))
+      .withColumn("is_imputed", col("close").isNull)
+      .select("symbol", "date", "filled_close", "is_imputed")
+      .orderBy("symbol", "date")
+  }
+
   /** view->click->purchase funnel, strict event-time order, per user. */
   def ev1Funnel(s: SparkSession, dir: String): DataFrame =
     Funnel.userFunnel(Sources.events(s, dir))
@@ -2443,6 +2469,7 @@ object Queries {
     "ev13_funnel_summary" -> (ev13FunnelSummary _),
     "t22_source_entropy" -> (t22SourceEntropy _),
     "x12_pivot" -> (x12Pivot _),
+    "x14_gapfill" -> (x14Gapfill _),
     "st3_interval_join" -> (st3IntervalJoin _),
     "t2_quality_score" -> (t2QualityScore _),
     "t3_token_count" -> (t3TokenCount _),
