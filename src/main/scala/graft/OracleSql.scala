@@ -292,7 +292,8 @@ object OracleSql {
          |  SELECT 'direct' AS channel, CAST(COUNT(*) AS BIGINT) AS n_attributions,
          |         CAST(SUM(CAST(${R("value", 6)} AS DECIMAL(38,6))) AS DOUBLE) AS attributed_value
          |  FROM p WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.p_id = p.p_id))
-         |SELECT * FROM touched UNION ALL SELECT * FROM direct
+         |SELECT * FROM touched
+         |UNION ALL SELECT * FROM direct WHERE n_attributions > 0
          |ORDER BY channel""".stripMargin),
 
     "w1_lag_diff" -> withCtes(stockCte, cleanCte, dedupCte)(
@@ -1249,7 +1250,10 @@ object OracleSql {
 
     // Chi-square twin: Spark weekday() 0=Monday -> isodow()-1 (the x2
     // contract); expected-count and term formulas render with identical
-    // parenthesization to the Spark side.
+    // parenthesization to the Spark side. The cell table is densified the
+    // same way as the Spark side: observed wd × up levels crossed per
+    // symbol, missing joint cells COALESCEd to o=0 so their (0-E)^2/E = E
+    // term is counted.
     "a17_chi2" -> withCtes(stockCte, cleanCte, dedupCte,
       """lagd AS (
         |  SELECT symbol, "date",
@@ -1258,7 +1262,13 @@ object OracleSql {
       """f AS (
         |  SELECT symbol, CAST(isodow("date") - 1 AS INTEGER) AS wd, up
         |  FROM lagd WHERE up IS NOT NULL)""".stripMargin,
-      """cells AS (SELECT symbol, wd, up, COUNT(*) AS o FROM f GROUP BY 1, 2, 3)""",
+      """obs AS (SELECT symbol, wd, up, COUNT(*) AS o FROM f GROUP BY 1, 2, 3)""",
+      """cells AS (
+        |  SELECT lv.symbol, lv.wd, lv.up, COALESCE(obs.o, 0) AS o
+        |  FROM (SELECT wl.symbol, wl.wd, ul.up
+        |        FROM (SELECT DISTINCT symbol, wd FROM obs) wl
+        |        JOIN (SELECT DISTINCT symbol, up FROM obs) ul USING (symbol)) lv
+        |  LEFT JOIN obs USING (symbol, wd, up))""".stripMargin,
       """mg AS (
         |  SELECT *, SUM(o) OVER (PARTITION BY symbol) AS n,
         |         SUM(o) OVER (PARTITION BY symbol, wd) AS rt,
@@ -1370,8 +1380,9 @@ object OracleSql {
   private lazy val shxCte =
     "shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh)"
 
-  /** 16 double-hashed minhash mins (one md5 per shingle, hash_b = h1 + b*h2)
-    * as in Dedup.minhashSignatures. */
+  /** 16 per-component XOR-mask minhash mins (one md5-derived 60-bit hash
+    * per shingle; component b takes argmin over h XOR R_b) as in
+    * Dedup.minhashSignatures — masks sourced from Dedup.minhashXorMasks. */
   private lazy val sigCte: String = {
     // Per-component XOR-mask minhash — the R_b literals come from
     // Dedup.minhashXorMasks, the SAME JVM values the engine embeds (see
@@ -1483,7 +1494,10 @@ object OracleSql {
 
     // Bigram-LM twin: t27's list_zip bigram build; the Jelinek-Mercer
     // interpolation renders with identical parenthesization to the Spark
-    // side (0.7/0.3 are exact the same doubles; ln to 1 ulp).
+    // side. The back-off weight is computed as (1.0 - 0.7), NOT the
+    // literal 0.3: the Spark side evaluates lit(1.0 - lambda) =
+    // 0.30000000000000004, a different double from 0.3 — both engines
+    // must round the same ulp.
     "t28_bigram_lm" -> (
       s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |bg AS (
@@ -1501,7 +1515,7 @@ object OracleSql {
          |lp AS (
          |  SELECT btf.doc_id, btf.btf,
          |    ln(0.7 * (CAST(bocc.bocc AS DOUBLE) / u1.uocc) +
-         |       0.3 * (CAST(u2.uocc AS DOUBLE) / nu.n_unigrams)) AS lp
+         |       (1.0 - 0.7) * (CAST(u2.uocc AS DOUBLE) / nu.n_unigrams)) AS lp
          |  FROM btf
          |  JOIN bocc USING (bigram)
          |  JOIN un u1 ON u1.tok = split_part(btf.bigram, ' ', 1)

@@ -490,13 +490,23 @@ object Queries {
     * a rational of exact integers with identical parenthesization in the
     * oracle; the ≤14-term chi2 sum rounds tie-safe at 6. dof derives from
     * the OBSERVED levels (a symbol trading only 3 weekdays gets dof
-    * (3−1)(2−1)), n_days from the cell sum. */
+    * (3−1)(2−1)), n_days from the cell sum. The cell table is DENSIFIED
+    * before the terms: a (wd, up) combination both of whose levels occur
+    * but whose joint count is zero still contributes (0−E)²/E = E to the
+    * statistic, so the observed levels are crossed per symbol and missing
+    * cells filled with o=0 — dropping them would understate chi2 exactly
+    * when the calendar effect is strongest. */
   def a17Chi2(s: SparkSession, dir: String): DataFrame = {
     val f = cleanedStock(s, dir).drop("rid")
       .withColumn("up", col("close") > lag("close", 1).over(w))
       .filter(col("up").isNotNull)
       .withColumn("wd", weekday(col("date")))
-    val cells = f.groupBy("symbol", "wd", "up").agg(count(lit(1)).as("o"))
+    val observed =
+      f.groupBy("symbol", "wd", "up").agg(count(lit(1)).as("o"))
+    val cells = observed.select("symbol", "wd").distinct()
+      .join(observed.select("symbol", "up").distinct(), "symbol")
+      .join(observed, Seq("symbol", "wd", "up"), "left")
+      .na.fill(0L, Seq("o"))
     val wSym = Window.partitionBy("symbol")
     val o = col("o").cast("double")
     val e = col("rt").cast("double") * col("ct") / col("n")

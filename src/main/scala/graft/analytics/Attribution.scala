@@ -50,6 +50,10 @@ object Attribution {
     val touched = shared.groupBy("channel")
       .agg(count(lit(1)).as("n_attributions"),
         sum("share").cast("double").as("attributed_value"))
+    // The direct branch is a global aggregate and would emit one
+    // (0, null) row even when every purchase has touches; the streaming
+    // twin (which groups by key) emits nothing in that case — drop the
+    // empty row so batch == stream holds on touch-saturated corpora.
     val direct = purchases
       .join(shared.select("p_id").distinct(), Seq("p_id"), "left_anti")
       .agg(count(lit(1)).as("n_attributions"),
@@ -57,6 +61,7 @@ object Attribution {
           .cast("double").as("attributed_value"))
       .withColumn("channel", lit("direct"))
       .select("channel", "n_attributions", "attributed_value")
+      .filter(col("n_attributions") > 0)
     touched.unionByName(direct)
   }
 }
