@@ -2054,6 +2054,131 @@ object OracleSql {
         |  FROM scf)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
 
+    // sim9's production (fixed-query-batch) shape: identical CTE chain to
+    // sim9_pq_rerank except the ADC query predicate, which pins the batch
+    // to vec_id ≡ 0 (mod 100) below 2000 — the e4 recipe. The cap joins
+    // only against the tiny cb table so an inline WHERE pushes fine (the
+    // e4 CTE-prefilter hazard was its 64-key u-self-join, absent here).
+    "sim9_pq_rerank_batch" -> withCtes(
+      embUnnestCte(""), normCte,
+      """cb AS (
+        |  SELECT s, c, d,
+        |    (CAST(('0x' || substr(md5('pq_' || CAST(s AS VARCHAR) || '_' || CAST(c AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 8)) AS BIGINT)
+        |     % 2001 - 1000) / 1000.0 AS w
+        |  FROM range(0, 8) t1(s), range(0, 16) t2(c), range(1, 9) t3(d))""".stripMargin,
+      "el AS (SELECT vec_id, (i - 1) // 8 AS s, (i - 1) % 8 + 1 AS d, CAST(v AS DOUBLE) AS v FROM u)",
+      """enc0 AS (
+        |  SELECT e.vec_id, e.s, cb.c, SUM((e.v - cb.w) * (e.v - cb.w)) AS dist2
+        |  FROM el e JOIN cb ON cb.s = e.s AND cb.d = e.d
+        |  GROUP BY 1, 2, 3)""".stripMargin,
+      s"""enc AS (
+         |  SELECT vec_id, s, c AS code FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |        PARTITION BY vec_id, s ORDER BY ${R("dist2", 6)}, c) AS rn
+         |    FROM enc0) WHERE rn = 1)""".stripMargin,
+      """adc AS (
+        |  SELECT q.vec_id AS query_id, q.s, cb.c, SUM((q.v - cb.w) * (q.v - cb.w)) AS qd
+        |  FROM el q JOIN cb ON cb.s = q.s AND cb.d = q.d
+        |  WHERE q.vec_id % 100 = 0 AND q.vec_id < 2000
+        |  GROUP BY 1, 2, 3)""".stripMargin,
+      s"""dd AS (
+         |  SELECT a.query_id, e.vec_id, ${R("SUM(a.qd)", 6)} AS adc_dist2
+         |  FROM enc e JOIN adc a ON a.s = e.s AND a.c = e.code
+         |    AND e.vec_id <> a.query_id
+         |  GROUP BY 1, 2)""".stripMargin,
+      """sl AS (
+        |  SELECT query_id, vec_id, adc_dist2 FROM (
+        |    SELECT *, ROW_NUMBER() OVER (
+        |        PARTITION BY query_id ORDER BY adc_dist2, vec_id) AS rn
+        |    FROM dd) WHERE rn <= 50)""".stripMargin,
+      """dp AS (
+        |  SELECT s.query_id, s.vec_id, s.adc_dist2,
+        |         SUM(CAST(q.v AS DOUBLE) * CAST(c.v AS DOUBLE)) AS dp
+        |  FROM sl s JOIN u q ON q.vec_id = s.query_id
+        |            JOIN u c ON c.vec_id = s.vec_id AND c.i = q.i
+        |  GROUP BY 1, 2, 3)""".stripMargin,
+      s"""sc AS (
+         |  SELECT query_id, dp.vec_id, adc_dist2,
+         |         ${R("dp / (nq.nv * nc.nv)", 6)} AS cosine
+         |  FROM dp JOIN nrm nq ON nq.vec_id = query_id
+         |          JOIN nrm nc ON nc.vec_id = dp.vec_id)""".stripMargin)(
+      """SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, cosine, adc_dist2 FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM sc)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    // sim10's production (fixed-query-batch) shape: identical CTE chain to
+    // sim10_ivfpq_rerank except the probes and ADC query predicates carry
+    // the vec_id < 2000 batch cap.
+    "sim10_ivfpq_rerank_batch" -> withCtes(
+      embUnnestCte(""), normCte,
+      """an AS (
+        |  SELECT c, d,
+        |    (CAST(('0x' || substr(md5(CAST(c AS VARCHAR) || '~' || CAST(d AS VARCHAR)), 1, 8)) AS BIGINT)
+        |     % 2001 - 1000) / 1000.0 AS w
+        |  FROM range(0, 16) t1(c), range(1, 65) t2(d))""".stripMargin,
+      "anorm AS (SELECT c, SQRT(SUM(w * w)) AS anorm FROM an GROUP BY c)",
+      """sc0 AS (
+        |  SELECT u.vec_id, an.c, SUM(CAST(u.v AS DOUBLE) * an.w) AS adot
+        |  FROM u JOIN an ON an.d = u.i GROUP BY 1, 2)""".stripMargin,
+      """scr AS (
+        |  SELECT vec_id, c,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY adot / anorm DESC, c) AS rnk
+        |  FROM sc0 JOIN anorm USING (c))""".stripMargin,
+      "assigned AS (SELECT vec_id, c AS list_id FROM scr WHERE rnk = 1)",
+      """probes AS (
+        |  SELECT vec_id AS query_id, c AS list_id FROM scr
+        |  WHERE vec_id % 100 = 0 AND vec_id < 2000 AND rnk <= 2)""".stripMargin,
+      """cb AS (
+        |  SELECT s, c, d,
+        |    (CAST(('0x' || substr(md5('pq_' || CAST(s AS VARCHAR) || '_' || CAST(c AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 8)) AS BIGINT)
+        |     % 2001 - 1000) / 1000.0 AS w
+        |  FROM range(0, 8) t1(s), range(0, 16) t2(c), range(1, 9) t3(d))""".stripMargin,
+      "el AS (SELECT vec_id, (i - 1) // 8 AS s, (i - 1) % 8 + 1 AS d, CAST(v AS DOUBLE) AS v FROM u)",
+      """enc0 AS (
+        |  SELECT e.vec_id, e.s, cb.c, SUM((e.v - cb.w) * (e.v - cb.w)) AS dist2
+        |  FROM el e JOIN cb ON cb.s = e.s AND cb.d = e.d
+        |  GROUP BY 1, 2, 3)""".stripMargin,
+      s"""enc AS (
+         |  SELECT vec_id, s, c AS code FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |        PARTITION BY vec_id, s ORDER BY ${R("dist2", 6)}, c) AS rn
+         |    FROM enc0) WHERE rn = 1)""".stripMargin,
+      """adc AS (
+        |  SELECT q.vec_id AS query_id, q.s, cb.c, SUM((q.v - cb.w) * (q.v - cb.w)) AS qd
+        |  FROM el q JOIN cb ON cb.s = q.s AND cb.d = q.d
+        |  WHERE q.vec_id % 100 = 0 AND q.vec_id < 2000
+        |  GROUP BY 1, 2, 3)""".stripMargin,
+      s"""dd AS (
+         |  SELECT p.query_id, e.vec_id, ${R("SUM(a.qd)", 6)} AS adc_dist2
+         |  FROM probes p
+         |  JOIN assigned a2 ON a2.list_id = p.list_id AND a2.vec_id <> p.query_id
+         |  JOIN enc e ON e.vec_id = a2.vec_id
+         |  JOIN adc a ON a.query_id = p.query_id AND a.s = e.s AND a.c = e.code
+         |  GROUP BY 1, 2)""".stripMargin,
+      """sl AS (
+        |  SELECT query_id, vec_id, adc_dist2 FROM (
+        |    SELECT *, ROW_NUMBER() OVER (
+        |        PARTITION BY query_id ORDER BY adc_dist2, vec_id) AS rn
+        |    FROM dd) WHERE rn <= 50)""".stripMargin,
+      """dpp AS (
+        |  SELECT s.query_id, s.vec_id, s.adc_dist2,
+        |         SUM(CAST(q.v AS DOUBLE) * CAST(c.v AS DOUBLE)) AS dp
+        |  FROM sl s JOIN u q ON q.vec_id = s.query_id
+        |            JOIN u c ON c.vec_id = s.vec_id AND c.i = q.i
+        |  GROUP BY 1, 2, 3)""".stripMargin,
+      s"""scf AS (
+         |  SELECT query_id, dpp.vec_id, adc_dist2,
+         |         ${R("dp / (nq.nv * nc.nv)", 6)} AS cosine
+         |  FROM dpp JOIN nrm nq ON nq.vec_id = query_id
+         |           JOIN nrm nc ON nc.vec_id = dpp.vec_id)""".stripMargin)(
+      """SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, cosine, adc_dist2 FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM scf)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
     // Hard-negative twin: sim1's dot-product/norm formulation with the
     // label-mismatch constraint applied at the pair join; the rank window
     // mirrors the engine's top_k_by + window (rounded cosine DESC, neg_id).

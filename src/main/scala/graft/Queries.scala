@@ -1720,6 +1720,32 @@ object Queries {
       ext.Similarity.ivfAnchors(s), ext.Similarity.pqCodebook(s))
       .orderBy("query_id", "rank")
 
+  /** sim9's PRODUCTION shape (r10 verdict item #1 — the e4 recipe): the
+    * query batch is FIXED at vec_id ≡ 0 (mod 100) below 2000, i.e. it
+    * stops growing once the corpus passes the driver's sf0.1 size, so the
+    * ADC scan (corpus × queries table lookups) and the rerank tier are
+    * LINEAR in the corpus — the regime a production retrieval deployment
+    * actually runs (a bounded query batch against a growing index), where
+    * sim9's corpus-growing queryMod sample inherits sim7's
+    * declared-quadratic probe regime. Same codebook, shortlist and rank
+    * contract as sim9. */
+  def sim9PqRerankBatch(s: SparkSession, dir: String): DataFrame =
+    ext.Similarity.pqTopKRerank(Sources.embeddings(s, dir),
+      ext.Similarity.pqCodebook(s), queryCap = 2000L)
+      .orderBy("query_id", "rank")
+
+  /** sim10's PRODUCTION shape — the full IVF × ADC × exact-rerank stack
+    * under the FIXED query batch (vec_id ≡ 0 mod 100, below 2000). IVF
+    * routing already divides the candidate work by ~nLists/nprobe; pinning
+    * the batch removes the probe artifact that multiplied it back by the
+    * corpus, so the whole stack is linear in the corpus at a routed
+    * constant. */
+  def sim10IvfPqRerankBatch(s: SparkSession, dir: String): DataFrame =
+    ext.Similarity.ivfPqTopKRerank(Sources.embeddings(s, dir),
+      ext.Similarity.ivfAnchors(s), ext.Similarity.pqCodebook(s),
+      queryCap = 2000L)
+      .orderBy("query_id", "rank")
+
   /** Contrastive hard negatives: k nearest DIFFERENT-label vectors per
     * sampled anchor — the corpus reduces through the bounded `top_k_by`
     * aggregate, never a per-anchor corpus sort (see
@@ -2429,6 +2455,8 @@ object Queries {
     "sim8_ivfpq" -> (sim8IvfPq _),
     "sim9_pq_rerank" -> (sim9PqRerank _),
     "sim10_ivfpq_rerank" -> (sim10IvfPqRerank _),
+    "sim9_pq_rerank_batch" -> (sim9PqRerankBatch _),
+    "sim10_ivfpq_rerank_batch" -> (sim10IvfPqRerankBatch _),
     "sim11_filtered_ann" -> (sim11FilteredAnn _),
     "sim12_knn_classify" -> (sim12KnnClassify _),
     "sim13_drift" -> (sim13Drift _),

@@ -37,6 +37,19 @@ object Similarity {
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
 
+  /** Query-set predicate for the sampled retrieval fixtures. The default
+    * (`queryCap == Long.MaxValue`) is the probe-friendly corpus-growing
+    * sample `vec_id ≡ 0 (mod queryMod)`; a finite cap pins the batch to
+    * the FIXED production shape — `vec_id ≡ 0 (mod queryMod)` below the
+    * cap — which stops growing once the corpus passes the cap, making the
+    * corpus × queries scan LINEAR in the corpus (the e4 recipe). The cap
+    * branch appends nothing when unset so the default plans are
+    * byte-identical to the pre-cap forms. */
+  private def queryPred(queryMod: Int, queryCap: Long): Column = {
+    val base = col("vec_id") % queryMod === 0
+    if (queryCap == Long.MaxValue) base else base && col("vec_id") < queryCap
+  }
+
   /** Double-cast copy of the embedding, computed ONCE per side before the
     * pairwise join so the n_queries x n_vectors dot products don't re-cast
     * every float element per pair. */
@@ -820,11 +833,12 @@ object Similarity {
     * probe's corpus-growing queryMod. Rankings compare the
     * tie-safe-ROUNDED ADC distance with vec_id tiebreak. */
   def pqTopK(emb: DataFrame, codebook: DataFrame, queryMod: Int = 100,
-             k: Int = 5, subDim: Int = 8): DataFrame = {
+             k: Int = 5, subDim: Int = 8,
+             queryCap: Long = Long.MaxValue): DataFrame = {
     graft.functions.GraftFunctions.register(
       org.apache.spark.sql.SparkSession.active)
     val codes = pqEncode(emb, codebook, subDim)
-    val qel = emb.filter(col("vec_id") % queryMod === 0)
+    val qel = emb.filter(queryPred(queryMod, queryCap))
       .select(col("vec_id").as("query_id"),
         posexplode(col("embedding")).as(Seq("pos", "v")))
       .withColumn("s", floor(col("pos") / subDim).cast("long"))
@@ -863,9 +877,10 @@ object Similarity {
     * bounded table only. Ranking compares the tie-safe-ROUNDED cosine with
     * vec_id tiebreak, so the final order is engine-reproducible. */
   private def rerankShortlist(emb: DataFrame, short: DataFrame,
-                              queryMod: Int, k: Int): DataFrame = {
+                              queryMod: Int, k: Int,
+                              queryCap: Long = Long.MaxValue): DataFrame = {
     val base = withDoubles(emb)
-    val qFull = base.filter(col("vec_id") % queryMod === 0)
+    val qFull = base.filter(queryPred(queryMod, queryCap))
       .select(col("vec_id").as("query_id"), col("emb_d").as("q_d"))
     val scored = base
       .join(broadcast(short.select("query_id", "vec_id", "adc_dist2")), "vec_id")
@@ -886,9 +901,11 @@ object Similarity {
     * depth k — see COVERAGE.md's recall table for the measured lift. */
   def pqTopKRerank(emb: DataFrame, codebook: DataFrame, queryMod: Int = 100,
                    k: Int = 5, shortlist: Int = 50,
-                   subDim: Int = 8): DataFrame =
+                   subDim: Int = 8,
+                   queryCap: Long = Long.MaxValue): DataFrame =
     rerankShortlist(emb,
-      pqTopK(emb, codebook, queryMod, shortlist, subDim), queryMod, k)
+      pqTopK(emb, codebook, queryMod, shortlist, subDim, queryCap),
+      queryMod, k, queryCap)
 
   /** [[ivfPqTopK]] with the exact-rerank tier — IVF routing x PQ/ADC
     * proposal x exact rerank, the full production retrieval stack
@@ -898,10 +915,12 @@ object Similarity {
   def ivfPqTopKRerank(emb: DataFrame, anchors: DataFrame,
                       codebook: DataFrame, queryMod: Int = 100, k: Int = 5,
                       nprobe: Int = 2, shortlist: Int = 50,
-                      subDim: Int = 8): DataFrame =
+                      subDim: Int = 8,
+                      queryCap: Long = Long.MaxValue): DataFrame =
     rerankShortlist(emb,
-      ivfPqTopK(emb, anchors, codebook, queryMod, shortlist, nprobe, subDim),
-      queryMod, k)
+      ivfPqTopK(emb, anchors, codebook, queryMod, shortlist, nprobe, subDim,
+        queryCap),
+      queryMod, k, queryCap)
 
   /** IVF-PQ search — the production billion-vector configuration, end to
     * end (Jegou et al. 2011, the FAISS IVFADC index): the IVF coarse
@@ -922,7 +941,8 @@ object Similarity {
     * ~8 GB resident where raw floats need 256 GB. */
   def ivfPqTopK(emb: DataFrame, anchors: DataFrame, codebook: DataFrame,
                 queryMod: Int = 100, k: Int = 5, nprobe: Int = 2,
-                subDim: Int = 8): DataFrame = {
+                subDim: Int = 8,
+                queryCap: Long = Long.MaxValue): DataFrame = {
     graft.functions.GraftFunctions.register(
       org.apache.spark.sql.SparkSession.active)
     val scores = anchorScores(emb, anchors)
@@ -931,11 +951,11 @@ object Similarity {
       .filter(col("rnk") === 1).select(col("vec_id"), col("c").as("list_id"))
     val codes = pqEncode(emb, codebook, subDim).join(assigned, "vec_id")
 
-    val probes = scores.filter(col("vec_id") % queryMod === 0)
+    val probes = scores.filter(queryPred(queryMod, queryCap))
       .withColumn("rnk", row_number().over(wBest))
       .filter(col("rnk") <= nprobe)
       .select(col("vec_id").as("query_id"), col("c").as("list_id"))
-    val qel = emb.filter(col("vec_id") % queryMod === 0)
+    val qel = emb.filter(queryPred(queryMod, queryCap))
       .select(col("vec_id").as("query_id"),
         posexplode(col("embedding")).as(Seq("pos", "v")))
       .withColumn("s", floor(col("pos") / subDim).cast("long"))
