@@ -2059,7 +2059,7 @@ object OracleSql {
     // to vec_id ≡ 0 (mod 100) below 2000 — the e4 recipe. The cap joins
     // only against the tiny cb table so an inline WHERE pushes fine (the
     // e4 CTE-prefilter hazard was its 64-key u-self-join, absent here).
-    "sim9_pq_rerank_batch" -> withCtes(
+    "sim17_pq_rerank_batch" -> withCtes(
       embUnnestCte(""), normCte,
       """cb AS (
         |  SELECT s, c, d,
@@ -2111,7 +2111,7 @@ object OracleSql {
     // sim10's production (fixed-query-batch) shape: identical CTE chain to
     // sim10_ivfpq_rerank except the probes and ADC query predicates carry
     // the vec_id < 2000 batch cap.
-    "sim10_ivfpq_rerank_batch" -> withCtes(
+    "sim18_ivfpq_rerank_batch" -> withCtes(
       embUnnestCte(""), normCte,
       """an AS (
         |  SELECT c, d,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.io.Sources
 import graft.model.Schemas
-import graft.ops.{Cleaning, Derive, Num, TemporalJoins}
+import graft.ops.{Cleaning, Derive, Materialize, Num, TemporalJoins}
 import graft.analytics.{Funnel, Performance, Predictions, Summary}
 
 /** Named correctness queries over the driver test corpus, one per operator in
@@ -470,7 +470,7 @@ object Queries {
   def d12Containment(s: SparkSession, dir: String): DataFrame = {
     val docs = Sources.documents(s, dir)
     val pairs = ext.Dedup.lshCandidatePairs(
-      ext.Dedup.minhashSignatures(docs).localCheckpoint(true))
+      Materialize(ext.Dedup.minhashSignatures(docs)))
     ext.Dedup.containmentVerifyPairs(docs, pairs, minContainment = 0.3)
       .select("doc_a", "doc_b", "containment_a", "containment_b")
       .orderBy("doc_a", "doc_b")
@@ -606,7 +606,7 @@ object Queries {
     val docs = Sources.documents(s, dir)
     val verified = ext.Dedup.jaccardVerifyPairs(docs,
       ext.Dedup.lshCandidatePairs(
-        ext.Dedup.minhashSignatures(docs).localCheckpoint(true)))
+        Materialize(ext.Dedup.minhashSignatures(docs))))
     val dupDocs = verified.select(col("doc_a").as("doc_id"))
       .unionAll(verified.select(col("doc_b").as("doc_id")))
       .distinct().withColumn("is_dup", lit(1L))
@@ -629,7 +629,7 @@ object Queries {
     * output is ≤ 17 rows. */
   def d13MinhashCalibration(s: SparkSession, dir: String): DataFrame = {
     val docs = Sources.documents(s, dir)
-    val sigs = ext.Dedup.minhashSignatures(docs).localCheckpoint(true)
+    val sigs = Materialize(ext.Dedup.minhashSignatures(docs))
     val pairs = ext.Dedup.lshCandidatePairs(sigs)
     val sa = sigs.select(col("doc_id").as("doc_a") +:
       (0 until 16).map(b => col(s"mh_$b").as(s"a_mh_$b")): _*)
@@ -1609,13 +1609,15 @@ object Queries {
       .select("doc_id", "source", "n_chars")
       .orderBy("doc_id")
 
-  // signatures checkpoint before the band self-join (same reason as
+  // signatures materialize before the band self-join (same reason as
   // CorpusPipeline.curate): both join sides otherwise re-tokenize and
-  // re-md5 every document — value-identical, half the signature work
+  // re-md5 every document — value-identical, half the signature work.
+  // Materialize (not bare localCheckpoint) so the cluster deployment can
+  // switch to the lineage-preserving persist via spark.graft.materialize.
   def d2MinhashLsh(s: SparkSession, dir: String): DataFrame =
     ext.Dedup.lshCandidatePairs(
-      ext.Dedup.minhashSignatures(Sources.documents(s, dir))
-        .localCheckpoint(true))
+      Materialize(
+        ext.Dedup.minhashSignatures(Sources.documents(s, dir))))
       .orderBy("doc_a", "doc_b")
 
   /** Exact-Jaccard verification of the d2 candidates — the correlated-
@@ -1625,7 +1627,7 @@ object Queries {
   def d8VerifiedPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = Sources.documents(s, dir)
     val pairs = ext.Dedup.lshCandidatePairs(
-      ext.Dedup.minhashSignatures(docs).localCheckpoint(true))
+      Materialize(ext.Dedup.minhashSignatures(docs)))
     rounded(ext.Dedup.jaccardVerifyPairs(docs, pairs)
       .select("doc_a", "doc_b", "jaccard"), Seq("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -1634,8 +1636,8 @@ object Queries {
   def d6DupClusters(s: SparkSession, dir: String): DataFrame =
     ext.Dedup.duplicateClusters(
       ext.Dedup.lshCandidatePairs(
-        ext.Dedup.minhashSignatures(Sources.documents(s, dir))
-          .localCheckpoint(true)))
+        Materialize(
+          ext.Dedup.minhashSignatures(Sources.documents(s, dir)))))
       .orderBy("doc_id")
 
   def d3Simhash(s: SparkSession, dir: String): DataFrame =
@@ -1649,7 +1651,7 @@ object Queries {
     ext.Dedup.qualityCanonical(docs,
       ext.Dedup.duplicateClusters(
         ext.Dedup.lshCandidatePairs(
-          ext.Dedup.minhashSignatures(docs).localCheckpoint(true))))
+          Materialize(ext.Dedup.minhashSignatures(docs)))))
       .orderBy("cluster_rep")
   }
 
@@ -1720,7 +1722,8 @@ object Queries {
       ext.Similarity.ivfAnchors(s), ext.Similarity.pqCodebook(s))
       .orderBy("query_id", "rank")
 
-  /** sim9's PRODUCTION shape (r10 verdict item #1 — the e4 recipe): the
+  /** sim9's PRODUCTION shape, registered as sim17 (r10 verdict item #1
+    * — the e4 recipe): the
     * query batch is FIXED at vec_id ≡ 0 (mod 100) below 2000, i.e. it
     * stops growing once the corpus passes the driver's sf0.1 size, so the
     * ADC scan (corpus × queries table lookups) and the rerank tier are
@@ -1729,18 +1732,19 @@ object Queries {
     * sim9's corpus-growing queryMod sample inherits sim7's
     * declared-quadratic probe regime. Same codebook, shortlist and rank
     * contract as sim9. */
-  def sim9PqRerankBatch(s: SparkSession, dir: String): DataFrame =
+  def sim17PqRerankBatch(s: SparkSession, dir: String): DataFrame =
     ext.Similarity.pqTopKRerank(Sources.embeddings(s, dir),
       ext.Similarity.pqCodebook(s), queryCap = 2000L)
       .orderBy("query_id", "rank")
 
-  /** sim10's PRODUCTION shape — the full IVF × ADC × exact-rerank stack
+  /** sim10's PRODUCTION shape, registered as sim18 — the full IVF × ADC
+    * × exact-rerank stack
     * under the FIXED query batch (vec_id ≡ 0 mod 100, below 2000). IVF
     * routing already divides the candidate work by ~nLists/nprobe; pinning
     * the batch removes the probe artifact that multiplied it back by the
     * corpus, so the whole stack is linear in the corpus at a routed
     * constant. */
-  def sim10IvfPqRerankBatch(s: SparkSession, dir: String): DataFrame =
+  def sim18IvfPqRerankBatch(s: SparkSession, dir: String): DataFrame =
     ext.Similarity.ivfPqTopKRerank(Sources.embeddings(s, dir),
       ext.Similarity.ivfAnchors(s), ext.Similarity.pqCodebook(s),
       queryCap = 2000L)
@@ -2455,8 +2459,8 @@ object Queries {
     "sim8_ivfpq" -> (sim8IvfPq _),
     "sim9_pq_rerank" -> (sim9PqRerank _),
     "sim10_ivfpq_rerank" -> (sim10IvfPqRerank _),
-    "sim9_pq_rerank_batch" -> (sim9PqRerankBatch _),
-    "sim10_ivfpq_rerank_batch" -> (sim10IvfPqRerankBatch _),
+    "sim17_pq_rerank_batch" -> (sim17PqRerankBatch _),
+    "sim18_ivfpq_rerank_batch" -> (sim18IvfPqRerankBatch _),
     "sim11_filtered_ann" -> (sim11FilteredAnn _),
     "sim12_knn_classify" -> (sim12KnnClassify _),
     "sim13_drift" -> (sim13Drift _),

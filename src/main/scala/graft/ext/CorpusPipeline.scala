@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.ops.Materialize.MaterializeOps
 
 /** End-to-end training-corpus curation: the ext operators composed in the
   * order a production pretraining pipeline runs them —
@@ -103,18 +104,19 @@ object CorpusPipeline {
     // 1. exact dedup: keep the smallest doc_id per content digest. Winner
     // election shuffles (digest, doc_id) only — document payloads never
     // ride the digest exchange (see Dedup.keepFirstPerDigest).
-    // localCheckpoint(eager): the report's stage counts and the returned
-    // frame would otherwise re-execute this shuffle once per action; the
+    // materialized (localCheckpoint/persist per conf): the report's stage
+    // counts and the returned frame would otherwise re-execute this
+    // shuffle once per action; the
     // checkpoint blocks are reclaimed by the ContextCleaner once the frame
     // goes out of scope.
-    val exactUnique = Dedup.keepFirstPerDigest(scrubbed).localCheckpoint(true)
+    val exactUnique = Dedup.keepFirstPerDigest(scrubbed).materialized
 
     // 2. near dedup: LSH candidates -> connected components -> keep reps.
     // Signatures are checkpointed BEFORE the band self-join: both join
     // sides otherwise recompute the tokenize+md5 signature subtree — at
     // corpus scale that double-reads and double-hashes every document.
     val signatures = Dedup.minhashSignatures(exactUnique, cfg.nHashes)
-      .localCheckpoint(true)
+      .materialized
     // candidates are VERIFIED with exact Jaccard before clustering: false
     // candidates (correlated-signature boilerplate collisions) must not
     // merge distinct documents — that would silently delete real content
@@ -170,7 +172,7 @@ object CorpusPipeline {
           .join(rebuilt, Seq("doc_id"))
           .withColumnRenamed("cleaned_text", "text")
           .select(outCols.map(col): _*)
-          .localCheckpoint(true)
+          .materialized
       case None => nearUnique
     }
 
@@ -180,7 +182,7 @@ object CorpusPipeline {
       .filter(col("detected_lang").isin(cfg.langs.toSeq: _*) &&
         col("quality_score") >= cfg.minQuality)
       .select(outCols.map(col): _*)
-      .localCheckpoint(true)
+      .materialized
 
     // 3b. optional unigram-LM surprise filter (CCNet-style): the LM is the
     // filter survivors' OWN unigram distribution — no external model
@@ -192,7 +194,7 @@ object CorpusPipeline {
         TextOps.withUnigramLogProb(filtered)
           .filter(col("avg_neg_logprob") <= ceiling)
           .select(outCols.map(col): _*)
-          .localCheckpoint(true)
+          .materialized
       case None => filtered
     }
 
@@ -208,7 +210,7 @@ object CorpusPipeline {
           lmFiltered, if (cfg.redact) TextOps.redact(bench) else bench,
           cfg.decontamNgram).select(col("doc_id"))
         lmFiltered.join(contaminated, Seq("doc_id"), "left_anti")
-          .localCheckpoint(true)
+          .materialized
       case None => lmFiltered
     }
 
@@ -227,7 +229,7 @@ object CorpusPipeline {
           .agg(expr(s"top_k_by(__q, doc_id, $cap)").as("tk"))
           .select(explode(col("tk.id")).as("doc_id"))
         decontaminated.join(best, Seq("doc_id"), "left_semi")
-          .localCheckpoint(true)
+          .materialized
       case None => decontaminated
     }
 
@@ -238,9 +240,9 @@ object CorpusPipeline {
     val mixed = (cfg.mixTemperature match {
       case Some(tau) => TextOps.temperatureMix(capped, "source", tau)
       case None => TextOps.sourceMix(capped, cfg.sourceStrides)
-    }).localCheckpoint(true)
+    }).materialized
     val packed = TextOps.packSequences(mixed, cfg.packBudgetTokens)
-      .localCheckpoint(true)
+      .materialized
 
     (packed, TailCounts(
       afterSpanDedup = boilerplateFree.count(),

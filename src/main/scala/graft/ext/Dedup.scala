@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.ops.Materialize.MaterializeOps
 
 /** Deduplication operators for a training-data pipeline: exact, MinHash+LSH,
   * SimHash, n-gram Jaccard, embedding-cosine near-dup.
@@ -246,16 +247,18 @@ object Dedup {
     * O(component diameter) — near-dup clusters are dense (LSH pairs are
     * near-cliques), so a handful of rounds suffice even at corpus scale.
     * Each round is one shuffle on doc_id; lineage is truncated per round
-    * with localCheckpoint so the plan does not grow with iterations (the
+    * with Materialize (localCheckpoint by default; conf-switchable to a
+    * lineage-preserving persist for cluster runs) so the executed plan
+    * does not grow with iterations (the
     * standard Pregel-style DataFrame loop — driver coordinates, data never
     * leaves the cluster). */
   def duplicateClusters(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
+      .materialized
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_rep", col("doc_id"))
-      .localCheckpoint(true)
+      .materialized
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -279,7 +282,7 @@ object Dedup {
         .join(reps, propagated("cluster_rep") === reps("rep_id"))
         .select(col("doc_id"),
           least(col("cluster_rep"), col("rep_rep")).as("cluster_rep"))
-        .localCheckpoint(true)
+        .materialized
       converged = updated.join(labels.withColumnRenamed("cluster_rep", "old_rep"), "doc_id")
         .filter(col("cluster_rep") =!= col("old_rep")).isEmpty
       labels = updated

@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
+import graft.ops.Materialize.MaterializeOps
 
 /** Incremental (foreachBatch) variant of [[CorpusPipeline.curate]]: a
   * production training-data pipeline doesn't re-curate the whole corpus per
@@ -85,7 +86,8 @@ object IncrementalCuration {
   /** Fold one arriving batch into the state: exact dedup (within batch +
     * against history), fresh-vs-all LSH candidates, exact-Jaccard
     * verification, union-find merge. Every returned frame is eagerly
-    * localCheckpointed — state lineage must not grow with batch count. */
+    * materialized (Materialize: localCheckpoint by default, persist on
+    * clusters) — state lineage must not grow with batch count. */
   def ingestBatch(state: CurationState, batch: DataFrame,
                   cfg: CurationConfig = CurationConfig()): CurationState = {
     val n = batch.count()
@@ -95,16 +97,16 @@ object IncrementalCuration {
     val fresh = Dedup.keepFirstPerDigest(scrubbed)
       .withColumn("__digest", md5(col("text")))
       .join(state.digests, Seq("__digest"), "left_anti")
-      .localCheckpoint(true)
-    val freshDocs = fresh.drop("__digest").localCheckpoint(true)
+      .materialized
+    val freshDocs = fresh.drop("__digest").materialized
 
     // fresh-vs-all banded candidate join. The accumulated side is capped
     // per bucket (smallest doc_ids) exactly like the batch self-join; the
     // fresh probe side is not capped — every new doc gets its chance to
     // match. a < b normalization keeps pair ids ordered for the verifier.
     val freshSigs = Dedup.minhashSignatures(freshDocs, cfg.nHashes)
-      .localCheckpoint(true)
-    val allSigs = state.signatures.unionByName(freshSigs).localCheckpoint(true)
+      .materialized
+    val allSigs = state.signatures.unionByName(freshSigs).materialized
     val cappedAll = bands(allSigs, cfg.nBands)
       .withColumn("__bn", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -136,11 +138,11 @@ object IncrementalCuration {
       else Dedup.duplicateClusters(labelEdges.unionByName(newEdges))
 
     CurationState(
-      docs = allDocs.localCheckpoint(true),
+      docs = allDocs.materialized,
       digests = state.digests.unionByName(fresh.select("__digest"))
-        .localCheckpoint(true),
+        .materialized,
       signatures = allSigs,
-      labels = merged.localCheckpoint(true),
+      labels = merged.materialized,
       nIngested = state.nIngested + n)
   }
 

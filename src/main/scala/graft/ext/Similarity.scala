@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Materialize.MaterializeOps
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (array<float>).
@@ -215,7 +216,7 @@ object Similarity {
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .select(col("vec_id"), (col("pos") + 1).as("d"),
         col("v").cast("double").as("v"))
-      .localCheckpoint(true)
+      .materialized
     var centroids = ivfAnchors(emb.sparkSession, nLists, dims)
       .select("c", "d", "w")
     for (_ <- 0 until iters) {
@@ -236,7 +237,7 @@ object Similarity {
         .join(updated.as("new"), Seq("c", "d"), "left")
         .select(col("c"), col("d"),
           coalesce(col("new.w"), col("old.w")).as("w"))
-        .localCheckpoint(true)
+        .materialized
     }
     centroids
   }
@@ -740,7 +741,7 @@ object Similarity {
       .withColumn("s", floor(col("pos") / subDim).cast("long"))
       .withColumn("d", col("pos") % subDim + 1)
       .select(col("vec_id"), col("s"), col("d"), col("v"))
-      .localCheckpoint(true)
+      .materialized
     var codebook = pqCodebook(spark, nSub, nCentroids, subDim)
       .select("s", "c", "d", "w")
     for (_ <- 0 until iters) {
@@ -756,7 +757,7 @@ object Similarity {
         .join(updated.as("new"), Seq("s", "c", "d"), "left")
         .select(col("s"), col("c"), col("d"),
           coalesce(col("new.w"), col("old.w")).as("w"))
-        .localCheckpoint(true)
+        .materialized
     }
     codebook
   }
@@ -1014,7 +1015,8 @@ object Similarity {
                         queryMod: Int = 100, k: Int = 5, nprobe: Int = 2,
                         subDim: Int = 8, nSub: Int = 8, nCentroids: Int = 16,
                         learnedCodebook: Boolean = true,
-                        iters: Int = 3): DataFrame = {
+                        iters: Int = 3,
+                        queryCap: Long = Long.MaxValue): DataFrame = {
     graft.functions.GraftFunctions.register(
       org.apache.spark.sql.SparkSession.active)
     val spark = emb.sparkSession
@@ -1032,7 +1034,7 @@ object Similarity {
       .join(broadcast(centroidsByPos), Seq("list_id", "pos"))
       .select(col("vec_id"), col("list_id"), col("pos"),
         (col("v").cast("double") - col("cw")).as("v"))
-      .localCheckpoint(true)
+      .materialized
     val codebook =
       if (learnedCodebook)
         learnPqFromLong(resid.select("vec_id", "pos", "v"), spark,
@@ -1048,12 +1050,12 @@ object Similarity {
       .agg(min_by(col("c"),
         struct(graft.ops.Num.cround(col("dist2"), 6), col("c"))).as("code"))
 
-    val probes = scores.filter(col("vec_id") % queryMod === 0)
+    val probes = scores.filter(queryPred(queryMod, queryCap))
       .withColumn("rnk", row_number().over(wBest))
       .filter(col("rnk") <= nprobe)
       .select(col("vec_id").as("query_id"), col("c").as("list_id"))
     // per-(query, probed list) residual -> per-list ADC table
-    val qresid = emb.filter(col("vec_id") % queryMod === 0)
+    val qresid = emb.filter(queryPred(queryMod, queryCap))
       .select(col("vec_id").as("query_id"),
         posexplode(col("embedding")).as(Seq("pos", "v")))
       .join(probes, "query_id")
@@ -1089,12 +1091,69 @@ object Similarity {
   def ivfPqResidualTopKRerank(emb: DataFrame, anchors: DataFrame,
                               queryMod: Int = 100, k: Int = 5,
                               nprobe: Int = 2, shortlist: Int = 50,
-                              subDim: Int = 8, learnedCodebook: Boolean = true
-                             ): DataFrame =
+                              subDim: Int = 8, learnedCodebook: Boolean = true,
+                              queryCap: Long = Long.MaxValue): DataFrame =
     rerankShortlist(emb,
       ivfPqResidualTopK(emb, anchors, queryMod, shortlist, nprobe, subDim,
-        learnedCodebook = learnedCodebook),
-      queryMod, k)
+        learnedCodebook = learnedCodebook, queryCap = queryCap),
+      queryMod, k, queryCap)
+
+  /** Measured PQ-configuration selector (r10 verdict item #2): the engine
+    * ships three codebook configurations for the IVF-PQ + exact-rerank
+    * stack — `fixed` (md5-derived codebook, no training pass), `learned`
+    * (raw-vector per-subspace k-means), `residual` (per-list residual
+    * k-means, the FAISS IVFADC form) — and their recall RANKING INVERTS
+    * with corpus geometry: raw-vector learned wins on a near-uniform
+    * corpus (there is no shared cluster component for residuals to
+    * remove, and the residual pass just re-centers noise), while residual
+    * wins decisively on a clustered one (raw-vector codebooks collapse
+    * onto the cluster centers, same-cluster vectors get identical codes,
+    * and ADC ties destroy within-cluster ranking — RecallProbe measures
+    * the inversion). No prose rule can pick per corpus, so this MEASURES:
+    * each candidate runs at the same anchors / code budget / shortlist
+    * over the probe query batch, recall@k is scored against the exact
+    * brute-force truth on that same batch, and the winner returns. Ties
+    * break toward the CHEAPER config in build-cost order fixed < learned
+    * < residual (the fixed codebook skips the k-means passes; residual
+    * adds a corpus-linear residual pass on top of learned).
+    *
+    * Shape at scale: selection is index-BUILD-time work, amortized over
+    * the index lifetime exactly like the encode itself; with a bounded
+    * probe batch (`queryCap`, the sim9-batch regime) every candidate AND
+    * the brute-force truth scan are linear in the corpus, and the recall
+    * joins reduce probe-batch-sized frames only. The three candidate
+    * scores surface in the returned map so the choice is auditable. */
+  def choosePqConfig(emb: DataFrame, anchors: DataFrame,
+                     queryMod: Int = 100, k: Int = 5, shortlist: Int = 50,
+                     queryCap: Long = Long.MaxValue)
+      : (String, Map[String, Double]) = {
+    import graft.ops.Materialize.MaterializeOps
+    val truthAll = bruteForceTopK(emb, queryMod, k)
+    val truth = (if (queryCap == Long.MaxValue) truthAll
+                 else truthAll.filter(col("query_id") < queryCap)).materialized
+    def recallOf(approx: DataFrame): Double = {
+      val t = truth.select("query_id", "vec_id")
+      val total = t.count()
+      if (total == 0L) 0.0
+      else approx.select("query_id", "vec_id")
+        .join(t, Seq("query_id", "vec_id")).count().toDouble / total
+    }
+    val candidates = Seq(
+      "fixed" -> (() => ivfPqTopKRerank(emb, anchors,
+        pqCodebook(emb.sparkSession), queryMod, k, shortlist = shortlist,
+        queryCap = queryCap)),
+      "learned" -> (() => ivfPqTopKRerank(emb, anchors,
+        learnPqCodebook(emb), queryMod, k, shortlist = shortlist,
+        queryCap = queryCap)),
+      "residual" -> (() => ivfPqResidualTopKRerank(emb, anchors, queryMod,
+        k, shortlist = shortlist, queryCap = queryCap)))
+    val scores = candidates.map { case (name, mk) => name -> recallOf(mk()) }
+    // foldLeft with strict > keeps the FIRST (cheapest) max on ties
+    val winner = scores.foldLeft(scores.head) {
+      case (best, cand) => if (cand._2 > best._2) cand else best
+    }
+    (winner._1, scores.toMap)
+  }
 
   /** Contrastive hard-negative mining: for each sampled anchor (vec_id %
     * queryMod == 0), the k most-cosine-similar vectors carrying a

@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Materialize.MaterializeOps
 
 /** Text-analysis operators for a training-data pipeline over the `documents`
   * table: tokenization, shingling, language ID, quality scoring, token
@@ -466,7 +467,7 @@ object TextOps {
     require(budgetTokens >= 0, "budgetTokens must be >= 0")
     val toked = docs.withColumn("n_tokens",
       size(split(trim(col("text")), "\\s+")).cast("long"))
-      .localCheckpoint(true)
+      .materialized
     shardedPrefixSum(toked, "n_tokens", "cum_tokens", shardBlock)
       .filter(col("cum_tokens") <= budgetTokens)
   }
@@ -646,7 +647,7 @@ object TextOps {
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+      .materialized
     val df = tf.groupBy("token").agg(count(lit(1)).as("doc_freq"))
     val scored = tf.join(df, Seq("token"))
       .withColumn("score", graft.ops.Num.cround(
@@ -689,7 +690,7 @@ object TextOps {
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+      .materialized
     val occ = tf.groupBy("token").agg(sum("tf").as("occ"))
     // An empty corpus (no docs, or every text NULL/blank) sums to NULL, not
     // 0 — degrade to the same row-preserving shape the left join below
@@ -737,7 +738,7 @@ object TextOps {
         (a, b) => concat(a, lit(" "), b))).as("bigram")
     val btf = docs.select(col("doc_id"), bigramsOf)
       .groupBy("doc_id", "bigram").agg(count(lit(1)).as("btf"))
-      .localCheckpoint(true)
+      .materialized
     val bocc = btf.groupBy("bigram").agg(sum("btf").as("bocc"))
     val uocc = docs.select(explode(t).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("uocc"))
