@@ -1623,6 +1623,46 @@ object OracleSql {
          |FROM documents d LEFT JOIN dup ON dup.doc_id = d.doc_id
          |GROUP BY d.source ORDER BY d.source""".stripMargin),
 
+    // BM25 (t31): the query fixture VALUES list renders from
+    // Queries.bm25Queries — shared constant, independent formulations.
+    // Arithmetic discipline: idf and the saturation term carry the
+    // IDENTICAL parenthesization as the Spark side (left-assoc
+    // idf * X / Y; (1.2 + 1.0) kept unfolded, the t28 ulp rule); N and
+    // avgdl are exact (integer count; integer-sum/count division), so
+    // both engines divide the same doubles.
+    "t31_bm25" -> {
+      val values = graft.Queries.bm25Queries
+        .flatMap { case (qid, q) =>
+          q.split(" ").distinct.map(t => s"($qid, '$t')") }
+        .mkString(", ")
+      val ts = "ln(1.0 + (n.nd - doc_freq + 0.5) / (doc_freq + 0.5)) * " +
+        "(tf * (1.2 + 1.0)) / " +
+        "(tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / n.avgdl))"
+      s"""WITH q(query_id, token) AS (VALUES $values),
+         |tok AS (
+         |  SELECT doc_id, len(w) AS dl, t AS token
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         |  CROSS JOIN UNNEST(w) AS u(t)),
+         |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf,
+         |              FIRST(dl) AS dl
+         |       FROM tok GROUP BY 1, 2),
+         |dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq
+         |        FROM tf GROUP BY 1),
+         |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+         |             AVG(len(string_split(text, ' '))) AS avgdl
+         |      FROM documents),
+         |s AS (
+         |  SELECT q.query_id, tf.doc_id, $ts AS term_score
+         |  FROM tf JOIN q USING (token) JOIN dfq USING (token) CROSS JOIN n),
+         |sc AS (SELECT query_id, doc_id, ${R("SUM(term_score)", 6)} AS bm25
+         |       FROM s GROUP BY 1, 2),
+         |r AS (SELECT *, ROW_NUMBER() OVER (
+         |        PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rank
+         |      FROM sc)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, bm25
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    },
+
     "d8_verified_pairs" -> withCtes(toksCte, shCte, shxCte, sigCte, bandsCte,
       cappedCte,
       """cand AS (

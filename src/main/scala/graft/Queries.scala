@@ -596,6 +596,23 @@ object Queries {
       .orderBy("symbol")
   }
 
+  /** BM25 query fixture for t31 — shared VERBATIM with the DuckDB oracle
+    * (OracleSql renders its VALUES list from this constant, the
+    * Num.emaKernel shared-constant discipline: the fixture is common
+    * while the two query formulations stay independent). Terms come from
+    * the synthetic corpus vocabulary so every query matches documents. */
+  val bm25Queries: Seq[(Int, String)] = Seq(
+    0 -> "spark query join",
+    1 -> "stream window agg",
+    2 -> "customer value table")
+
+  /** BM25 keyword retrieval: three fixed vocabulary queries, top-10 docs
+    * each ([[ext.TextOps.bm25TopK]]) — the lexical retrieval baseline
+    * beside the ANN family. */
+  def t31Bm25(s: SparkSession, dir: String): DataFrame =
+    ext.TextOps.bm25TopK(Sources.documents(s, dir), bm25Queries)
+      .orderBy("query_id", "rank")
+
   /** Near-duplicate rate per source — the provenance-quality report: what
     * fraction of each source's documents sit in a VERIFIED near-dup pair
     * (d2's capped LSH candidates through d8's exact-Jaccard guard). The
@@ -2428,6 +2445,7 @@ object Queries {
     "a18_ks_test" -> (a18KsTest _),
     "a19_spearman" -> (a19Spearman _),
     "t30_dup_rate_by_source" -> (t30DupRateBySource _),
+    "t31_bm25" -> (t31Bm25 _),
     "a17_chi2" -> (a17Chi2 _),
     "d13_minhash_calibration" -> (d13MinhashCalibration _),
     "ev15_funnel_windowed" -> (ev15FunnelWindowed _),

@@ -69,6 +69,26 @@ object RecallProbe {
       .withColumn("label", col("__k").cast("int"))
       .select("vec_id", "embedding", "label")
 
+  /** Anisotropic variant of [[plantedEmbeddings]] (round-10 verdict
+    * stretch item — the OPQ fixture): coordinate d scaled by decay^d, so
+    * variance spans ~2 orders of magnitude across the 64 dims in STORAGE
+    * ORDER. Plain PQ's subspaces inherit that imbalance — subspace 0
+    * holds almost all the energy and its 16 centroids can't cover it,
+    * while the last subspaces' centroids quantize noise — exactly the
+    * correlated/anisotropic regime Ge et al. (CVPR 2013 §1) show breaks
+    * independence-assuming PQ, and the regime real embedding models
+    * (energy concentrated in a few principal directions) occupy. A
+    * diagonal scaling keeps the planted cluster structure (same-cluster
+    * vectors stay nearest: the scaling is applied to center and noise
+    * alike), so true top-k remains measurable. */
+  def anisotropicEmbeddings(spark: SparkSession, n: Int = 2000,
+                            dims: Int = 64, nClusters: Int = 20,
+                            noise: Double = 0.25,
+                            decay: Double = 0.93): DataFrame =
+    plantedEmbeddings(spark, n, dims, nClusters, noise)
+      .withColumn("embedding", expr(
+        s"transform(embedding, (x, i) -> cast(x * power($decay, i) as float))"))
+
   /** The full path x config recall sweep over one corpus. */
   def sweep(spark: SparkSession, emb: DataFrame, corpus: String): Unit = {
     import ext.Similarity
@@ -164,6 +184,16 @@ object RecallProbe {
       row("sim8 residual+rerank", s"learned anchors, shortlist=$shortlist",
         recall(Similarity.ivfPqResidualTopKRerank(emb, learnedIvf,
           queryMod = qm, k = k, shortlist = shortlist), truth))
+
+    // OPQ (parametric rotation, Ge et al. 2013): same 8x16x8 code budget,
+    // codebook trained in the eigen-allocated basis — ADC-only shows the
+    // raw codebook-quality delta, the rerank rows the production shape
+    row("opq pq adc", "rotated, learned, nSub=8",
+      recall(Similarity.opqPqTopK(emb, queryMod = qm, k = k), truth))
+    for (shortlist <- Seq(25, 50))
+      row("opq pq+rerank", s"rotated, learned, shortlist=$shortlist",
+        recall(Similarity.opqPqTopKRerank(emb, queryMod = qm, k = k,
+          shortlist = shortlist), truth))
   }
 
   def main(args: Array[String]): Unit = {
@@ -182,6 +212,8 @@ object RecallProbe {
       s"$dir (near-uniform)")
     sweep(spark, plantedEmbeddings(spark).localCheckpoint(true),
       "planted-neighborhood (20 clusters, noise 0.25)")
+    sweep(spark, anisotropicEmbeddings(spark).localCheckpoint(true),
+      "anisotropic (planted x 0.93^dim decay)")
     spark.stop()
   }
 }

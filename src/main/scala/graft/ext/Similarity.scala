@@ -1155,6 +1155,123 @@ object Similarity {
     (winner._1, scores.toMap)
   }
 
+  // ------------------------------------------------------------------
+  // OPQ: optimized product quantization (parametric rotation)
+
+  /** Parametric-OPQ rotation (Ge et al., "Optimized Product
+    * Quantization", CVPR 2013 §4 — the closed-form OPQ-P variant): learn
+    * a dims x dims orthonormal rotation that decorrelates the corpus and
+    * BALANCES variance across the nSub PQ subspaces, so no subspace's 16
+    * centroids drown in variance the others never see. Plain PQ quantizes
+    * the coordinates in storage order; on anisotropic or correlated
+    * corpora (real embedding models put most energy in a few directions)
+    * the high-variance subspace's quantization error dominates every ADC
+    * distance and recall collapses — the exact failure RecallProbe's
+    * anisotropic fixture measures. OPQ-P fixes the basis first:
+    *
+    *  1. covariance of the corpus (one exploded outer-product pass —
+    *     partial aggregation keeps the shuffle at partitions x dims²
+    *     rows; entries rounded to 9 dp, the codebook-learning summation
+    *     discipline);
+    *  2. eigendecomposition of the dims x dims matrix on the DRIVER —
+    *     bounded O(dims³) work on a dims²-sized statistic, the same
+    *     driver-side-parameter pattern Spark ML's PCA uses (a few KB, not
+    *     corpus data);
+    *  3. eigenvalue allocation: walk eigen-directions largest-first,
+    *     assigning each to the non-full subspace with the smallest
+    *     accumulated log-eigenvalue sum — greedy balancing of the
+    *     per-subspace variance PRODUCTS, the free-rotation optimum for
+    *     Gaussian data (Ge et al. §4.2).
+    *
+    * Determinism: covariance entries are 9-dp rounded before the (single,
+    * deterministic LAPACK) eigendecomposition; each eigenvector's sign is
+    * canonicalized (largest-|component| coordinate made positive, first
+    * index on ties); greedy ties take the lowest subspace index. Returns
+    * the rotation ROW-MAJOR — row i is output coordinate i, rows grouped
+    * subspace-major so [[pqEncode]]'s `floor(pos / subDim)` sees the
+    * allocation. */
+  def opqRotation(emb: DataFrame, nSub: Int = 8,
+                  subDim: Int = 8): Array[Array[Double]] = {
+    val dims = nSub * subDim
+    val el = emb.select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("pos"), col("v").cast("double").as("v"))
+    val mean = Array.ofDim[Double](dims)
+    el.groupBy("pos").agg(avg("v").as("m")).collect()
+      .foreach(r => mean(r.getInt(0)) = r.getDouble(1))
+    // E[v vᵀ] in one pass: per-row outer product flattened to a dims²
+    // array, exploded, partially aggregated per position before the
+    // shuffle (the hash aggregate combines map-side, so only
+    // partitions x dims² rows ride the exchange)
+    val m2 = Array.ofDim[Double](dims * dims)
+    emb.select(posexplode(flatten(transform(col("embedding"), x =>
+        transform(col("embedding"), y =>
+          x.cast("double") * y.cast("double"))))).as(Seq("pos", "v")))
+      .groupBy("pos").agg(avg("v").as("m"))
+      .collect().foreach(r => m2(r.getInt(0)) = r.getDouble(1))
+    val cov = breeze.linalg.DenseMatrix.tabulate(dims, dims) { (i, j) =>
+      BigDecimal(m2(i * dims + j) - mean(i) * mean(j))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val es = breeze.linalg.eigSym(cov) // eigenvalues ASCENDING
+    val order = (0 until dims).sortBy(i => (-es.eigenvalues(i), i))
+    val load = Array.fill(nSub)(0.0)
+    val used = Array.fill(nSub)(0)
+    val rot = Array.ofDim[Double](dims, dims)
+    for (e <- order) {
+      val s = (0 until nSub).filter(used(_) < subDim)
+        .minBy(b => (load(b), b))
+      val vec = Array.tabulate(dims)(d => es.eigenvectors(d, e))
+      val pivot = (0 until dims).maxBy(d => (math.abs(vec(d)), -d))
+      val signed = if (vec(pivot) < 0) vec.map(-_) else vec
+      rot(s * subDim + used(s)) = signed
+      load(s) += math.log(math.max(es.eigenvalues(e), 1e-12))
+      used(s) += 1
+    }
+    rot
+  }
+
+  /** Apply a row-major rotation to the embedding column via the native
+    * fused [[graft.functions.MatVecMul]] kernel — a shuffle-free narrow
+    * projection (the matrix rides as a foldable plan literal, the dims²
+    * multiply-add loop is one whole-stage-codegen pass), output
+    * schema-identical to the input (array<float>). An orthonormal
+    * rotation preserves dot products and norms, hence cosine — so
+    * brute-force truth and the exact-rerank tier are UNCHANGED by the
+    * basis (up to float re-rounding); only the quantizer sees a
+    * different, better-conditioned coordinate system. */
+  def rotate(emb: DataFrame, rot: Array[Array[Double]]): DataFrame = {
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    emb.withColumn("embedding",
+      call_function("mat_vec_mul", lit(rot.flatten),
+        transform(col("embedding"), x => x.cast("double"))))
+  }
+
+  /** [[pqTopKRerank]] in the OPQ basis — equal code budget
+    * (nSub x nCentroids x subDim), one extra linear rotation pass at
+    * index-build time: rotate the corpus, train the per-subspace k-means
+    * codebook in the rotated basis, ADC-propose there, exact-rerank with
+    * full-precision cosine (invariant under the rotation). The rotated
+    * corpus is materialized once and shared by encode, query, and rerank
+    * passes, the signature-table idiom. */
+  def opqPqTopKRerank(emb: DataFrame, queryMod: Int = 100, k: Int = 5,
+                      shortlist: Int = 50, nSub: Int = 8, subDim: Int = 8,
+                      queryCap: Long = Long.MaxValue): DataFrame = {
+    val remb = rotate(emb, opqRotation(emb, nSub, subDim)).materialized
+    pqTopKRerank(remb, learnPqCodebook(remb, nSub, subDim = subDim),
+      queryMod, k, shortlist, subDim, queryCap)
+  }
+
+  /** ADC-only OPQ search ([[pqTopK]] in the OPQ basis) — the
+    * codebook-quality probe without the rerank tier's repair. */
+  def opqPqTopK(emb: DataFrame, queryMod: Int = 100, k: Int = 5,
+                nSub: Int = 8, subDim: Int = 8,
+                queryCap: Long = Long.MaxValue): DataFrame = {
+    val remb = rotate(emb, opqRotation(emb, nSub, subDim)).materialized
+    pqTopK(remb, learnPqCodebook(remb, nSub, subDim = subDim),
+      queryMod, k, subDim, queryCap)
+  }
+
   /** Contrastive hard-negative mining: for each sampled anchor (vec_id %
     * queryMod == 0), the k most-cosine-similar vectors carrying a
     * DIFFERENT label — the negatives an embedding fine-tune actually

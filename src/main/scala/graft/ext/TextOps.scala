@@ -889,4 +889,66 @@ object TextOps {
         trim(regexp_replace(foldText(col(textCol)), "[ \\t\\n\\r\\f]+", " ")))
       .withColumn("raw_len", length(col(textCol)))
       .withColumn("norm_len", length(col("norm_text")))
+
+  /** BM25 keyword retrieval (Robertson et al., Okapi at TREC-3): score the
+    * corpus against a fixed set of query strings, top-k docs per query —
+    * the LEXICAL retrieval baseline a curation/eval pipeline runs next to
+    * the ANN family (sim1-sim18), and the standard first leg of hybrid
+    * lexical+vector search. Per (query, doc):
+    * `bm25 = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`
+    * over the query's distinct terms, with the always-positive Lucene
+    * rendering `idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))`.
+    *
+    * Shape at scale: ONE corpus tokenize feeds both map-side-combining
+    * aggregates (the (doc, token) tf table — carrying dl via first() so no
+    * doc-length join ever happens — and the vocab-sized df table); the
+    * query-term table broadcasts against tf, so only rows for docs
+    * CONTAINING a query term survive past the scan (the posting-list
+    * restriction an inverted index does); df is restricted to the query's
+    * terms the same way and the resulting terms-sized stats broadcast
+    * back. The per-query reduction is the bounded native `top_k_by` — map
+    * partitions ship ≤ k docs per query, no per-query sort sees the
+    * corpus. N/avgdl collapse to literals via one action over a 1-row
+    * aggregate (the t13 grand-total pattern; both are exact — integer
+    * count, and an integer-sum-over-count division — so the literal is
+    * engine-deterministic). Scores are tie-safe-rounded (scale 6) before
+    * ranking with doc_id tiebreak, the cross-engine ordering discipline. */
+  def bm25TopK(docs: DataFrame, queries: Seq[(Int, String)], k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tf = docs
+      .select(col("doc_id"), size(tokens(col("text"))).as("dl"),
+        explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      .materialized
+    val dfTbl = tf.groupBy("token").agg(count(lit(1)).as("doc_freq"))
+    val stats = docs.agg(count(lit(1)).as("n"),
+      avg(size(tokens(col("text")))).as("avgdl")).first()
+    val nDocs = stats.getLong(0).toDouble
+    val avgdl = stats.getDouble(1)
+    val qt = queries
+      .flatMap { case (qid, q) => q.split(" ").distinct.map(t => (qid, t)) }
+      .toDF("query_id", "token")
+    val qdf = dfTbl.join(broadcast(qt.select("token").distinct()), "token")
+    val scored = tf.join(broadcast(qt), "token")
+      .join(broadcast(qdf), "token")
+      .withColumn("idf", log(lit(1.0) +
+        (lit(nDocs) - col("doc_freq") + lit(0.5)) /
+          (col("doc_freq") + lit(0.5))))
+      .withColumn("term_score", col("idf") *
+        (col("tf") * (lit(k1) + lit(1.0))) /
+        (col("tf") + lit(k1) *
+          (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl))))
+      .groupBy("query_id", "doc_id")
+      .agg(graft.ops.Num.cround(sum("term_score"), 6).as("bm25"))
+    scored.groupBy("query_id")
+      .agg(expr(s"top_k_by(bm25, doc_id, $k)").as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("r", "t")))
+      .select(col("query_id"), (col("r") + 1).cast("int").as("rank"),
+        col("t.id").as("doc_id"), col("t.score").as("bm25"))
+  }
 }

@@ -99,7 +99,9 @@ object GraftFunctions {
     "kmv_sketch" ->
       ((children: Seq[Expression]) => KmvSketch(children(0), children(1))),
     "fold_text" ->
-      ((children: Seq[Expression]) => FoldText(children(0))))
+      ((children: Seq[Expression]) => FoldText(children(0))),
+    "mat_vec_mul" ->
+      ((children: Seq[Expression]) => MatVecMul(children(0), children(1))))
 
   // replace-always: after register(), SQL text resolves these names to the
   // native expressions even if something else claimed them earlier. The

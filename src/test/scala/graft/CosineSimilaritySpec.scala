@@ -53,4 +53,33 @@ class CosineSimilaritySpec extends AnyFunSuite {
     assert(math.abs(viaSql.getDouble(0) - 1.0) < 1e-9)
     assert(math.abs(viaSql.getDouble(1) - 1.0) < 1e-9)
   }
+
+  test("mat_vec_mul: known product, identity, mismatch null") {
+    // the OPQ rotation kernel: flat row-major matrix x vector -> float[]
+    val row = spark.sql(
+      """SELECT
+        |  mat_vec_mul(array(1.0D, 2.0D, 3.0D, 4.0D), array(10.0D, 100.0D)) AS m22,
+        |  mat_vec_mul(array(1.0D, 0.0D, 0.0D, 1.0D), array(7.0D, -3.0D)) AS ident,
+        |  mat_vec_mul(array(2.0D, 4.0D, 6.0D), array(0.5D, 0.5D)) AS badshape,
+        |  mat_vec_mul(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)) AS nul
+        |""".stripMargin).head
+    assert(row.getSeq[Float](0) === Seq(210.0f, 430.0f))
+    assert(row.getSeq[Float](1) === Seq(7.0f, -3.0f))
+    assert(row.isNullAt(2), "matrix length not divisible by vec -> null")
+    assert(row.isNullAt(3))
+  }
+
+  test("mat_vec_mul rotation preserves norms on real embeddings") {
+    val emb = graft.io.Sources.embeddings(spark, "/root/testdata/sf0.001").limit(20)
+    val rot = Similarity.opqRotation(
+      graft.io.Sources.embeddings(spark, "/root/testdata/sf0.001"))
+    // rotation preserves norms (orthonormal rows): |Rv| == |v| up to the
+    // float round of each output coordinate
+    val diffs = emb.select(col("vec_id"), Similarity.norm(col("embedding")).as("n"))
+      .join(Similarity.rotate(emb, rot)
+        .select(col("vec_id"), Similarity.norm(col("embedding")).as("rn")), "vec_id")
+      .select(abs(col("n") - col("rn")).as("d"))
+      .agg(max("d")).head.getDouble(0)
+    assert(diffs < 1e-3, s"rotation distorted norms by $diffs")
+  }
 }

@@ -384,6 +384,73 @@ class ExtSpec extends AnyFunSuite {
       .localCheckpoint(true), "uniform", "learned")
   }
 
+  test("OPQ rotation: orthonormal, cosine-invariant, beats plain learned PQ") {
+    // r10 verdict stretch item (OPQ, Ge et al. CVPR 2013 — the
+    // parametric eigenvalue-allocation variant). RecallProbe r11,
+    // rerank@50 at the equal 8x16x8 code budget:
+    //   uniform:      OPQ 0.330 > learned 0.300 > residual 0.230
+    //   planted:      OPQ 0.630 > learned 0.480 (residual 0.750 still
+    //                 wins clustered corpora)
+    //   anisotropic:  OPQ 0.480 < learned 0.580 — rotation fixes the
+    //                 BASIS, not the clustered-corpus codebook collapse
+    //                 (that is residual encoding's job; the two repairs
+    //                 are orthogonal and COVERAGE.md documents the
+    //                 selection rule)
+    // Gates: structural invariants (orthonormality; rotation preserves
+    // the brute-force top-k) plus the two fixture wins with regression
+    // floors under the measured values.
+    val uniform = graft.io.Sources.embeddings(spark, "/root/testdata/sf0.1")
+      .localCheckpoint(true)
+    val rot = Similarity.opqRotation(uniform)
+    val dims = rot.length
+    for (i <- 0 until dims; j <- i until dims) {
+      val dot = (0 until dims).map(d => rot(i)(d) * rot(j)(d)).sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - expect) < 1e-6,
+        f"rotation rows $i,$j not orthonormal: dot=$dot%.9f")
+    }
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "vec_id").collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    // cosine invariance: an orthonormal rotation must not change the
+    // brute-force top-k (float re-rounding can flip exact ties only)
+    val truthRaw = sets(Similarity.bruteForceTopK(uniform, 100, 5))
+    val truthRot = sets(
+      Similarity.bruteForceTopK(Similarity.rotate(uniform, rot), 100, 5))
+    val overlap = truthRaw.map { case (q, t) =>
+      (truthRot.getOrElse(q, Set.empty[Long]) & t).size }.sum.toDouble /
+      truthRaw.values.map(_.size).sum
+    info(f"top-k overlap raw vs rotated basis: $overlap%.3f")
+    assert(overlap >= 0.95,
+      f"rotation changed the exact top-k ($overlap%.3f < 0.95) — " +
+        "it is not behaving as an isometry")
+    def gate(emb: org.apache.spark.sql.DataFrame, corpus: String,
+             floor: Double): Unit = {
+      val truth = sets(Similarity.bruteForceTopK(emb, 100, 5))
+      def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+        val got = sets(df)
+        truth.map { case (q, t) =>
+          (got.getOrElse(q, Set.empty[Long]) & t).size }
+          .sum.toDouble / truth.values.map(_.size).sum
+      }
+      val learned = recallOf(Similarity.pqTopKRerank(emb,
+        Similarity.learnPqCodebook(emb), queryMod = 100, k = 5,
+        shortlist = 50))
+      val opq = recallOf(Similarity.opqPqTopKRerank(emb, queryMod = 100,
+        k = 5, shortlist = 50))
+      info(f"$corpus: learned+rerank@50=$learned%.3f opq+rerank@50=$opq%.3f")
+      assert(opq > learned,
+        f"$corpus: OPQ $opq%.3f not above plain learned $learned%.3f " +
+          "at equal code budget — the rotation stopped earning its pass")
+      assert(opq >= floor,
+        f"$corpus: OPQ recall regressed: $opq%.3f < $floor (r11 measured)")
+    }
+    gate(uniform, "uniform", 0.30)
+    gate(RecallProbe.plantedEmbeddings(spark).localCheckpoint(true),
+      "planted", 0.55)
+  }
+
   test("learned PQ codebook has strictly lower distortion than the fixed one") {
     // pqDistortion measures exactly the k-means objective learnPqCodebook
     // minimizes — if the learned codebook ever stops beating the md5
