@@ -194,6 +194,11 @@ object RecallProbe {
       row("opq pq+rerank", s"rotated, learned, shortlist=$shortlist",
         recall(Similarity.opqPqTopKRerank(emb, queryMod = qm, k = k,
           shortlist = shortlist), truth))
+    // the selector's architecture: IVF routing + ADC + rerank, everything
+    // learned in the rotated basis (the 4th choosePqConfig candidate)
+    row("opq ivf-pq+rerank", "rotated anchors+cb, shortlist=50",
+      recall(Similarity.opqIvfPqTopKRerank(emb, queryMod = qm, k = k,
+        shortlist = 50), truth))
   }
 
   def main(args: Array[String]): Unit = {

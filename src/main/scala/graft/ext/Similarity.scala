@@ -1099,10 +1099,12 @@ object Similarity {
       queryMod, k, queryCap)
 
   /** Measured PQ-configuration selector (r10 verdict item #2): the engine
-    * ships three codebook configurations for the IVF-PQ + exact-rerank
+    * ships four codebook configurations for the IVF-PQ + exact-rerank
     * stack — `fixed` (md5-derived codebook, no training pass), `learned`
     * (raw-vector per-subspace k-means), `residual` (per-list residual
-    * k-means, the FAISS IVFADC form) — and their recall RANKING INVERTS
+    * k-means, the FAISS IVFADC form), `opq` (eigenvalue-allocation
+    * rotation + learned codebook and anchors in the rotated basis,
+    * [[opqIvfPqTopKRerank]]) — and their recall RANKING INVERTS
     * with corpus geometry: raw-vector learned wins on a near-uniform
     * corpus (there is no shared cluster component for residuals to
     * remove, and the residual pass just re-centers noise), while residual
@@ -1114,14 +1116,16 @@ object Similarity {
     * over the probe query batch, recall@k is scored against the exact
     * brute-force truth on that same batch, and the winner returns. Ties
     * break toward the CHEAPER config in build-cost order fixed < learned
-    * < residual (the fixed codebook skips the k-means passes; residual
-    * adds a corpus-linear residual pass on top of learned).
+    * < residual < opq (the fixed codebook skips the k-means passes;
+    * residual adds a corpus-linear residual pass on top of learned; opq
+    * additionally learns the rotation and re-learns the anchors in the
+    * rotated basis).
     *
     * Shape at scale: selection is index-BUILD-time work, amortized over
     * the index lifetime exactly like the encode itself; with a bounded
     * probe batch (`queryCap`, the sim9-batch regime) every candidate AND
     * the brute-force truth scan are linear in the corpus, and the recall
-    * joins reduce probe-batch-sized frames only. The three candidate
+    * joins reduce probe-batch-sized frames only. The per-candidate
     * scores surface in the returned map so the choice is auditable. */
   def choosePqConfig(emb: DataFrame, anchors: DataFrame,
                      queryMod: Int = 100, k: Int = 5, shortlist: Int = 50,
@@ -1146,7 +1150,9 @@ object Similarity {
         learnPqCodebook(emb), queryMod, k, shortlist = shortlist,
         queryCap = queryCap)),
       "residual" -> (() => ivfPqResidualTopKRerank(emb, anchors, queryMod,
-        k, shortlist = shortlist, queryCap = queryCap)))
+        k, shortlist = shortlist, queryCap = queryCap)),
+      "opq" -> (() => opqIvfPqTopKRerank(emb, queryMod, k,
+        shortlist = shortlist, queryCap = queryCap)))
     val scores = candidates.map { case (name, mk) => name -> recallOf(mk()) }
     // foldLeft with strict > keeps the FIRST (cheapest) max on ties
     val winner = scores.foldLeft(scores.head) {
@@ -1270,6 +1276,25 @@ object Similarity {
     val remb = rotate(emb, opqRotation(emb, nSub, subDim)).materialized
     pqTopK(remb, learnPqCodebook(remb, nSub, subDim = subDim),
       queryMod, k, subDim, queryCap)
+  }
+
+  /** [[ivfPqTopKRerank]] in the OPQ basis — the fourth
+    * [[choosePqConfig]] candidate: rotate the corpus, then learn BOTH the
+    * IVF anchors and the PQ codebook in the rotated coordinates (an IVF
+    * coarse quantizer must live in the same basis as the codes it
+    * routes), route x ADC-propose x exact-rerank as usual. Same
+    * nLists / nSub x nCentroids x subDim budget as the other candidates;
+    * the extra build cost is the rotation learning pass plus re-learning
+    * anchors in the rotated basis — the most expensive of the four, which
+    * is why selector ties break away from it. */
+  def opqIvfPqTopKRerank(emb: DataFrame, queryMod: Int = 100, k: Int = 5,
+                         nprobe: Int = 2, shortlist: Int = 50,
+                         nSub: Int = 8, subDim: Int = 8,
+                         queryCap: Long = Long.MaxValue): DataFrame = {
+    val remb = rotate(emb, opqRotation(emb, nSub, subDim)).materialized
+    ivfPqTopKRerank(remb, learnIvfAnchors(remb),
+      learnPqCodebook(remb, nSub, subDim = subDim),
+      queryMod, k, nprobe, shortlist, subDim, queryCap)
   }
 
   /** Contrastive hard-negative mining: for each sampled anchor (vec_id %
