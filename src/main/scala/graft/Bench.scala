@@ -104,7 +104,14 @@ object Bench {
 
     run("warmup", (s, d) => Queries.a1Count(s, d))
 
+    // Optional subset run (comma-separated names) — the budget policy
+    // requires every new query to land with a measured sf0.1 median, and
+    // a full 3-pass sweep to measure 8 queries is wasted wall-clock. The
+    // driver never sets this, so driver rounds always run the full map.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // Wall-clock budget: under heavy host contention one pass has taken up
     // to ~900 s; never start a pass that would push the total past the
     // budget (pass 1 always runs — every query needs >= 1 sample; median

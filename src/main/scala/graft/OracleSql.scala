@@ -3802,6 +3802,176 @@ object OracleSql {
         |SELECT doc_id, frame_idx,
         |  CAST(length(fh) // 2 AS INTEGER) AS frame_len,
         |  md5(fh) AS frame_md5
-        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // ATR twin: TR is per-row arithmetic on identical doubles (round 6);
+    // the 14-row frame mean rounds at 2 (the w3/w4 contract). The frame
+    // averages the RAW tr, mirroring the engine (rounding happens on
+    // output only).
+    "w21_atr" -> withCtes(stockCte, cleanCte, dedupCte,
+      """pc AS (
+        |  SELECT symbol, "date", high, low, close,
+        |         LAG(close) OVER (PARTITION BY symbol ORDER BY "date") AS prev_close
+        |  FROM dedup)""".stripMargin,
+      """tr AS (
+        |  SELECT symbol, "date",
+        |         CASE WHEN prev_close IS NULL THEN high - low
+        |              ELSE GREATEST(high - low, ABS(high - prev_close),
+        |                            ABS(low - prev_close)) END AS tr
+        |  FROM pc)""".stripMargin)(
+      s"""SELECT symbol, "date", ${R("tr", 6)} AS tr,
+         |  ${R("AVG(tr) OVER (PARTITION BY symbol ORDER BY \"date\" ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)", 2)} AS atr14
+         |FROM tr ORDER BY symbol, "date"""".stripMargin),
+
+    // OBV twin: the direction CASE branches on exact doubles and the
+    // running total sums BIGINT volume — exact integer arithmetic, no
+    // rounding on either side.
+    "w22_obv" -> withCtes(stockCte, cleanCte, dedupCte,
+      """sv AS (
+        |  SELECT symbol, "date",
+        |         CASE WHEN LAG(close) OVER w IS NULL THEN 0
+        |              WHEN close > LAG(close) OVER w THEN volume
+        |              WHEN close < LAG(close) OVER w THEN -volume
+        |              ELSE 0 END AS sv
+        |  FROM dedup WINDOW w AS (PARTITION BY symbol ORDER BY "date"))""".stripMargin)(
+      """SELECT symbol, "date",
+        |  CAST(SUM(sv) OVER (PARTITION BY symbol ORDER BY "date"
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS obv
+        |FROM sv ORDER BY symbol, "date"""".stripMargin),
+
+    // Welch drift twin: ROW_NUMBER runs after the WHERE (SQL window-
+    // after-filter semantics == the engine's filter-then-rank), halves
+    // pivot via MAX(CASE), and the t / df formulas render with IDENTICAL
+    // parenthesization to the Column expressions (the a16 discipline).
+    "a20_ttest" -> withCtes(stockCte, cleanCte, dedupCte,
+      """r AS (
+        |  SELECT symbol, "date",
+        |         close / LAG(close) OVER (PARTITION BY symbol ORDER BY "date") - 1 AS r
+        |  FROM dedup)""".stripMargin,
+      """h AS (
+        |  SELECT symbol, r,
+        |         CASE WHEN ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY "date") * 2
+        |                   <= COUNT(*) OVER (PARTITION BY symbol)
+        |              THEN 1 ELSE 2 END AS half
+        |  FROM r WHERE r IS NOT NULL)""".stripMargin,
+      """bh AS (
+        |  SELECT symbol, half, COUNT(*) AS nh, AVG(r) AS m, VAR_SAMP(r) AS v
+        |  FROM h GROUP BY 1, 2)""".stripMargin,
+      """piv AS (
+        |  SELECT symbol,
+        |         MAX(CASE WHEN half = 1 THEN nh END) AS n1,
+        |         MAX(CASE WHEN half = 1 THEN m END) AS m1,
+        |         MAX(CASE WHEN half = 1 THEN v END) AS v1,
+        |         MAX(CASE WHEN half = 2 THEN nh END) AS n2,
+        |         MAX(CASE WHEN half = 2 THEN m END) AS m2,
+        |         MAX(CASE WHEN half = 2 THEN v END) AS v2
+        |  FROM bh GROUP BY 1)""".stripMargin)(
+      s"""SELECT symbol, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+         |  ${R("CASE WHEN v1 IS NULL OR v2 IS NULL OR v1 / n1 + v2 / n2 <= 0.0 THEN NULL ELSE (m1 - m2) / sqrt(v1 / n1 + v2 / n2) END", 6)} AS t_welch,
+         |  ${R("CASE WHEN v1 IS NULL OR v2 IS NULL OR v1 / n1 + v2 / n2 <= 0.0 THEN NULL ELSE (v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2) / (v1 / n1 * (v1 / n1) / (n1 - 1) + v2 / n2 * (v2 / n2) / (n2 - 1)) END", 6)} AS df_welch
+         |FROM piv ORDER BY symbol""".stripMargin),
+
+    // Benford twin: the first digit comes from the decimal string (never
+    // floor(log10) — IEEE log10 of exact powers of 10 can land below the
+    // integer, and the engines' libm need not err identically); freq is
+    // exact-integer division; log10(1 + 1.0/d) runs on the same nine
+    // doubles in both engines.
+    "a21_benford" -> withCtes(stockCte, cleanCte, dedupCte,
+      """dg AS (
+        |  SELECT CAST(substring(CAST(volume AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM dedup WHERE volume >= 1)""".stripMargin,
+      "cnt AS (SELECT digit, COUNT(*) AS n FROM dg GROUP BY 1)",
+      "tot AS (SELECT SUM(n) AS tot FROM cnt)")(
+      s"""SELECT digit, CAST(n AS BIGINT) AS n,
+         |  ${R("CAST(n AS DOUBLE) / tot", 6)} AS freq,
+         |  ${R("log10(1.0 + 1.0 / digit)", 6)} AS benford
+         |FROM cnt, tot ORDER BY digit""".stripMargin),
+
+    // Bounce-rate twin: ev7's session CTEs verbatim, then one per-session
+    // aggregate and the per-day exact-integer bounce ratio.
+    "ev17_bounce_rate" -> withCtes(
+      """ev AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN LAG(ts) OVER w IS NULL
+        |                OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+        |                   - CAST(FLOOR(epoch(LAG(ts) OVER w)) AS BIGINT) > 1800
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))""".stripMargin,
+      """sess AS (
+        |  SELECT *, CAST(SUM(new_session) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM ev)""".stripMargin,
+      """sg AS (
+        |  SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |         CAST(date_trunc('day', MIN(ts)) AS DATE) AS "day"
+        |  FROM sess GROUP BY 1, 2)""".stripMargin)(
+      s"""SELECT "day", CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+         |  ${R("CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)", 6)} AS bounce_rate
+         |FROM sg GROUP BY 1 ORDER BY "day"""".stripMargin),
+
+    // Cohort-revenue twin: both week keys are Monday-start date_truncs so
+    // the day difference is always an exact multiple of 7 (the /7 cast is
+    // exact in both engines' cast semantics); revenue sums DECIMAL(38,6)
+    // of tie-safe pre-rounded terms (the ev16 associative-sum contract).
+    "ev18_cohort_value" -> (
+      s"""WITH c AS (
+         |  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+         |  FROM events GROUP BY 1),
+         |p AS (
+         |  SELECT e.user_id, c.cohort_week,
+         |         CAST(datediff('day', c.cohort_week,
+         |           CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS INTEGER) AS week_index,
+         |         e.value
+         |  FROM events e JOIN c USING (user_id)
+         |  WHERE e.event_type = 'purchase')
+         |SELECT cohort_week, week_index,
+         |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_buyers,
+         |  CAST(SUM(CAST(${R("value", 6)} AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // Canonical-URL twin: same deterministic URL seeding formula, same
+    // two regexp_extracts (lowercased scheme+host, query/fragment-free
+    // path), same winner election.
+    "d14_url_dedup" -> (
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END
+         |     || CASE WHEN doc_id % 4 < 2 THEN 'News.Example' ELSE 'news.example' END
+         |     || CAST(doc_id % 5 AS VARCHAR)
+         |     || '.com/article/a' || CAST(doc_id % 13 AS VARCHAR)
+         |     || CASE WHEN doc_id % 3 = 0
+         |             THEN '?utm_source=s' || CAST(doc_id % 7 AS VARCHAR)
+         |             ELSE '' END
+         |     || CASE WHEN doc_id % 11 = 0 THEN '#top' ELSE '' END) AS url
+         |  FROM documents),
+         |cn AS (
+         |  SELECT doc_id, url,
+         |         lower(regexp_extract(url, '^([a-zA-Z]+://[^/?#]+)', 1))
+         |           || regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1) AS canonical_url
+         |  FROM u)
+         |SELECT canonical_url, MIN(doc_id) AS canonical_doc,
+         |  CAST(COUNT(*) AS BIGINT) AS n_variants,
+         |  CAST(COUNT(DISTINCT url) AS BIGINT) AS n_distinct_urls
+         |FROM cn GROUP BY 1 HAVING COUNT(*) > 1
+         |ORDER BY canonical_url""".stripMargin),
+
+    // Readability twin: word count via the t3-proven string_split_regex,
+    // sentence terminators via regexp_extract_all length (== Spark's
+    // regexp_count), non-space chars via global regexp_replace (the 'g'
+    // flag — DuckDB replaces first-only by default); the linear form
+    // renders with identical parenthesization.
+    "t32_readability" -> (
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_words,
+         |    GREATEST(1, CAST(len(regexp_extract_all(text, '[.!?]')) AS INTEGER)) AS n_sentences,
+         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS INTEGER) AS n_letter_chars
+         |  FROM documents)
+         |SELECT doc_id, n_words, n_sentences,
+         |  ${R("206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences) - 84.6 * (CAST(n_letter_chars AS DOUBLE) / n_words / 3.0)", 6)} AS flesch_proxy
+         |FROM d ORDER BY doc_id""".stripMargin)
   )
 }

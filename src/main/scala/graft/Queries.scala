@@ -2369,6 +2369,211 @@ object Queries {
     ext.Multimodal.frameDigests(
       ext.Multimodal.asMediaTable(Sources.documents(s, dir).orderBy("doc_id")))
 
+  /** Wilder's True Range + 14-row SMA Average True Range per symbol — the
+    * volatility-channel primitive next to w15's Bollinger bands. TR needs
+    * the previous close, so one lag over the shared symbol window, then a
+    * single 14-row frame mean: the whole query is ONE symbol exchange. TR
+    * is per-row arithmetic (round 6); ATR is a 14-term frame mean
+    * (round 2, the w3/w15 aggregation contract; the frame order is the
+    * window order, identical in both engines, but 2 dp absorbs any
+    * accumulation-scheme ulp). */
+  def w21Atr(s: SparkSession, dir: String): DataFrame =
+    windowQuery(s, dir) { df =>
+      val withTr = df
+        .withColumn("__pc", lag("close", 1).over(w))
+        .withColumn("tr", when(col("__pc").isNull, col("high") - col("low"))
+          .otherwise(greatest(col("high") - col("low"),
+            abs(col("high") - col("__pc")), abs(col("low") - col("__pc")))))
+      rounded(rounded(withTr
+        .withColumn("atr14", avg("tr").over(w.rowsBetween(-13, 0)))
+        .select("symbol", "date", "tr", "atr14"),
+        Seq("tr"), 6), Seq("atr14"), 2)
+    }
+
+  /** On-balance volume — the signed-volume running total. The direction
+    * sign compares exact doubles (identical branches in both engines) and
+    * everything summed is BIGINT volume, so the cumulative sum is exact
+    * integer arithmetic — no rounding anywhere. One symbol exchange, one
+    * running frame. */
+  def w22Obv(s: SparkSession, dir: String): DataFrame =
+    windowQuery(s, dir) { df =>
+      df.withColumn("__pc", lag("close", 1).over(w))
+        .withColumn("__sv",
+          when(col("__pc").isNull, lit(0L))
+            .when(col("close") > col("__pc"), col("volume"))
+            .when(col("close") < col("__pc"), -col("volume"))
+            .otherwise(lit(0L)))
+        .withColumn("obv",
+          sum("__sv").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .select("symbol", "date", "obv")
+    }
+
+  /** Two-sample Welch's t between each symbol's first- and second-half
+    * daily returns — the parametric drift companion to a18's distributional
+    * KS test. Halves split on the date-ordered row number (first floor(n/2)
+    * rows are half 1), then ONE (symbol, half) aggregate and a max-when
+    * self-pivot back to one row per symbol; avg/var_samp follow the w16
+    * cross-engine contract (tie-safe round 6). Symbols where either half
+    * has < 2 returns, or both halves have zero variance, yield NULL t. The
+    * Welch degrees-of-freedom renders with identical parenthesization on
+    * both sides (the a16 raw-moment discipline). */
+  def a20Ttest(s: SparkSession, dir: String): DataFrame = {
+    val r = cleanedStock(s, dir).drop("rid")
+      .withColumn("r", col("close") / lag("close", 1).over(w) - 1)
+      .filter(col("r").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("symbol")))
+      .withColumn("half",
+        when(col("rn") * 2 <= col("n"), lit(1)).otherwise(lit(2)))
+    val byHalf = r.groupBy("symbol", "half")
+      .agg(count(lit(1)).as("nh"), avg("r").as("m"), var_samp(col("r")).as("v"))
+    val piv = byHalf.groupBy("symbol")
+      .agg(
+        max(when(col("half") === 1, col("nh"))).as("n1"),
+        max(when(col("half") === 1, col("m"))).as("m1"),
+        max(when(col("half") === 1, col("v"))).as("v1"),
+        max(when(col("half") === 2, col("nh"))).as("n2"),
+        max(when(col("half") === 2, col("m"))).as("m2"),
+        max(when(col("half") === 2, col("v"))).as("v2"))
+    val se2 = col("v1") / col("n1") + col("v2") / col("n2")
+    rounded(piv.select(col("symbol"), col("n1"), col("n2"),
+      when(col("v1").isNull || col("v2").isNull || se2 <= 0.0,
+        lit(null).cast("double"))
+        .otherwise((col("m1") - col("m2")) / sqrt(se2)).as("t_welch"),
+      when(col("v1").isNull || col("v2").isNull || se2 <= 0.0,
+        lit(null).cast("double"))
+        .otherwise(se2 * se2 /
+          (col("v1") / col("n1") * (col("v1") / col("n1")) / (col("n1") - 1) +
+           col("v2") / col("n2") * (col("v2") / col("n2")) / (col("n2") - 1)))
+        .as("df_welch")),
+      Seq("t_welch", "df_welch"))
+      .orderBy("symbol")
+  }
+
+  /** Benford first-digit audit on trade volume — observed digit frequencies
+    * against the Benford expectation log10(1 + 1/d). The first digit comes
+    * from the decimal string, never floor(log10(v)): IEEE log10 of an exact
+    * power of 10 can land just below the integer and misclassify it, and
+    * the two engines' libm need not err the same way. Counts are exact; the
+    * frequency is exact-integer division; log10(1 + 1.0/d) runs on the same
+    * nine doubles in both engines. Global 9-row output, one aggregate. */
+  def a21Benford(s: SparkSession, dir: String): DataFrame = {
+    val v = cleanedStock(s, dir).filter(col("volume") >= 1)
+      .withColumn("digit",
+        substring(col("volume").cast("string"), 1, 1).cast("int"))
+    val tot = v.agg(count(lit(1)).as("__tot"))
+    rounded(v.groupBy("digit")
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        (col("n").cast("double") / col("__tot")).as("freq"),
+        log10(lit(1.0) + lit(1.0) / col("digit")).as("benford")),
+      Seq("freq", "benford"))
+      .orderBy("digit")
+  }
+
+  /** Session bounce rate per day — sessionize by ev7's 30-minute-gap rule,
+    * then single-event sessions over all sessions, keyed by session start
+    * day. Rides the same one user_id exchange as the whole session family;
+    * the per-day report is exact-integer division (round 6 is exact). */
+  def ev17BounceRate(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sessions = Sources.events(s, dir)
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        date_trunc("day", min(col("ts"))).cast("date").as("day"))
+    rounded(sessions.groupBy("day")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
+      .withColumn("bounce_rate",
+        col("n_bounces").cast("double") / col("n_sessions")),
+      Seq("bounce_rate"))
+      .orderBy("day")
+  }
+
+  /** Weekly-cohort revenue triangle — users cohorted by their first event
+    * week, purchase value summed per (cohort_week, week_index): the LTV
+    * matrix growth teams read down the diagonal. Shape at scale: ONE
+    * user-keyed aggregate derives the cohort key and the purchase join
+    * rides the same user_id exchange; everything after is
+    * (cohorts x weeks)-sized. Revenue sums as DECIMAL(38,6) of tie-safe
+    * pre-rounded terms (the ev16 associative-sum contract), so distributed
+    * summation order can't move a cent, then casts back to double. */
+  def ev18CohortValue(s: SparkSession, dir: String): DataFrame = {
+    val ev = Sources.events(s, dir)
+    val cohort = ev.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(cohort, "user_id")
+      .withColumn("week_index",
+        (datediff(date_trunc("week", col("ts")).cast("date"),
+          col("cohort_week")) / 7).cast("int"))
+    p.groupBy("cohort_week", "week_index")
+      .agg(count(lit(1)).as("n_purchases"),
+        countDistinct(col("user_id")).as("n_buyers"),
+        sum(Num.cround(col("value"), 6).cast("decimal(38,6)"))
+          .cast("double").as("revenue"))
+      .orderBy("cohort_week", "week_index")
+  }
+
+  /** Canonical-URL duplicate election — the web-curation dedup that folds
+    * ?utm_* and #fragment variants (and host-case variants) of one page
+    * into one canonical row. URLs are seeded deterministically (the t24
+    * idiom — the corpus lacks a url column), canonicalized by lowercasing
+    * scheme+host and stripping query+fragment, then each canonical group
+    * elects min(doc_id) and reports its variant counts. ONE exchange on
+    * the canonical key; the regexes are single-pass scans. */
+  def d14UrlDedup(s: SparkSession, dir: String): DataFrame = {
+    val urled = Sources.documents(s, dir).select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 2 === 0, lit("https://")).otherwise(lit("HTTPS://")),
+        when(col("doc_id") % 4 < 2, lit("News.Example")).otherwise(lit("news.example")),
+        (col("doc_id") % 5).cast("string"),
+        lit(".com/article/a"), (col("doc_id") % 13).cast("string"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("?utm_source=s"), (col("doc_id") % 7).cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit("#top")).otherwise(lit(""))).as("url"))
+    urled.withColumn("canonical_url",
+      concat(lower(regexp_extract(col("url"), "^([a-zA-Z]+://[^/?#]+)", 1)),
+        regexp_extract(col("url"), "^[a-zA-Z]+://[^/?#]+([^?#]*)", 1)))
+      .groupBy("canonical_url")
+      .agg(min("doc_id").as("canonical_doc"),
+        count(lit(1)).as("n_variants"),
+        countDistinct(col("url")).as("n_distinct_urls"))
+      .filter(col("n_variants") > 1)
+      .orderBy("canonical_url")
+  }
+
+  /** Flesch-style readability proxy per document — words/sentence and
+    * chars/word (the syllable stand-in: no dictionary lookup survives
+    * 100 TB) composed into the classic 206.835 linear form. All counts use
+    * regexp/split primitives with proven cross-engine twins (the t3
+    * contract); the score is per-row arithmetic, round 6. One scan, no
+    * shuffle before the output sort. */
+  def t32Readability(s: SparkSession, dir: String): DataFrame = {
+    val d = Sources.documents(s, dir)
+      .withColumn("n_words", size(split(trim(col("text")), "\\s+")))
+      .withColumn("n_sentences",
+        greatest(lit(1), regexp_count(col("text"), lit("[.!?]"))))
+      .withColumn("n_letter_chars",
+        length(regexp_replace(col("text"), "\\s", "")))
+    rounded(d.select(col("doc_id"), col("n_words"), col("n_sentences"),
+      (lit(206.835)
+        - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+        - lit(84.6) * (col("n_letter_chars").cast("double") / col("n_words") / lit(3.0)))
+        .as("flesch_proxy")),
+      Seq("flesch_proxy"))
+      .orderBy("doc_id")
+  }
+
   // ===== registry ==========================================================
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2557,6 +2762,14 @@ object Queries {
     "u3_unpivot" -> (u3Unpivot _),
     "o1_sort_date" -> (o1SortDate _),
     "o2_composite_sort" -> (o2CompositeSort _),
-    "o5_sort_measure_desc" -> (o5SortMeasureDesc _)
+    "o5_sort_measure_desc" -> (o5SortMeasureDesc _),
+    "w21_atr" -> (w21Atr _),
+    "w22_obv" -> (w22Obv _),
+    "a20_ttest" -> (a20Ttest _),
+    "a21_benford" -> (a21Benford _),
+    "ev17_bounce_rate" -> (ev17BounceRate _),
+    "ev18_cohort_value" -> (ev18CohortValue _),
+    "d14_url_dedup" -> (d14UrlDedup _),
+    "t32_readability" -> (t32Readability _)
   )
 }
