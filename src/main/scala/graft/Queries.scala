@@ -2475,7 +2475,9 @@ object Queries {
   /** Session bounce rate per day — sessionize by ev7's 30-minute-gap rule,
     * then single-event sessions over all sessions, keyed by session start
     * day. Rides the same one user_id exchange as the whole session family;
-    * the per-day report is exact-integer division (round 6 is exact). */
+    * the per-day report is exact-integer division (round 6 is exact). The
+    * tail is [[graft.streaming.StreamingBounce.fromSessions]] — the same
+    * fold the session_window stream twin runs. */
   def ev17BounceRate(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val sessions = Sources.events(s, dir)
@@ -2489,13 +2491,7 @@ object Queries {
       .groupBy("user_id", "session_seq")
       .agg(count(lit(1)).as("n_events"),
         date_trunc("day", min(col("ts"))).cast("date").as("day"))
-    rounded(sessions.groupBy("day")
-      .agg(count(lit(1)).as("n_sessions"),
-        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
-      .withColumn("bounce_rate",
-        col("n_bounces").cast("double") / col("n_sessions")),
-      Seq("bounce_rate"))
-      .orderBy("day")
+    streaming.StreamingBounce.fromSessions(sessions)
   }
 
   /** Weekly-cohort revenue triangle — users cohorted by their first event

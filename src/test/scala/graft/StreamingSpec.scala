@@ -536,4 +536,84 @@ class StreamingSpec extends AnyFunSuite {
       batch.exceptAll(streamed).count() == 0,
       "streamed DAU/WAU curve diverges from the batch operator")
   }
+
+  test("streaming session_window bounce rate matches the batch ev17 report") {
+    // ev17's streaming twin: session_window sessions fold through the SAME
+    // per-day tail (StreamingBounce.fromSessions) the batch query runs, so
+    // any divergence is the session step itself — which st2's boundary
+    // assertion (no exactly-1800s gaps in the fixture) rules out.
+    val dir = "/root/testdata/sf0.001"
+    val landing = java.nio.file.Files.createTempDirectory("graft-events-bounce")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      landing.resolve("part-0.parquet"))
+    // complete mode: bounded one-shot — include the trailing sessions
+    // append mode would hold back behind the watermark
+    val q = graft.streaming.StreamingBounce.sessionDaily(
+        StreamPipeline.readEvents(spark, landing.toString))
+      .writeStream.format("memory").queryName("bounce_sessions_test")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = graft.streaming.StreamingBounce.fromSessions(
+      spark.table("bounce_sessions_test"))
+    val batch = Queries.all("ev17_bounce_rate")(spark, dir)
+    assert(batch.count() > 0 && streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "streamed bounce-rate report diverges from the batch query")
+  }
+
+  test("streaming cohort-value snapshots fold to the batch ev18 triangle") {
+    // ev18's streaming twin under the shuffled-micro-batch contract: the
+    // cohort key is a running min and revenue accumulates in exact long
+    // micro-units, both order-insensitive, so the fold of the latest
+    // per-user snapshots must equal the batch triangle bit-for-bit
+    // regardless of arrival order.
+    val dir = "/root/testdata/sf0.001"
+    val landing = java.nio.file.Files.createTempDirectory("graft-events-cohort")
+    val src = spark.read.parquet(s"$dir/events.parquet")
+      .orderBy(expr("hash(user_id)"), col("event_id")).cache()
+    val n = src.count()
+    import scala.jdk.CollectionConverters._
+    val thirds = src.collect().grouped((n / 3 + 1).toInt).toSeq
+    thirds.zipWithIndex.foreach { case (rows, i) =>
+      val sliceDir = landing.resolve(f"stage-$i%02d")
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1), src.schema)
+        .write.parquet(sliceDir.toString)
+      val part = java.nio.file.Files.list(sliceDir).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dest = landing.resolve(f"slice-$i%02d.parquet")
+      java.nio.file.Files.move(part, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val fileStream = spark.readStream
+      .schema(src.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "slice-*.parquet")
+      .parquet(landing.toString)
+    val q = graft.streaming.StreamingCohortValue.cohortStream(spark,
+        graft.streaming.StreamingCohortValue.toCohortEvents(spark, fileStream))
+      .writeStream.format("memory").queryName("cohort_stream_test")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.lastProgress.batchId >= 2,
+      s"expected >= 3 micro-batches, saw ${q.lastProgress.batchId + 1}")
+
+    val latest = spark.table("cohort_stream_test")
+      .groupBy("user_id")
+      .agg(max_by(col("min_day"), col("n_events_seen")).as("min_day"),
+        max_by(col("cells"), col("n_events_seen")).as("cells"))
+    val streamed = graft.streaming.StreamingCohortValue.fromSnapshots(latest)
+    val batch = Queries.all("ev18_cohort_value")(spark, dir)
+    assert(batch.count() > 0 && streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "streamed cohort triangle diverges from the batch query")
+  }
 }
