@@ -1422,6 +1422,38 @@ object OracleSql {
   /** Embedding unnest (double-cast element math mirrors Spark's
     * zip_with/aggregate fold; DuckDB's list_dot_product is float-precision
     * and would NOT hash-match). */
+  /** The sim19 greedy MMR steps 2..k, UNROLLED as chained CTEs (no
+    * recursive CTE: DuckDB restricts aggregates over the working table,
+    * and a fixed k makes recursion pointless anyway). Step t computes each
+    * remaining candidate's max sim to the selected-so-far union, scores
+    * `0.7 * rel - 0.3 * maxsim` (the literal doubles the Spark side
+    * multiplies — never `1 - lambda`, the t28 lesson), and takes the
+    * (score DESC, vec_id) argmax. Inputs `cand.rel` / `pair.sim` arrive
+    * tie-safe-rounded, so both engines branch identically. */
+  private def mmrStepCtes(k: Int): Seq[String] = (2 to k).map { t =>
+    val selSoFar = (1 until t)
+      .map(i => s"SELECT query_id, vec_id FROM s$i").mkString(" UNION ALL ")
+    s"""m$t AS (
+       |  SELECT p.query_id, p.v_a AS vec_id, MAX(p.sim) AS maxsim
+       |  FROM pair p JOIN ($selSoFar) s
+       |    ON s.query_id = p.query_id AND s.vec_id = p.v_b
+       |  GROUP BY 1, 2),
+       |s$t AS (
+       |  SELECT query_id, vec_id, $t AS rank, mmr_score FROM (
+       |    SELECT query_id, vec_id, mmr_score,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id
+       |             ORDER BY mmr_score DESC, vec_id) AS rn
+       |    FROM (
+       |      SELECT c.query_id, c.vec_id,
+       |             ${R("0.7 * c.rel - 0.3 * m.maxsim", 6)} AS mmr_score
+       |      FROM cand c JOIN m$t m
+       |        ON m.query_id = c.query_id AND m.vec_id = c.vec_id
+       |      WHERE NOT EXISTS (SELECT 1 FROM ($selSoFar) z
+       |                        WHERE z.query_id = c.query_id
+       |                          AND z.vec_id = c.vec_id)))
+       |  WHERE rn = 1)""".stripMargin
+  }
+
   private def embUnnestCte(pred: String): String =
     s"""u AS (
        |  SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
@@ -3957,6 +3989,53 @@ object OracleSql {
          |  CAST(COUNT(DISTINCT url) AS BIGINT) AS n_distinct_urls
          |FROM cn GROUP BY 1 HAVING COUNT(*) > 1
          |ORDER BY canonical_url""".stripMargin),
+
+    // MMR twin: sim1's unnest-dot relevance CTEs (fixed query batch),
+    // top-20 shortlist, shortlist-pairwise sims, then the greedy steps
+    // unrolled by mmrStepCtes (see its scaladoc for the determinism
+    // argument).
+    "sim19_mmr" -> withCtes(Seq(embUnnestCte(""), normCte,
+      """rel0 AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |         SUM(CAST(q.v AS DOUBLE) * CAST(c.v AS DOUBLE)) AS dp
+        |  FROM u q JOIN u c ON q.i = c.i
+        |    AND q.vec_id % 100 = 0 AND q.vec_id < 2000
+        |    AND c.vec_id <> q.vec_id
+        |  GROUP BY 1, 2)""".stripMargin,
+      s"""rel AS (
+         |  SELECT query_id, rel0.vec_id,
+         |         ${R("dp / (nq.nv * nc.nv)", 6)} AS rel
+         |  FROM rel0 JOIN nrm nq ON nq.vec_id = query_id
+         |            JOIN nrm nc ON nc.vec_id = rel0.vec_id)""".stripMargin,
+      """cand AS (
+        |  SELECT query_id, vec_id, rel FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY rel DESC, vec_id) AS rn
+        |    FROM rel)
+        |  WHERE rn <= 20)""".stripMargin,
+      """pp AS (
+        |  SELECT a.query_id, a.vec_id AS v_a, b.vec_id AS v_b,
+        |         SUM(CAST(ua.v AS DOUBLE) * CAST(ub.v AS DOUBLE)) AS dp
+        |  FROM cand a JOIN cand b
+        |    ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+        |  JOIN u ua ON ua.vec_id = a.vec_id
+        |  JOIN u ub ON ub.vec_id = b.vec_id AND ub.i = ua.i
+        |  GROUP BY 1, 2, 3)""".stripMargin,
+      s"""pair AS (
+         |  SELECT query_id, v_a, v_b, ${R("dp / (na.nv * nb.nv)", 6)} AS sim
+         |  FROM pp JOIN nrm na ON na.vec_id = v_a
+         |          JOIN nrm nb ON nb.vec_id = v_b)""".stripMargin,
+      """s1 AS (
+        |  SELECT query_id, vec_id, 1 AS rank, rel AS mmr_score FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY rel DESC, vec_id) AS rn
+        |    FROM cand)
+        |  WHERE rn = 1)""".stripMargin) ++ mmrStepCtes(5): _*)(
+      """SELECT query_id, rank, vec_id, mmr_score FROM (
+        |  SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL
+        |  SELECT * FROM s3 UNION ALL SELECT * FROM s4 UNION ALL
+        |  SELECT * FROM s5)
+        |ORDER BY query_id, rank""".stripMargin),
 
     // Readability twin: word count via the t3-proven string_split_regex,
     // sentence terminators via regexp_extract_all length (== Spark's

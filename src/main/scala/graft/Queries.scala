@@ -2570,6 +2570,14 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** MMR diversified top-k retrieval over the fixed query batch (see
+    * [[graft.ext.Similarity.mmrTopK]]): relevance proposes, the greedy
+    * marginal-relevance loop (lambda 0.7) demotes candidates redundant
+    * with what's already selected. */
+  def sim19Mmr(s: SparkSession, dir: String): DataFrame =
+    ext.Similarity.mmrTopK(Sources.embeddings(s, dir))
+      .orderBy("query_id", "rank")
+
   // ===== registry ==========================================================
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2766,6 +2774,7 @@ object Queries {
     "ev17_bounce_rate" -> (ev17BounceRate _),
     "ev18_cohort_value" -> (ev18CohortValue _),
     "d14_url_dedup" -> (d14UrlDedup _),
-    "t32_readability" -> (t32Readability _)
+    "t32_readability" -> (t32Readability _),
+    "sim19_mmr" -> (sim19Mmr _)
   )
 }

@@ -1452,4 +1452,74 @@ object Similarity {
     when(nrm === 0.0, transform(col(vecCol), _ => lit(0.0)))
       .otherwise(transform(col(vecCol), x => x.cast("double") / nrm))
   }
+
+  /** Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein,
+    * SIGIR 1998) — retrieval that penalizes redundancy: step t selects
+    * argmax over remaining candidates of
+    * `lambda * rel(q, c) - (1 - lambda) * max_{s in selected} sim(c, s)`.
+    *
+    * Shape at scale: the only corpus-sized work is the stage-1 relevance
+    * scan (fixed query batch x corpus — linear in the corpus, the e4/sim17
+    * recipe); everything after runs on the `shortlist`-deep candidate set
+    * (pairwise sims are shortlist² per query, bounded constants), so the
+    * greedy loop unrolls into `k - 1` joins over tables whose size never
+    * grows with the corpus. Determinism: relevance and candidate-candidate
+    * sims are tie-safe-rounded at 6 BEFORE the greedy, every argmax orders
+    * (score desc, vec_id), and the mixing weights are the literal doubles
+    * 0.7 / 0.3 on both engines (never `1 - lambda` on one side — the t28
+    * lesson: `1.0 - 0.7 != 0.3` in IEEE). */
+  def mmrTopK(emb: DataFrame, queryMod: Int = 100, queryCap: Long = 2000L,
+              shortlist: Int = 20, k: Int = 5): DataFrame = {
+    val withNorm = withDoubles(emb)
+    val queries = withNorm.filter(queryPred(queryMod, queryCap))
+      .select(col("vec_id").as("query_id"), col("emb_d").as("q_emb"))
+    val rel = withNorm.join(broadcast(queries),
+        col("vec_id") =!= col("query_id"))
+      .withColumn("rel", graft.ops.Num.cround(
+        nativeCosine(col("emb_d"), col("q_emb")), 6))
+      .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("rel").desc, col("vec_id"))))
+      .filter(col("rn") <= shortlist)
+      .select("query_id", "vec_id", "rel", "emb_d")
+    // the shortlist feeds the pairwise join AND k-1 greedy steps — cut the
+    // corpus-scan lineage once (conf-switchable persist/localCheckpoint)
+    val cand = rel.materialized
+    // candidate-candidate sims: shortlist² per query, a bounded constant
+    val pair = cand.select(col("query_id"), col("vec_id").as("v_a"),
+        col("emb_d").as("e_a"))
+      .join(cand.select(col("query_id"), col("vec_id").as("v_b"),
+        col("emb_d").as("e_b")), Seq("query_id"))
+      .filter(col("v_a") =!= col("v_b"))
+      .select(col("query_id"), col("v_a"), col("v_b"), graft.ops.Num.cround(
+        nativeCosine(col("e_a"), col("e_b")), 6).as("sim"))
+    val candSlim = cand.select("query_id", "vec_id", "rel")
+    // step 1: pure relevance argmax
+    var selected = candSlim
+      .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("rel").desc, col("vec_id"))))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("vec_id"), lit(1).as("rank"),
+        col("rel").as("mmr_score"))
+    var all = selected
+    for (step <- 2 to k) {
+      val maxsim = pair
+        .join(all.select(col("query_id"), col("vec_id").as("v_b")),
+          Seq("query_id", "v_b"))
+        .groupBy(col("query_id"), col("v_a").as("vec_id"))
+        .agg(max(col("sim")).as("maxsim"))
+      val next = candSlim
+        .join(all.select("query_id", "vec_id"), Seq("query_id", "vec_id"),
+          "left_anti")
+        .join(maxsim, Seq("query_id", "vec_id"))
+        .withColumn("mmr_score", graft.ops.Num.cround(
+          lit(0.7) * col("rel") - lit(0.3) * col("maxsim"), 6))
+        .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("mmr_score").desc, col("vec_id"))))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("vec_id"), lit(step).as("rank"),
+          col("mmr_score"))
+      all = all.unionByName(next)
+    }
+    all.select("query_id", "rank", "vec_id", "mmr_score")
+  }
 }

@@ -1553,4 +1553,36 @@ class ExtSpec extends AnyFunSuite {
     assert(math.abs(cosines(0) - 0.948683) < 1e-5)
     assert(math.abs(cosines(1) - 0.707107) < 1e-5)
   }
+
+  test("MMR diversifies: rank 1 is pure relevance, intra-set redundancy drops below plain top-k") {
+    // On the planted corpus a query's top-5 is usually 5 vectors from its
+    // own cluster (cosine ~0.9 to each other) — maximal redundancy. MMR's
+    // 0.3 * maxsim penalty must (a) keep step 1 identical to the
+    // brute-force winner (no penalty applies yet) and (b) produce selected
+    // sets with strictly lower mean pairwise cosine than plain top-5.
+    val emb = RecallProbe.plantedEmbeddings(spark).localCheckpoint(true)
+    graft.functions.GraftFunctions.register(spark)
+    val mmr = Similarity.mmrTopK(emb).localCheckpoint(true)
+    val bf = Similarity.bruteForceTopK(emb, 100, 5).localCheckpoint(true)
+    val r1 = mmr.filter(col("rank") === 1).select("query_id", "vec_id")
+    val b1 = bf.filter(col("rank") === 1).select("query_id", "vec_id")
+    assert(r1.exceptAll(b1).count() == 0 && b1.exceptAll(r1).count() == 0,
+      "MMR step 1 must equal the brute-force rank-1 winner")
+
+    def redundancy(sel: org.apache.spark.sql.DataFrame): Double = {
+      val withE = sel.join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      withE.select(col("query_id"), col("vec_id").as("va"),
+          col("embedding").as("ea"))
+        .join(withE.select(col("query_id"), col("vec_id").as("vb"),
+          col("embedding").as("eb")), Seq("query_id"))
+        .filter(col("va") < col("vb"))
+        .select(expr("cosine_similarity(cast(ea as array<double>), " +
+          "cast(eb as array<double>))").as("s"))
+        .agg(avg("s")).first().getDouble(0)
+    }
+    val redMmr = redundancy(mmr.select("query_id", "vec_id"))
+    val redBf = redundancy(bf.select("query_id", "vec_id"))
+    assert(redMmr < redBf,
+      f"MMR intra-set redundancy $redMmr%.3f not below plain top-k $redBf%.3f")
+  }
 }
