@@ -1454,6 +1454,22 @@ object OracleSql {
        |  WHERE rn = 1)""".stripMargin
   }
 
+  /** The g1 PageRank power iterations, unrolled (the mmrStepCtes trick).
+    * Each iteration LEFT-joins the per-node incoming sum (<= 13 doubles —
+    * tie-safe round 12 keeps the engines in lockstep across iterations)
+    * back onto the node set, coalescing isolated nodes to the teleport
+    * term. The 0.15 / 0.85 literals mirror the Spark side verbatim. */
+  private def pagerankIterCtes(iters: Int): Seq[String] = (1 to iters).map { t =>
+    s"""r$t AS (
+       |  SELECT n.host,
+       |    ${R(s"0.15 / nn.n + 0.85 * COALESCE(s.s, 0.0)", 12)} AS r
+       |  FROM nodes n CROSS JOIN nn
+       |  LEFT JOIN (
+       |    SELECT e.dst AS host, SUM(p.r * e.w) AS s
+       |    FROM ew e JOIN r${t - 1} p ON p.host = e.src
+       |    GROUP BY 1) s ON s.host = n.host)""".stripMargin
+  }
+
   private def embUnnestCte(pred: String): String =
     s"""u AS (
        |  SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
@@ -3989,6 +4005,93 @@ object OracleSql {
          |  CAST(COUNT(DISTINCT url) AS BIGINT) AS n_distinct_urls
          |FROM cn GROUP BY 1 HAVING COUNT(*) > 1
          |ORDER BY canonical_url""".stripMargin),
+
+    // Interpolation twin: x14's spine CTEs, opposite-frame IGNORE NULLS
+    // windows for the bracketing known points, identical linear form.
+    "x15_interpolate" -> withCtes(stockCte, cleanCte, dedupCte,
+      """sub AS (
+        |  SELECT symbol, "date", close FROM dedup
+        |  WHERE CAST(symbol AS BIGINT) % 97 = 0)""".stripMargin,
+      """sp AS (
+        |  SELECT symbol,
+        |    CAST(UNNEST(generate_series(CAST(mn AS TIMESTAMP),
+        |      CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS "date"
+        |  FROM (SELECT symbol, MIN("date") AS mn, MAX("date") AS mx
+        |        FROM sub GROUP BY 1))""".stripMargin,
+      """g AS (
+        |  SELECT sp.symbol, sp."date", sub.close
+        |  FROM sp LEFT JOIN sub ON sub.symbol = sp.symbol AND sub."date" = sp."date")""".stripMargin,
+      """br AS (
+        |  SELECT symbol, "date", close,
+        |    LAST_VALUE(close IGNORE NULLS) OVER wb AS pv,
+        |    LAST_VALUE(CASE WHEN close IS NOT NULL THEN "date" END IGNORE NULLS) OVER wb AS pd,
+        |    FIRST_VALUE(close IGNORE NULLS) OVER wf AS nv,
+        |    FIRST_VALUE(CASE WHEN close IS NOT NULL THEN "date" END IGNORE NULLS) OVER wf AS nd
+        |  FROM g
+        |  WINDOW wb AS (PARTITION BY symbol ORDER BY "date"
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wf AS (PARTITION BY symbol ORDER BY "date"
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))""".stripMargin)(
+      s"""SELECT symbol, "date",
+         |  ${R("""CASE WHEN close IS NOT NULL THEN close
+         |    ELSE pv + (nv - pv) * (CAST(datediff('day', pd, "date") AS DOUBLE)
+         |      / datediff('day', pd, nd)) END""", 6)} AS interp_close,
+         |  close IS NULL AS is_imputed
+         |FROM br ORDER BY symbol, "date"""".stripMargin),
+
+    // Session-duration twin: ev7/ev17's session CTEs, exact integer
+    // durations, quantile_cont == percentile (the a5 contract).
+    "ev19_session_duration" -> withCtes(
+      """ev AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN LAG(ts) OVER w IS NULL
+        |                OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+        |                   - CAST(FLOOR(epoch(LAG(ts) OVER w)) AS BIGINT) > 1800
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))""".stripMargin,
+      """sess AS (
+        |  SELECT *, CAST(SUM(new_session) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM ev)""".stripMargin,
+      """sg AS (
+        |  SELECT user_id, session_seq,
+        |         CAST(date_trunc('day', MIN(ts)) AS DATE) AS "day",
+        |         MAX(CAST(FLOOR(epoch(ts)) AS BIGINT))
+        |           - MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS duration_sec
+        |  FROM sess GROUP BY 1, 2)""".stripMargin)(
+      s"""SELECT "day", CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         |  ${R("quantile_cont(duration_sec, 0.5)", 6)} AS p50_sec,
+         |  ${R("quantile_cont(duration_sec, 0.9)", 6)} AS p90_sec,
+         |  ${R("AVG(duration_sec)", 2)} AS avg_sec
+         |FROM sg GROUP BY 1 ORDER BY "day"""".stripMargin),
+
+    // PageRank twin: same deterministic host-link seeding, exact-integer
+    // edge weights, pagerankIterCtes unrolls the 10 power iterations.
+    "g1_pagerank" -> withCtes(Seq(
+      """lk AS (
+        |  SELECT 'h' || CAST(doc_id % 13 AS VARCHAR) || '.example.com' AS src,
+        |         'h' || CAST((doc_id * 7 + 3) % 13 AS VARCHAR) || '.example.com' AS dst
+        |  FROM documents
+        |  WHERE doc_id % 13 <> (doc_id * 7 + 3) % 13)""".stripMargin,
+      "e AS (SELECT src, dst, COUNT(*) AS cnt FROM lk GROUP BY 1, 2)",
+      "o AS (SELECT src, SUM(cnt) AS out_cnt FROM e GROUP BY 1)",
+      """ew AS (
+        |  SELECT e.src, e.dst, CAST(e.cnt AS DOUBLE) / o.out_cnt AS w
+        |  FROM e JOIN o ON o.src = e.src)""".stripMargin,
+      "nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e)",
+      "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+      "r0 AS (SELECT host, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn)") ++
+      pagerankIterCtes(10): _*)(
+      s"""SELECT n.host, ${R("r10.r", 6)} AS pagerank,
+         |  CAST(COALESCE(il.in_links, 0) AS BIGINT) AS in_links,
+         |  CAST(COALESCE(o.out_cnt, 0) AS BIGINT) AS out_links
+         |FROM nodes n
+         |JOIN r10 ON r10.host = n.host
+         |LEFT JOIN (SELECT dst AS host, SUM(cnt) AS in_links FROM e GROUP BY 1) il
+         |  ON il.host = n.host
+         |LEFT JOIN o ON o.src = n.host
+         |ORDER BY n.host""".stripMargin),
 
     // MMR twin: sim1's unnest-dot relevance CTEs (fixed query batch),
     // top-20 shortlist, shortlist-pairwise sims, then the greedy steps

@@ -2570,6 +2570,120 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Linear-interpolation imputation over the x14 daily spine — the
+    * training-data gap treatment when forward-fill's step function is too
+    * crude (sensor/price series): each missing day takes
+    * `prev + (next - prev) * elapsed/gap`. Two opposite-frame windows over
+    * ONE symbol exchange find the bracketing known points; spine endpoints
+    * are always known (the spine spans min..max of known dates) so the
+    * bracket never dangles. Per-row arithmetic on identical doubles,
+    * round 6. */
+  def x15Interpolate(s: SparkSession, dir: String): DataFrame = {
+    val f = cleanedStock(s, dir)
+      .filter(col("symbol").cast("long") % 97 === 0)
+      .select("symbol", "date", "close")
+    val spine = f.groupBy("symbol")
+      .agg(min("date").as("d0"), max("date").as("d1"))
+      .select(col("symbol"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("date"))
+    val wb = Window.partitionBy("symbol").orderBy("date")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy("symbol").orderBy("date")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(f, Seq("symbol", "date"), "left")
+      .withColumn("pv", last("close", ignoreNulls = true).over(wb))
+      .withColumn("pd", last(when(col("close").isNotNull, col("date")),
+        ignoreNulls = true).over(wb))
+      .withColumn("nv", first("close", ignoreNulls = true).over(wf))
+      .withColumn("nd", first(when(col("close").isNotNull, col("date")),
+        ignoreNulls = true).over(wf))
+      .withColumn("interp_close", Num.cround(
+        when(col("close").isNotNull, col("close"))
+          .otherwise(col("pv") + (col("nv") - col("pv"))
+            * (datediff(col("date"), col("pd")).cast("double")
+               / datediff(col("nd"), col("pd")))), 6))
+      .withColumn("is_imputed", col("close").isNull)
+      .select("symbol", "date", "interp_close", "is_imputed")
+      .orderBy("symbol", "date")
+  }
+
+  /** Session-duration distribution per day — p50/p90/mean seconds over
+    * ev7's 30-minute-gap sessions. Durations are exact integer seconds
+    * (floor-epoch diffs), percentiles are the a5-proven exact
+    * `percentile` == `quantile_cont` contract, the mean rounds at 2. */
+  def ev19SessionDuration(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sess = Sources.events(s, dir)
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_seq")
+      .agg(date_trunc("day", min(col("ts"))).cast("date").as("day"),
+        (max(col("ts").cast("long")) - min(col("ts").cast("long")))
+          .as("duration_sec"))
+    sess.groupBy("day")
+      .agg(count(lit(1)).as("n_sessions"),
+        Num.cround(percentile(col("duration_sec"), lit(0.5)), 6).as("p50_sec"),
+        Num.cround(percentile(col("duration_sec"), lit(0.9)), 6).as("p90_sec"),
+        Num.cround(avg(col("duration_sec")), 2).as("avg_sec"))
+      .orderBy("day")
+  }
+
+  /** PageRank over the synthetic host link graph (damping 0.85, 10 power
+    * iterations) — the graph-analytics companion to d6's label
+    * propagation. Links are seeded deterministically from doc_ids (13
+    * hosts, the d14/t24 idiom); the ONLY corpus-sized work is the one
+    * edge-count aggregate — iteration runs on the bounded host graph
+    * (nodes x edges constants), so 100 TB pays one exchange and the loop
+    * costs nothing. Cross-engine: edge weights are exact-integer
+    * divisions; each iteration's incoming sum (<= 13 doubles) rounds
+    * tie-safe at 12 so summation-order ulps can't compound across
+    * iterations; the report rounds at 6. Every host has out-links by
+    * construction (all 13 residues occur), so no dangling-mass term. */
+  def g1Pagerank(s: SparkSession, dir: String): DataFrame = {
+    val links = Sources.documents(s, dir).select(
+      concat(lit("h"), (col("doc_id") % 13).cast("string"),
+        lit(".example.com")).as("src"),
+      concat(lit("h"), ((col("doc_id") * 7 + 3) % 13).cast("string"),
+        lit(".example.com")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val edges = Materialize(links.groupBy("src", "dst")
+      .agg(count(lit(1)).as("cnt")))
+    val outCnt = edges.groupBy("src").agg(sum("cnt").as("out_cnt"))
+    val ew = Materialize(edges.join(outCnt, "src")
+      .select(col("src"), col("dst"),
+        (col("cnt").cast("double") / col("out_cnt")).as("w")))
+    val nodes = Materialize(edges.select(col("src").as("host"))
+      .union(edges.select(col("dst"))).distinct())
+    val nn = nodes.agg(count(lit(1)).as("__n"))
+    var rank = nodes.crossJoin(broadcast(nn))
+      .select(col("host"), (lit(1.0) / col("__n")).as("r"))
+    for (_ <- 1 to 10) {
+      val contrib = ew.join(rank.withColumnRenamed("host", "src"), "src")
+        .groupBy(col("dst")).agg(sum(col("r") * col("w")).as("s"))
+        .withColumnRenamed("dst", "host")
+      rank = nodes.join(contrib, Seq("host"), "left")
+        .crossJoin(broadcast(nn))
+        .select(col("host"), Num.cround(
+          lit(0.15) / col("__n") + lit(0.85) * coalesce(col("s"), lit(0.0)),
+          12).as("r"))
+    }
+    val inCnt = edges.groupBy(col("dst").as("host"))
+      .agg(sum("cnt").as("in_links"))
+    rank
+      .join(inCnt, Seq("host"), "left")
+      .join(outCnt.withColumnRenamed("src", "host")
+        .withColumnRenamed("out_cnt", "out_links"), Seq("host"), "left")
+      .select(col("host"), Num.cround(col("r"), 6).as("pagerank"),
+        coalesce(col("in_links"), lit(0L)).as("in_links"),
+        coalesce(col("out_links"), lit(0L)).as("out_links"))
+      .orderBy("host")
+  }
+
   /** MMR diversified top-k retrieval over the fixed query batch (see
     * [[graft.ext.Similarity.mmrTopK]]): relevance proposes, the greedy
     * marginal-relevance loop (lambda 0.7) demotes candidates redundant
@@ -2775,6 +2889,9 @@ object Queries {
     "ev18_cohort_value" -> (ev18CohortValue _),
     "d14_url_dedup" -> (d14UrlDedup _),
     "t32_readability" -> (t32Readability _),
-    "sim19_mmr" -> (sim19Mmr _)
+    "sim19_mmr" -> (sim19Mmr _),
+    "x15_interpolate" -> (x15Interpolate _),
+    "ev19_session_duration" -> (ev19SessionDuration _),
+    "g1_pagerank" -> (g1Pagerank _)
   )
 }
