@@ -1454,6 +1454,20 @@ object OracleSql {
        |  WHERE rn = 1)""".stripMargin
   }
 
+  /** The ev20 Markov power iterations, unrolled — the pagerankIterCtes
+    * shape without a teleport term (the kernel is proper on this corpus,
+    * so mass is conserved; isolated states coalesce to 0). Round 12 per
+    * iteration keeps the engines in lockstep. */
+  private def markovIterCtes(iters: Int): Seq[String] = (1 to iters).map { t =>
+    s"""pi$t AS (
+       |  SELECT st.state, ${R("COALESCE(s.s, 0.0)", 12)} AS pi
+       |  FROM states st
+       |  LEFT JOIN (
+       |    SELECT m.event_type AS state, SUM(p.pi * m.p) AS s
+       |    FROM m JOIN pi${t - 1} p ON p.state = m.prev_type
+       |    GROUP BY 1) s ON s.state = st.state)""".stripMargin
+  }
+
   /** The g1 PageRank power iterations, unrolled (the mmrStepCtes trick).
     * Each iteration LEFT-joins the per-node incoming sum (<= 13 doubles —
     * tie-safe round 12 keeps the engines in lockstep across iterations)
@@ -4092,6 +4106,46 @@ object OracleSql {
          |  ON il.host = n.host
          |LEFT JOIN o ON o.src = n.host
          |ORDER BY n.host""".stripMargin),
+
+    // Stochastic-oscillator twin: window MIN/MAX channel bounds are exact,
+    // %K is identical per-row arithmetic, %D averages raw %K with NULLs
+    // skipped the same way.
+    "w24_stochastic" -> withCtes(stockCte, cleanCte, dedupCte,
+      """hl AS (
+        |  SELECT symbol, "date", close,
+        |         MIN(low) OVER f AS lo, MAX(high) OVER f AS hi
+        |  FROM dedup WINDOW f AS (PARTITION BY symbol ORDER BY "date"
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))""".stripMargin,
+      """k AS (
+        |  SELECT symbol, "date",
+        |         CASE WHEN hi = lo THEN NULL
+        |              ELSE 100.0 * (close - lo) / (hi - lo) END AS pct_k
+        |  FROM hl)""".stripMargin)(
+      s"""SELECT symbol, "date", ${R("pct_k", 6)} AS pct_k,
+         |  ${R("AVG(pct_k) OVER (PARTITION BY symbol ORDER BY \"date\" ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)", 2)} AS pct_d
+         |FROM k ORDER BY symbol, "date"""".stripMargin),
+
+    // Markov-stationary twin: ev6's transition CTEs, markovIterCtes
+    // unrolls the 20 power iterations.
+    "ev20_markov_stationary" -> withCtes(Seq(
+      """seq AS (
+        |  SELECT user_id, event_type,
+        |         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events)""".stripMargin,
+      """cnt AS (
+        |  SELECT prev_type, event_type, COUNT(*) AS n
+        |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)""".stripMargin,
+      """m AS (
+        |  SELECT prev_type, event_type,
+        |         CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type) AS p
+        |  FROM cnt)""".stripMargin,
+      """states AS (
+        |  SELECT prev_type AS state FROM m UNION SELECT event_type FROM m)""".stripMargin,
+      "nn AS (SELECT COUNT(*) AS n FROM states)",
+      "pi0 AS (SELECT state, 1.0 / nn.n AS pi FROM states CROSS JOIN nn)") ++
+      markovIterCtes(20): _*)(
+      s"""SELECT state, ${R("pi", 6)} AS pi_stationary
+         |FROM pi20 ORDER BY state""".stripMargin),
 
     // MMR twin: sim1's unnest-dot relevance CTEs (fixed query batch),
     // top-20 shortlist, shortlist-pairwise sims, then the greedy steps

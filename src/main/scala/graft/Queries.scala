@@ -2625,12 +2625,7 @@ object Queries {
       .agg(date_trunc("day", min(col("ts"))).cast("date").as("day"),
         (max(col("ts").cast("long")) - min(col("ts").cast("long")))
           .as("duration_sec"))
-    sess.groupBy("day")
-      .agg(count(lit(1)).as("n_sessions"),
-        Num.cround(percentile(col("duration_sec"), lit(0.5)), 6).as("p50_sec"),
-        Num.cround(percentile(col("duration_sec"), lit(0.9)), 6).as("p90_sec"),
-        Num.cround(avg(col("duration_sec")), 2).as("avg_sec"))
-      .orderBy("day")
+    streaming.StreamingBounce.fromSessionDurations(sess)
   }
 
   /** PageRank over the synthetic host link graph (damping 0.85, 10 power
@@ -2682,6 +2677,62 @@ object Queries {
         coalesce(col("in_links"), lit(0L)).as("in_links"),
         coalesce(col("out_links"), lit(0L)).as("out_links"))
       .orderBy("host")
+  }
+
+  /** Stochastic oscillator %K / %D — close's position inside the 14-row
+    * high-low channel, %D its 3-row SMA. The channel bounds are window
+    * MIN/MAX (order-independent, exact), so %K is per-row arithmetic on
+    * identical doubles (round 6); %D is a 3-term frame mean (round 2, the
+    * w3 contract; AVG skips the flat-channel NULLs identically in both
+    * engines). One symbol exchange, two materialized frame aggregates
+    * (the w15 ExtractWindowExpressions lesson). */
+  def w24Stochastic(s: SparkSession, dir: String): DataFrame =
+    windowQuery(s, dir) { df =>
+      val f14 = w.rowsBetween(-13, 0)
+      val lo = col("__lo"); val hi = col("__hi")
+      rounded(rounded(df
+        .withColumn("__lo", min("low").over(f14))
+        .withColumn("__hi", max("high").over(f14))
+        .withColumn("pct_k",
+          when(hi === lo, lit(null).cast("double"))
+            .otherwise(lit(100.0) * (col("close") - lo) / (hi - lo)))
+        .withColumn("pct_d", avg("pct_k").over(w.rowsBetween(-2, 0)))
+        .select("symbol", "date", "pct_k", "pct_d"),
+        Seq("pct_k"), 6), Seq("pct_d"), 2)
+    }
+
+  /** Stationary distribution of the ev6 event-transition kernel — 20
+    * power iterations of pi' = pi P: where a long-running user session
+    * spends its time, the Markov companion to ev6's one-step matrix. The
+    * ONLY corpus-sized work is the one transition-count aggregate (ev6's);
+    * iterations run on the (event types)² kernel — constants. Per-
+    * iteration sums (<= n_states doubles) round tie-safe at 12 (the g1
+    * discipline) so order ulps can't compound; the report rounds at 6.
+    * The fixture's kernel is proper (every observed state has outgoing
+    * transitions), so mass is conserved without a dangling term. */
+  def ev20MarkovStationary(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val m = Materialize(Sources.events(s, dir)
+      .withColumn("prev_type", lag("event_type", 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy("prev_type", "event_type").agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") /
+        sum("n").over(Window.partitionBy("prev_type"))))
+    val states = Materialize(m.select(col("prev_type").as("state"))
+      .union(m.select(col("event_type"))).distinct())
+    val nn = states.agg(count(lit(1)).as("__n"))
+    var pi = states.crossJoin(broadcast(nn))
+      .select(col("state"), (lit(1.0) / col("__n")).as("pi"))
+    for (_ <- 1 to 20) {
+      val nxt = m.join(pi.withColumnRenamed("state", "prev_type"), "prev_type")
+        .groupBy(col("event_type").as("state"))
+        .agg(sum(col("pi") * col("p")).as("s"))
+      pi = states.join(nxt, Seq("state"), "left")
+        .select(col("state"),
+          Num.cround(coalesce(col("s"), lit(0.0)), 12).as("pi"))
+    }
+    pi.select(col("state"), Num.cround(col("pi"), 6).as("pi_stationary"))
+      .orderBy("state")
   }
 
   /** MMR diversified top-k retrieval over the fixed query batch (see
@@ -2892,6 +2943,8 @@ object Queries {
     "sim19_mmr" -> (sim19Mmr _),
     "x15_interpolate" -> (x15Interpolate _),
     "ev19_session_duration" -> (ev19SessionDuration _),
-    "g1_pagerank" -> (g1Pagerank _)
+    "g1_pagerank" -> (g1Pagerank _),
+    "w24_stochastic" -> (w24Stochastic _),
+    "ev20_markov_stationary" -> (ev20MarkovStationary _)
   )
 }

@@ -563,6 +563,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() == 0 &&
       batch.exceptAll(streamed).count() == 0,
       "streamed bounce-rate report diverges from the batch query")
+
+    // ev19's twin rides the SAME session table: fold durations instead
+    val streamedDur = graft.streaming.StreamingBounce.fromSessionDurations(
+      spark.table("bounce_sessions_test"))
+    val batchDur = Queries.all("ev19_session_duration")(spark, dir)
+    assert(batchDur.count() > 0 && streamedDur.count() == batchDur.count())
+    assert(streamedDur.exceptAll(batchDur).count() == 0 &&
+      batchDur.exceptAll(streamedDur).count() == 0,
+      "streamed session-duration report diverges from the batch query")
   }
 
   test("streaming cohort-value snapshots fold to the batch ev18 triangle") {
