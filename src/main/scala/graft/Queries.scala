@@ -2573,9 +2573,14 @@ object Queries {
   /** Linear-interpolation imputation over the x14 daily spine — the
     * training-data gap treatment when forward-fill's step function is too
     * crude (sensor/price series): each missing day takes
-    * `prev + (next - prev) * elapsed/gap`. Two opposite-frame windows over
-    * ONE symbol exchange find the bracketing known points; spine endpoints
-    * are always known (the spine spans min..max of known dates) so the
+    * `prev + (next - prev) * elapsed/gap`. The bracketing known points
+    * come from two RUNNING `last(ignoreNulls)` frames — ascending for the
+    * previous, DESCENDING for the next — over ONE symbol exchange (two
+    * in-partition sorts, the j10 shape). Never `[current, unbounded
+    * following]`: Spark's UnboundedFollowing frame recomputes the
+    * aggregate per row — O(rows²) per partition, measured 55 s at sf0.1
+    * where this form runs in the w-family band. Spine endpoints are
+    * always known (the spine spans min..max of known dates) so the
     * bracket never dangles. Per-row arithmetic on identical doubles,
     * round 6. */
   def x15Interpolate(s: SparkSession, dir: String): DataFrame = {
@@ -2588,14 +2593,14 @@ object Queries {
         explode(expr("sequence(d0, d1, interval 1 day)")).as("date"))
     val wb = Window.partitionBy("symbol").orderBy("date")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wf = Window.partitionBy("symbol").orderBy("date")
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wf = Window.partitionBy("symbol").orderBy(col("date").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     spine.join(f, Seq("symbol", "date"), "left")
       .withColumn("pv", last("close", ignoreNulls = true).over(wb))
       .withColumn("pd", last(when(col("close").isNotNull, col("date")),
         ignoreNulls = true).over(wb))
-      .withColumn("nv", first("close", ignoreNulls = true).over(wf))
-      .withColumn("nd", first(when(col("close").isNotNull, col("date")),
+      .withColumn("nv", last("close", ignoreNulls = true).over(wf))
+      .withColumn("nd", last(when(col("close").isNotNull, col("date")),
         ignoreNulls = true).over(wf))
       .withColumn("interp_close", Num.cround(
         when(col("close").isNotNull, col("close"))
@@ -2657,11 +2662,15 @@ object Queries {
     val nn = nodes.agg(count(lit(1)).as("__n"))
     var rank = nodes.crossJoin(broadcast(nn))
       .select(col("host"), (lit(1.0) / col("__n")).as("r"))
+    // broadcast the vector into each step: the per-iteration cost is pure
+    // stage overhead on constant-size frames — a shuffle join would double
+    // the stages for 13-row inputs
     for (_ <- 1 to 10) {
-      val contrib = ew.join(rank.withColumnRenamed("host", "src"), "src")
+      val contrib = ew.join(broadcast(rank.withColumnRenamed("host", "src")),
+          "src")
         .groupBy(col("dst")).agg(sum(col("r") * col("w")).as("s"))
         .withColumnRenamed("dst", "host")
-      rank = nodes.join(contrib, Seq("host"), "left")
+      rank = nodes.join(broadcast(contrib), Seq("host"), "left")
         .crossJoin(broadcast(nn))
         .select(col("host"), Num.cround(
           lit(0.15) / col("__n") + lit(0.85) * coalesce(col("s"), lit(0.0)),
@@ -2703,35 +2712,52 @@ object Queries {
 
   /** Stationary distribution of the ev6 event-transition kernel — 20
     * power iterations of pi' = pi P: where a long-running user session
-    * spends its time, the Markov companion to ev6's one-step matrix. The
-    * ONLY corpus-sized work is the one transition-count aggregate (ev6's);
-    * iterations run on the (event types)² kernel — constants. Per-
-    * iteration sums (<= n_states doubles) round tie-safe at 12 (the g1
-    * discipline) so order ulps can't compound; the report rounds at 6.
-    * The fixture's kernel is proper (every observed state has outgoing
-    * transitions), so mass is conserved without a dangling term. */
+    * spends its time, the Markov companion to ev6's one-step matrix.
+    *
+    * Shape: the ONLY corpus-sized work is the one transition-count
+    * aggregate (ev6's); the kernel is (event types)² — a bounded constant
+    * — so the iteration collapses to ONE row of arrays and 20 chained
+    * higher-order-function projections: one exchange, one stage, no
+    * per-iteration scheduling (the join-per-iteration form measured 9 s at
+    * sf0.1 — all stage overhead on 5-row frames; contrast g1, which keeps
+    * the distributed join form because a general graph is NOT bounded).
+    * Cross-engine: per-state sums (<= n_states doubles, kernel-sorted
+    * order) round tie-safe at 12 each iteration so order ulps can't
+    * compound; the report rounds at 6. The fixture's kernel is proper
+    * (every observed state has outgoing transitions), so mass is conserved
+    * without a dangling term. */
   def ev20MarkovStationary(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val m = Materialize(Sources.events(s, dir)
+    val m = Sources.events(s, dir)
       .withColumn("prev_type", lag("event_type", 1).over(byUser))
       .filter(col("prev_type").isNotNull)
       .groupBy("prev_type", "event_type").agg(count(lit(1)).as("n"))
       .withColumn("p", col("n").cast("double") /
-        sum("n").over(Window.partitionBy("prev_type"))))
-    val states = Materialize(m.select(col("prev_type").as("state"))
-      .union(m.select(col("event_type"))).distinct())
-    val nn = states.agg(count(lit(1)).as("__n"))
-    var pi = states.crossJoin(broadcast(nn))
-      .select(col("state"), (lit(1.0) / col("__n")).as("pi"))
-    for (_ <- 1 to 20) {
-      val nxt = m.join(pi.withColumnRenamed("state", "prev_type"), "prev_type")
-        .groupBy(col("event_type").as("state"))
-        .agg(sum(col("pi") * col("p")).as("s"))
-      pi = states.join(nxt, Seq("state"), "left")
-        .select(col("state"),
-          Num.cround(coalesce(col("s"), lit(0.0)), 12).as("pi"))
+        sum("n").over(Window.partitionBy("prev_type")))
+    val stateRow = m.select(col("prev_type").as("st"))
+      .union(m.select(col("event_type"))).distinct()
+      .agg(sort_array(collect_list(col("st"))).as("states"))
+    val kernelRow = m.agg(sort_array(collect_list(struct(
+      col("prev_type").as("src"), col("event_type").as("dst"),
+      col("p").as("p")))).as("kernel"))
+    val one = stateRow.crossJoin(broadcast(kernelRow))
+      .withColumn("pi0",
+        transform(col("states"), _ => lit(1.0) / size(col("states"))))
+    val iterated = (1 to 20).foldLeft(one) { (df, t) =>
+      df.withColumn(s"pi$t", transform(col("states"), v =>
+        Num.cround(aggregate(
+          filter(col("kernel"), e => e.getField("dst") === v),
+          lit(0.0),
+          (acc, e) => acc + element_at(col(s"pi${t - 1}"),
+            array_position(col("states"), e.getField("src")).cast("int"))
+            * e.getField("p")),
+          12)))
     }
-    pi.select(col("state"), Num.cround(col("pi"), 6).as("pi_stationary"))
+    iterated
+      .select(col("pi20"), posexplode(col("states")).as(Seq("pos", "state")))
+      .select(col("state"), Num.cround(
+        element_at(col("pi20"), col("pos").cast("int") + 1), 6)
+        .as("pi_stationary"))
       .orderBy("state")
   }
 

@@ -1487,39 +1487,62 @@ object Similarity {
     // candidate-candidate sims: shortlist² per query, a bounded constant
     val pair = cand.select(col("query_id"), col("vec_id").as("v_a"),
         col("emb_d").as("e_a"))
-      .join(cand.select(col("query_id"), col("vec_id").as("v_b"),
-        col("emb_d").as("e_b")), Seq("query_id"))
+      .join(broadcast(cand.select(col("query_id"), col("vec_id").as("v_b"),
+        col("emb_d").as("e_b"))), Seq("query_id"))
       .filter(col("v_a") =!= col("v_b"))
       .select(col("query_id"), col("v_a"), col("v_b"), graft.ops.Num.cround(
         nativeCosine(col("e_a"), col("e_b")), 6).as("sim"))
-    val candSlim = cand.select("query_id", "vec_id", "rel")
-    // step 1: pure relevance argmax
-    var selected = candSlim
-      .withColumn("rn", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("rel").desc, col("vec_id"))))
-      .filter(col("rn") === 1)
-      .select(col("query_id"), col("vec_id"), lit(1).as("rank"),
-        col("rel").as("mmr_score"))
-    var all = selected
-    for (step <- 2 to k) {
-      val maxsim = pair
-        .join(all.select(col("query_id"), col("vec_id").as("v_b")),
-          Seq("query_id", "v_b"))
-        .groupBy(col("query_id"), col("v_a").as("vec_id"))
-        .agg(max(col("sim")).as("maxsim"))
-      val next = candSlim
-        .join(all.select("query_id", "vec_id"), Seq("query_id", "vec_id"),
-          "left_anti")
-        .join(maxsim, Seq("query_id", "vec_id"))
-        .withColumn("mmr_score", graft.ops.Num.cround(
-          lit(0.7) * col("rel") - lit(0.3) * col("maxsim"), 6))
-        .withColumn("rn", row_number().over(Window.partitionBy("query_id")
-          .orderBy(col("mmr_score").desc, col("vec_id"))))
-        .filter(col("rn") === 1)
-        .select(col("query_id"), col("vec_id"), lit(step).as("rank"),
-          col("mmr_score"))
-      all = all.unionByName(next)
-    }
-    all.select("query_id", "rank", "vec_id", "mmr_score")
+    // The greedy is bounded per query (shortlist candidates, shortlist²
+    // sims), so it collapses to per-query ARRAYS and ONE
+    // aggregate-over-sequence higher-order function — two exchanges total
+    // (the two collect_list aggregates), no per-step scheduling. A
+    // join-per-step form measured 5.5-10 s at sf0.1, ALL constant stage
+    // overhead on <=100-row frames (the ev20 lesson); a chained-projection
+    // form hung the OPTIMIZER (CollapseProject inlines each step's
+    // multiply-referenced accumulator — exponential plan growth). Inside
+    // one aggregate() the accumulator is a lambda VARIABLE — a leaf — so
+    // the plan stays a single expression of linear size.
+    val candsArr = cand.groupBy("query_id")
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("rel"))))
+        .as("cands"))
+    val simsArr = pair.groupBy("query_id")
+      .agg(sort_array(collect_list(
+        struct(col("v_a"), col("v_b"), col("sim")))).as("sims"))
+    // argmax via comparator sort: (score DESC, vec_id ASC) — the oracle's
+    // ORDER BY; slice+transform keeps the sorted tree referenced ONCE
+    def pickBest(arr: Column, scoreField: String, rank: Column): Column =
+      transform(
+        slice(array_sort(arr, (l, r) =>
+          when(l.getField(scoreField) > r.getField(scoreField), -1)
+            .when(l.getField(scoreField) < r.getField(scoreField), 1)
+            .when(l.getField("vec_id") < r.getField("vec_id"), -1)
+            .otherwise(1)), 1, 1),
+        b => struct(rank.as("rank"),
+          b.getField("vec_id").as("vec_id"),
+          b.getField(scoreField).as("mmr_score")))
+    val selExpr = aggregate(
+      sequence(lit(2), lit(k)),
+      pickBest(col("cands"), "rel", lit(1)),
+      (sel, step) => {
+        val selIds = transform(sel, s => s.getField("vec_id"))
+        val scored = transform(
+          filter(col("cands"),
+            c => !array_contains(selIds, c.getField("vec_id"))),
+          c => struct(
+            c.getField("vec_id").as("vec_id"),
+            graft.ops.Num.cround(
+              lit(0.7) * c.getField("rel") - lit(0.3) * aggregate(
+                filter(col("sims"),
+                  p => p.getField("v_a") === c.getField("vec_id") &&
+                    array_contains(selIds, p.getField("v_b"))),
+                lit(Double.NegativeInfinity),
+                (acc, p) => greatest(acc, p.getField("sim"))),
+              6).as("rel")))
+        concat(sel, pickBest(scored, "rel", step))
+      })
+    candsArr.join(broadcast(simsArr), Seq("query_id"))
+      .select(col("query_id"), explode(selExpr).as("s"))
+      .select(col("query_id"), col("s.rank").as("rank"),
+        col("s.vec_id").as("vec_id"), col("s.mmr_score").as("mmr_score"))
   }
 }
