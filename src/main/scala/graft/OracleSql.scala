@@ -4107,6 +4107,38 @@ object OracleSql {
          |LEFT JOIN o ON o.src = n.host
          |ORDER BY n.host""".stripMargin),
 
+    // Trigram-entropy twin: same 256-char cap, 1-based position unnest,
+    // exact-integer p, -SUM(p ln p)/ln 2 with identical parenthesization.
+    "t33_trigram_entropy" -> (
+      s"""WITH d AS (
+         |  SELECT doc_id, lower(substr(text, 1, 256)) AS t
+         |  FROM documents WHERE length(substr(text, 1, 256)) >= 3),
+         |tri AS (
+         |  SELECT doc_id, substr(t, CAST(r.i AS INTEGER), 3) AS tri
+         |  FROM d, UNNEST(range(1, length(t) - 1)) r(i)),
+         |freq AS (
+         |  SELECT doc_id, tri, COUNT(*) AS n FROM tri GROUP BY 1, 2),
+         |ft AS (
+         |  SELECT doc_id, n, SUM(n) OVER (PARTITION BY doc_id) AS tot
+         |  FROM freq)
+         |SELECT doc_id, CAST(MAX(tot) AS BIGINT) AS n_trigrams,
+         |  CAST(COUNT(*) AS BIGINT) AS distinct_trigrams,
+         |  ${R("-SUM((CAST(n AS DOUBLE) / tot) * ln(CAST(n AS DOUBLE) / tot)) / ln(2.0)", 6)} AS trigram_entropy_bits
+         |FROM ft GROUP BY 1 ORDER BY doc_id""".stripMargin),
+
+    // OLS-trend twin: the w16 co-moment contract (COVAR_SAMP / VAR_SAMP /
+    // CORR agree cross-engine at round 6), epoch-day x in both engines.
+    "a22_ols_trend" -> withCtes(stockCte, cleanCte, dedupCte,
+      """xd AS (
+        |  SELECT symbol, close,
+        |         CAST(datediff('day', DATE '1970-01-01', "date") AS DOUBLE) AS x
+        |  FROM dedup)""".stripMargin)(
+      s"""SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |  ${R("COVAR_SAMP(x, close) / VAR_SAMP(x)", 6)} AS slope,
+         |  ${R("AVG(close) - COVAR_SAMP(x, close) / VAR_SAMP(x) * AVG(x)", 6)} AS intercept,
+         |  ${R("CORR(x, close) * CORR(x, close)", 6)} AS r2
+         |FROM xd GROUP BY symbol ORDER BY symbol""".stripMargin),
+
     // Stochastic-oscillator twin: window MIN/MAX channel bounds are exact,
     // %K is identical per-row arithmetic, %D averages raw %K with NULLs
     // skipped the same way.

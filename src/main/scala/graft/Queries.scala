@@ -2688,6 +2688,50 @@ object Queries {
       .orderBy("host")
   }
 
+  /** Character-trigram entropy per document (first 256 chars) — the
+    * gibberish/boilerplate detector next to t8's token repetition: random
+    * noise maxes the entropy, templated boilerplate craters it. One scan,
+    * a bounded 254x position explode, two doc-keyed aggregates. Entropy
+    * sums <= 254 terms (order noise ~1e-14, far under round 6); the
+    * p*ln(p) terms are identical doubles from exact-integer divisions. */
+  def t33TrigramEntropy(s: SparkSession, dir: String): DataFrame = {
+    val d = Sources.documents(s, dir)
+      .select(col("doc_id"), lower(substring(col("text"), 1, 256)).as("t"))
+      .filter(length(col("t")) >= 3)
+    val tri = d.select(col("doc_id"), explode(expr(
+      "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"))
+      .as("tri"))
+    val freq = tri.groupBy("doc_id", "tri").agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum("n").over(Window.partitionBy("doc_id")))
+    val p = col("n").cast("double") / col("tot")
+    rounded(freq.groupBy("doc_id")
+      .agg(max(col("tot")).as("n_trigrams"),
+        count(lit(1)).as("distinct_trigrams"),
+        (-sum(p * log(p)) / log(lit(2.0))).as("trigram_entropy_bits")),
+      Seq("trigram_entropy_bits"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-symbol OLS time trend — slope/intercept/R² of close regressed on
+    * the epoch-day index, the drift readout under a22's t-test. ONE hash
+    * aggregate per symbol; slope and intercept render from the same
+    * covar_samp/var_samp/avg co-moments the w16 beta contract proved
+    * cross-engine (round 6); single-day symbols yield NULLs. */
+  def a22OlsTrend(s: SparkSession, dir: String): DataFrame = {
+    val d = cleanedStock(s, dir).drop("rid")
+      .withColumn("x",
+        datediff(col("date"), to_date(lit("1970-01-01"))).cast("double"))
+    val slope = covar_samp(col("x"), col("close")) / var_samp(col("x"))
+    rounded(d.groupBy("symbol")
+      .agg(count(lit(1)).as("n_days"),
+        slope.as("slope"),
+        (avg(col("close")) - slope * avg(col("x"))).as("intercept"),
+        (corr(col("x"), col("close")) * corr(col("x"), col("close")))
+          .as("r2")),
+      Seq("slope", "intercept", "r2"))
+      .orderBy("symbol")
+  }
+
   /** Stochastic oscillator %K / %D — close's position inside the 14-row
     * high-low channel, %D its 3-row SMA. The channel bounds are window
     * MIN/MAX (order-independent, exact), so %K is per-row arithmetic on
@@ -2971,6 +3015,8 @@ object Queries {
     "ev19_session_duration" -> (ev19SessionDuration _),
     "g1_pagerank" -> (g1Pagerank _),
     "w24_stochastic" -> (w24Stochastic _),
-    "ev20_markov_stationary" -> (ev20MarkovStationary _)
+    "ev20_markov_stationary" -> (ev20MarkovStationary _),
+    "t33_trigram_entropy" -> (t33TrigramEntropy _),
+    "a22_ols_trend" -> (a22OlsTrend _)
   )
 }
