@@ -398,4 +398,48 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"),
       s"per-row quantization must not shuffle:\n$p")
   }
+
+  test("interpolation brackets ride one symbol exchange — no UnboundedFollowing frame") {
+    // x15's next-known bracket uses a DESCENDING running frame on the same
+    // symbol key; a [current, unbounded following] frame would recompute
+    // the aggregate per row — O(rows^2) per partition, measured 55 s at
+    // sf0.1 (scaladoc on x15Interpolate). The spine join adds its own
+    // (symbol, date) exchange; the WINDOW side must stay on one symbol key.
+    val p = plan("x15_interpolate")
+    assert(!p.contains("unboundedfollowing$()"),
+      s"x15 must not plan an UnboundedFollowing window frame:\n$p")
+    // the filtered frame feeds the spine aggregate AND the join probe (two
+    // branches of a 1/97-filtered input — both cheap); the four bracket
+    // windows themselves must add NO exchange beyond those two
+    val symbolOnly = "hashpartitioning\\(symbol#\\d+, ".r.findAllIn(p).length
+    assert(symbolOnly <= 2,
+      s"x15's bracket windows must not add symbol exchanges (saw $symbolOnly):\n$p")
+  }
+
+  test("MMR greedy is two collect exchanges — no per-step shuffle") {
+    // sim19's greedy runs inside one aggregate() HOF after the cands/sims
+    // collect_list aggregates; a join-per-step regression would re-add
+    // 2 exchanges per greedy step (8+ for k=5, measured 5.5-10 s of pure
+    // stage overhead at sf0.1).
+    val p = plan("sim19_mmr")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 4,
+      s"sim19 must keep the greedy inside one expression (saw $exchanges hash exchanges):\n$p")
+  }
+
+  test("pagerank's corpus-sized work is one edge aggregate; iterations broadcast") {
+    // g1: the document scan reduces to (src, dst) counts in ONE exchange;
+    // every per-iteration join must broadcast (the vectors are
+    // node-count-sized) — a shuffle join in the loop means the constant
+    // -cost iteration started scaling with something.
+    // the (src, dst) edge aggregate itself runs inside Materialize's cut
+    // (the final plan scans its ExistingRDD), so the pin here is on the
+    // iteration shape: bounded-size vectors must broadcast-join, never
+    // sort-merge, and nothing may cartesian.
+    val p = plan("g1_pagerank")
+    assert(p.contains("Scan ExistingRDD"),
+      s"g1's edges must be materialized once, not rescanned:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"g1's bounded-graph iterations must broadcast, never sort-merge:\n$p")
+  }
 }
