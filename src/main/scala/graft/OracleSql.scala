@@ -4135,7 +4135,7 @@ object OracleSql {
         |  FROM dedup)""".stripMargin)(
       s"""SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_days,
          |  ${R("COVAR_SAMP(x, close) / VAR_SAMP(x)", 6)} AS slope,
-         |  ${R("AVG(close) - COVAR_SAMP(x, close) / VAR_SAMP(x) * AVG(x)", 6)} AS intercept,
+         |  ${R("AVG(close) - COVAR_SAMP(x, close) / VAR_SAMP(x) * AVG(x)", 2)} AS intercept,
          |  ${R("CORR(x, close) * CORR(x, close)", 6)} AS r2
          |FROM xd GROUP BY symbol ORDER BY symbol""".stripMargin),
 

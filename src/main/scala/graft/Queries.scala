@@ -2690,45 +2690,71 @@ object Queries {
 
   /** Character-trigram entropy per document (first 256 chars) — the
     * gibberish/boilerplate detector next to t8's token repetition: random
-    * noise maxes the entropy, templated boilerplate craters it. One scan,
-    * a bounded 254x position explode, two doc-keyed aggregates. Entropy
-    * sums <= 254 terms (order noise ~1e-14, far under round 6); the
-    * p*ln(p) terms are identical doubles from exact-integer divisions. */
+    * noise maxes the entropy, templated boilerplate craters it.
+    *
+    * Shape: ZERO shuffles — the per-doc trigram set is bounded (<= 254),
+    * so frequencies come from run lengths of the SORTED in-row trigram
+    * array (boundary indices via a guarded position scan, counts via
+    * zip_with against the shifted boundaries) and the entropy reduces
+    * in-row. The first form shuffled the 254x explode into a
+    * (doc_id, tri) groupBy — ~500M intermediate rows at sf10, page-
+    * allocation stalls, 210 s passes; this form follows bytes. Entropy
+    * sums <= 254 terms in sorted order (the oracle sums them in its own
+    * order — noise ~1e-14, far under round 6); the p*ln(p) terms are
+    * identical doubles from exact-integer divisions. */
   def t33TrigramEntropy(s: SparkSession, dir: String): DataFrame = {
     val d = Sources.documents(s, dir)
       .select(col("doc_id"), lower(substring(col("text"), 1, 256)).as("t"))
       .filter(length(col("t")) >= 3)
-    val tri = d.select(col("doc_id"), explode(expr(
-      "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"))
-      .as("tri"))
-    val freq = tri.groupBy("doc_id", "tri").agg(count(lit(1)).as("n"))
-      .withColumn("tot", sum("n").over(Window.partitionBy("doc_id")))
-    val p = col("n").cast("double") / col("tot")
-    rounded(freq.groupBy("doc_id")
-      .agg(max(col("tot")).as("n_trigrams"),
-        count(lit(1)).as("distinct_trigrams"),
-        (-sum(p * log(p)) / log(lit(2.0))).as("trigram_entropy_bits")),
+    val arr = d
+      .withColumn("tris", array_sort(expr(
+        "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")))
+      .withColumn("n", size(col("tris")))
+      // 1-based start index of each run; the j=1 branch guards the
+      // element_at(j-1) lookup (CaseWhen evaluates branches lazily)
+      .withColumn("starts", filter(
+        transform(sequence(lit(1), col("n")), j =>
+          when(j === 1, j)
+            .when(element_at(col("tris"), j) =!=
+              element_at(col("tris"), j - 1), j)
+            .otherwise(lit(0))),
+        x => x =!= 0))
+      .withColumn("counts", zip_with(
+        col("starts"),
+        concat(slice(col("starts"), lit(2), size(col("starts")) - 1),
+          array(col("n") + 1)),
+        (st, en) => en - st))
+    val p = (c: Column) => c.cast("double") / col("n")
+    rounded(arr.select(col("doc_id"),
+      col("n").cast("long").as("n_trigrams"),
+      size(col("starts")).cast("long").as("distinct_trigrams"),
+      (-aggregate(col("counts"), lit(0.0),
+        (acc, c) => acc + p(c) * log(p(c))) / log(lit(2.0)))
+        .as("trigram_entropy_bits")),
       Seq("trigram_entropy_bits"))
       .orderBy("doc_id")
   }
 
   /** Per-symbol OLS time trend — slope/intercept/R² of close regressed on
-    * the epoch-day index, the drift readout under a22's t-test. ONE hash
-    * aggregate per symbol; slope and intercept render from the same
-    * covar_samp/var_samp/avg co-moments the w16 beta contract proved
-    * cross-engine (round 6); single-day symbols yield NULLs. */
+    * the epoch-day index, the drift readout under a20's t-test. ONE hash
+    * aggregate per symbol; slope and R2 follow the w16 co-moment contract
+    * (round 6). The intercept rounds at 2 (the a13 regr_intercept
+    * convention): it is avg - slope*avg(x) at ~1e5 magnitude — a
+    * big-number cancellation whose co-moment ulps exceed 1e-6 (found at
+    * the synthesized sf1.0: 3 of 200k symbols diverged at round 6).
+    * Single-day symbols yield NULLs. */
   def a22OlsTrend(s: SparkSession, dir: String): DataFrame = {
     val d = cleanedStock(s, dir).drop("rid")
       .withColumn("x",
         datediff(col("date"), to_date(lit("1970-01-01"))).cast("double"))
     val slope = covar_samp(col("x"), col("close")) / var_samp(col("x"))
-    rounded(d.groupBy("symbol")
+    rounded(rounded(d.groupBy("symbol")
       .agg(count(lit(1)).as("n_days"),
         slope.as("slope"),
         (avg(col("close")) - slope * avg(col("x"))).as("intercept"),
         (corr(col("x"), col("close")) * corr(col("x"), col("close")))
           .as("r2")),
-      Seq("slope", "intercept", "r2"))
+      Seq("slope", "r2")), Seq("intercept"), 2)
       .orderBy("symbol")
   }
 
