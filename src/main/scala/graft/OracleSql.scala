@@ -435,7 +435,38 @@ object OracleSql {
         |  FROM dedup)""".stripMargin)(
       s"""SELECT symbol, ${R("STDDEV_SAMP(dcp)", 2)} AS stddev_dcp
          |FROM dcp GROUP BY symbol ORDER BY symbol""".stripMargin)
-  ) ++ analyticsSql ++ scalarSql ++ joinSql ++ extSql ++ smallOpsSql
+  ) ++ analyticsSql ++ scalarSql ++ joinSql ++ extSql ++ smallOpsSql ++
+    recallSql
+
+  /** sim20's oracle composes the already-verified sim1/sim2/sim6/sim3
+    * statements as subqueries — the recall report is pure membership over
+    * their exact outputs, so this entry inherits their cross-engine
+    * contracts wholesale (any divergence would already fail THEIR gates). */
+  private lazy val recallSql: Map[String, String] = Map(
+    "sim20_recall" -> {
+      def sub(name: String) = s"SELECT query_id, vec_id FROM (${extSql(name)})"
+      s"""WITH truth AS (${sub("sim1_cosine_topk")}),
+         |l2 AS (${sub("sim2_lsh_topk")}),
+         |l6 AS (${sub("sim6_lsh_multiprobe")}),
+         |l3 AS (${sub("sim3_ivf_topk")}),
+         |nt AS (SELECT COUNT(*) AS n_truth FROM truth),
+         |h AS (
+         |  SELECT 'lsh' AS method, COUNT(*) AS hits FROM truth t
+         |  WHERE EXISTS (SELECT 1 FROM l2 a
+         |                WHERE a.query_id = t.query_id AND a.vec_id = t.vec_id)
+         |  UNION ALL
+         |  SELECT 'lsh_multiprobe', COUNT(*) FROM truth t
+         |  WHERE EXISTS (SELECT 1 FROM l6 a
+         |                WHERE a.query_id = t.query_id AND a.vec_id = t.vec_id)
+         |  UNION ALL
+         |  SELECT 'ivf', COUNT(*) FROM truth t
+         |  WHERE EXISTS (SELECT 1 FROM l3 a
+         |                WHERE a.query_id = t.query_id AND a.vec_id = t.vec_id))
+         |SELECT method, CAST(hits AS BIGINT) AS hits,
+         |  CAST(n_truth AS BIGINT) AS n_truth,
+         |  ${R("CAST(hits AS DOUBLE) / n_truth", 6)} AS recall_at_5
+         |FROM h CROSS JOIN nt ORDER BY method""".stripMargin
+    })
 
   // ===== projections, small filters, remaining scalars/sorts ===============
 

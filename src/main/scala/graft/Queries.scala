@@ -2831,6 +2831,36 @@ object Queries {
       .orderBy("state")
   }
 
+  /** ANN recall observability as a FIRST-CLASS query — recall@5 of the
+    * three approximate retrieval tiers (sim2 LSH, sim6 multiprobe, sim3
+    * IVF) against sim1's brute-force truth, the production health check a
+    * vector platform schedules next to its index builds (RecallProbe is
+    * the dev-loop sibling; this is the operator). Truth materializes once
+    * and broadcasts into three left-semi membership joins; each report row
+    * is exact-integer division. Cost is the three index scans it measures
+    * — the observability is as cheap as the thing observed. */
+  def sim20Recall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Sources.embeddings(s, dir)
+    val truth = Materialize(
+      ext.Similarity.bruteForceTopK(emb).select("query_id", "vec_id"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    def report(method: String, approx: DataFrame): DataFrame =
+      truth
+        .join(approx.select("query_id", "vec_id"),
+          Seq("query_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(broadcast(nTruth))
+        .select(lit(method).as("method"), col("hits"), col("n_truth"),
+          Num.cround(col("hits").cast("double") / col("n_truth"), 6)
+            .as("recall_at_5"))
+    report("lsh", ext.Similarity.lshTopK(emb, ext.Similarity.planes(s)))
+      .unionByName(report("lsh_multiprobe",
+        ext.Similarity.lshTopKMultiProbe(emb, ext.Similarity.planes(s))))
+      .unionByName(report("ivf",
+        ext.Similarity.ivfTopK(emb, ext.Similarity.ivfAnchors(s))))
+      .orderBy("method")
+  }
+
   /** MMR diversified top-k retrieval over the fixed query batch (see
     * [[graft.ext.Similarity.mmrTopK]]): relevance proposes, the greedy
     * marginal-relevance loop (lambda 0.7) demotes candidates redundant
@@ -3043,6 +3073,7 @@ object Queries {
     "w24_stochastic" -> (w24Stochastic _),
     "ev20_markov_stationary" -> (ev20MarkovStationary _),
     "t33_trigram_entropy" -> (t33TrigramEntropy _),
-    "a22_ols_trend" -> (a22OlsTrend _)
+    "a22_ols_trend" -> (a22OlsTrend _),
+    "sim20_recall" -> (sim20Recall _)
   )
 }

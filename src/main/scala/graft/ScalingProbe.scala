@@ -72,7 +72,11 @@ object ScalingProbe {
       // measured alpha sits at the linear floor today only because that
       // constant keeps it overhead-dominated; at deeper decades it would
       // leave the floor for the same declared-by-design reason as sim7.
-      "sim8_ivfpq")
+      "sim8_ivfpq",
+      // sim20 embeds sim1 as its recall truth, so it inherits sim1's
+      // corpus x queries regime under the probe's queryMod sampling; a
+      // production recall check samples a FIXED query set (the e4 recipe)
+      "sim20_recall")
 
   // ===== generation ========================================================
 
@@ -96,8 +100,15 @@ object ScalingProbe {
 
   def generate(spark: SparkSession, src: String, out: String): Unit = {
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    // 32 output files per table: a replicate of a single-file input would
+    // otherwise write ONE parquet file with ONE row group — unsplittable,
+    // so every shuffle-free scan probes at 1/32 of the machine (measured:
+    // t33 at sf10 ran one core, load avg 1.0, 617 s for ~20 s of work).
+    // Row order changes under the repartition; every registered query has
+    // a total ORDER BY, so results are unaffected.
     def write(df: DataFrame, t: String): Unit = {
-      df.drop("rep").write.mode("overwrite").parquet(s"$out/$t.parquet")
+      df.drop("rep").repartition(32).write.mode("overwrite")
+        .parquet(s"$out/$t.parquet")
       System.err.println(s"[probe] wrote $t")
     }
 
