@@ -2637,13 +2637,11 @@ object Queries {
     * iterations) — the graph-analytics companion to d6's label
     * propagation. Links are seeded deterministically from doc_ids (13
     * hosts, the d14/t24 idiom); the ONLY corpus-sized work is the one
-    * edge-count aggregate — iteration runs on the bounded host graph
-    * (nodes x edges constants), so 100 TB pays one exchange and the loop
-    * costs nothing. Cross-engine: edge weights are exact-integer
-    * divisions; each iteration's incoming sum (<= 13 doubles) rounds
-    * tie-safe at 12 so summation-order ulps can't compound across
-    * iterations; the report rounds at 6. Every host has out-links by
-    * construction (all 13 residues occur), so no dangling-mass term. */
+    * edge-count aggregate — the iteration is
+    * [[graft.analytics.Graph.pagerank]] (distributed join form, rank
+    * vector broadcast per step; see its scaladoc for the shape and
+    * cross-engine rounding argument). Every host has out-links by
+    * construction (all 13 residues occur), so no dangling-mass leak. */
   def g1Pagerank(s: SparkSession, dir: String): DataFrame = {
     val links = Sources.documents(s, dir).select(
       concat(lit("h"), (col("doc_id") % 13).cast("string"),
@@ -2651,41 +2649,7 @@ object Queries {
       concat(lit("h"), ((col("doc_id") * 7 + 3) % 13).cast("string"),
         lit(".example.com")).as("dst"))
       .filter(col("src") =!= col("dst"))
-    val edges = Materialize(links.groupBy("src", "dst")
-      .agg(count(lit(1)).as("cnt")))
-    val outCnt = edges.groupBy("src").agg(sum("cnt").as("out_cnt"))
-    val ew = Materialize(edges.join(outCnt, "src")
-      .select(col("src"), col("dst"),
-        (col("cnt").cast("double") / col("out_cnt")).as("w")))
-    val nodes = Materialize(edges.select(col("src").as("host"))
-      .union(edges.select(col("dst"))).distinct())
-    val nn = nodes.agg(count(lit(1)).as("__n"))
-    var rank = nodes.crossJoin(broadcast(nn))
-      .select(col("host"), (lit(1.0) / col("__n")).as("r"))
-    // broadcast the vector into each step: the per-iteration cost is pure
-    // stage overhead on constant-size frames — a shuffle join would double
-    // the stages for 13-row inputs
-    for (_ <- 1 to 10) {
-      val contrib = ew.join(broadcast(rank.withColumnRenamed("host", "src")),
-          "src")
-        .groupBy(col("dst")).agg(sum(col("r") * col("w")).as("s"))
-        .withColumnRenamed("dst", "host")
-      rank = nodes.join(broadcast(contrib), Seq("host"), "left")
-        .crossJoin(broadcast(nn))
-        .select(col("host"), Num.cround(
-          lit(0.15) / col("__n") + lit(0.85) * coalesce(col("s"), lit(0.0)),
-          12).as("r"))
-    }
-    val inCnt = edges.groupBy(col("dst").as("host"))
-      .agg(sum("cnt").as("in_links"))
-    rank
-      .join(inCnt, Seq("host"), "left")
-      .join(outCnt.withColumnRenamed("src", "host")
-        .withColumnRenamed("out_cnt", "out_links"), Seq("host"), "left")
-      .select(col("host"), Num.cround(col("r"), 6).as("pagerank"),
-        coalesce(col("in_links"), lit(0L)).as("in_links"),
-        coalesce(col("out_links"), lit(0L)).as("out_links"))
-      .orderBy("host")
+    analytics.Graph.pagerank(links)
   }
 
   /** Character-trigram entropy per document (first 256 chars) — the
@@ -2780,55 +2744,22 @@ object Queries {
         Seq("pct_k"), 6), Seq("pct_d"), 2)
     }
 
-  /** Stationary distribution of the ev6 event-transition kernel — 20
-    * power iterations of pi' = pi P: where a long-running user session
-    * spends its time, the Markov companion to ev6's one-step matrix.
-    *
-    * Shape: the ONLY corpus-sized work is the one transition-count
-    * aggregate (ev6's); the kernel is (event types)² — a bounded constant
-    * — so the iteration collapses to ONE row of arrays and 20 chained
-    * higher-order-function projections: one exchange, one stage, no
-    * per-iteration scheduling (the join-per-iteration form measured 9 s at
-    * sf0.1 — all stage overhead on 5-row frames; contrast g1, which keeps
-    * the distributed join form because a general graph is NOT bounded).
-    * Cross-engine: per-state sums (<= n_states doubles, kernel-sorted
-    * order) round tie-safe at 12 each iteration so order ulps can't
-    * compound; the report rounds at 6. The fixture's kernel is proper
-    * (every observed state has outgoing transitions), so mass is conserved
-    * without a dangling term. */
+  /** Stationary distribution of the ev6 event-transition kernel — where a
+    * long-running user session spends its time, the Markov companion to
+    * ev6's one-step matrix. The ONLY corpus-sized work is the one
+    * transition-count aggregate (ev6's); the power iteration is
+    * [[graft.analytics.Transitions.stationaryDistribution]] (single-row
+    * HOF form, shared verbatim with the streaming twin — see its
+    * scaladoc for the shape and cross-engine argument). The fixture's
+    * kernel is proper (every observed state has outgoing transitions),
+    * so mass is conserved without a dangling term. */
   def ev20MarkovStationary(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val m = Sources.events(s, dir)
+    val counts = Sources.events(s, dir)
       .withColumn("prev_type", lag("event_type", 1).over(byUser))
       .filter(col("prev_type").isNotNull)
       .groupBy("prev_type", "event_type").agg(count(lit(1)).as("n"))
-      .withColumn("p", col("n").cast("double") /
-        sum("n").over(Window.partitionBy("prev_type")))
-    val stateRow = m.select(col("prev_type").as("st"))
-      .union(m.select(col("event_type"))).distinct()
-      .agg(sort_array(collect_list(col("st"))).as("states"))
-    val kernelRow = m.agg(sort_array(collect_list(struct(
-      col("prev_type").as("src"), col("event_type").as("dst"),
-      col("p").as("p")))).as("kernel"))
-    val one = stateRow.crossJoin(broadcast(kernelRow))
-      .withColumn("pi0",
-        transform(col("states"), _ => lit(1.0) / size(col("states"))))
-    val iterated = (1 to 20).foldLeft(one) { (df, t) =>
-      df.withColumn(s"pi$t", transform(col("states"), v =>
-        Num.cround(aggregate(
-          filter(col("kernel"), e => e.getField("dst") === v),
-          lit(0.0),
-          (acc, e) => acc + element_at(col(s"pi${t - 1}"),
-            array_position(col("states"), e.getField("src")).cast("int"))
-            * e.getField("p")),
-          12)))
-    }
-    iterated
-      .select(col("pi20"), posexplode(col("states")).as(Seq("pos", "state")))
-      .select(col("state"), Num.cround(
-        element_at(col("pi20"), col("pos").cast("int") + 1), 6)
-        .as("pi_stationary"))
-      .orderBy("state")
+    analytics.Transitions.stationaryDistribution(counts)
   }
 
   /** ANN recall observability as a FIRST-CLASS query — recall@5 of the

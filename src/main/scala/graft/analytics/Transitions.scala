@@ -49,4 +49,49 @@ object Transitions {
         Num.cround(
           col("n_transitions").cast("double") / col("n_from_state"), 6))
   }
+
+  /** Stationary distribution of a transition-count kernel — `iters` power
+    * iterations of pi' = pi P over `(prev_type, event_type, n)` counts.
+    * The kernel is (event types)² — a bounded constant — so the whole
+    * iteration collapses to ONE row of arrays and chained higher-order-
+    * function projections: one exchange, one stage, no per-iteration
+    * scheduling (a join-per-iteration form measured 9 s at sf0.1 — all
+    * stage overhead on 5-row frames; contrast g1_pagerank, which keeps
+    * the distributed join form because a general graph is NOT bounded).
+    * Cross-engine: per-state sums (<= n_states doubles, kernel-sorted
+    * order) round tie-safe at 12 each iteration so order ulps can't
+    * compound; the report rounds at 6. Shared verbatim by the batch ev20
+    * query and its streaming twin (the streamed transition facts fold
+    * into the same counts — StreamingSpec proves the composition). */
+  def stationaryDistribution(counts: DataFrame, iters: Int = 20): DataFrame = {
+    val m = counts
+      .withColumn("p", col("n").cast("double") /
+        sum("n").over(Window.partitionBy("prev_type")))
+    val stateRow = m.select(col("prev_type").as("st"))
+      .union(m.select(col("event_type"))).distinct()
+      .agg(sort_array(collect_list(col("st"))).as("states"))
+    val kernelRow = m.agg(sort_array(collect_list(struct(
+      col("prev_type").as("src"), col("event_type").as("dst"),
+      col("p").as("p")))).as("kernel"))
+    val one = stateRow.crossJoin(broadcast(kernelRow))
+      .withColumn("pi0",
+        transform(col("states"), _ => lit(1.0) / size(col("states"))))
+    val iterated = (1 to iters).foldLeft(one) { (df, t) =>
+      df.withColumn(s"pi$t", transform(col("states"), v =>
+        Num.cround(aggregate(
+          filter(col("kernel"), e => e.getField("dst") === v),
+          lit(0.0),
+          (acc, e) => acc + element_at(col(s"pi${t - 1}"),
+            array_position(col("states"), e.getField("src")).cast("int"))
+            * e.getField("p")),
+          12)))
+    }
+    iterated
+      .select(col(s"pi$iters"),
+        posexplode(col("states")).as(Seq("pos", "state")))
+      .select(col("state"), Num.cround(
+        element_at(col(s"pi$iters"), col("pos").cast("int") + 1), 6)
+        .as("pi_stationary"))
+      .orderBy("state")
+  }
 }

@@ -374,6 +374,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() == 0 &&
       batch.exceptAll(streamed).count() == 0,
       "streamed transition counts diverge from the batch matrix")
+
+    // ev20's twin is a pure composition: the SAME stationaryDistribution
+    // over the streamed kernel must equal the batch ev20 report
+    val streamedPi = graft.analytics.Transitions.stationaryDistribution(
+      streamed.withColumnRenamed("n_transitions", "n"))
+    val batchPi = Queries.all("ev20_markov_stationary")(spark, dir)
+    assert(streamedPi.exceptAll(batchPi).count() == 0 &&
+      batchPi.exceptAll(streamedPi).count() == 0,
+      "streamed stationary distribution diverges from the batch ev20")
   }
 
   test("streaming attribution facts fold to the batch attribution report") {

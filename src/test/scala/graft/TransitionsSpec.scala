@@ -48,4 +48,20 @@ class TransitionsSpec extends AnyFunSuite {
       .toDF("event_id", "ts", "user_id", "event_type", "value")
     assert(Transitions.eventTransitions(events).count() == 0)
   }
+
+  test("stationary distribution converges to the analytic fixed point of a 2-state chain") {
+    // Kernel: A -> B always; B -> A half, B -> B half. Balance equations:
+    // piA = 0.5 piB, piA + piB = 1  =>  piA = 1/3, piB = 2/3. The second
+    // eigenvalue is -0.5, so 20 iterations from uniform sit within
+    // 0.5^20 ~ 1e-6 of the fixed point.
+    val counts = Seq(
+      ("A", "B", 2L),   // p(A->B) = 1
+      ("B", "A", 1L),   // p(B->A) = 0.5
+      ("B", "B", 1L))   // p(B->B) = 0.5
+      .toDF("prev_type", "event_type", "n")
+    val out = Transitions.stationaryDistribution(counts).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out("A") - 1.0 / 3) < 1e-4, s"piA = ${out("A")}")
+    assert(math.abs(out("B") - 2.0 / 3) < 1e-4, s"piB = ${out("B")}")
+  }
 }
