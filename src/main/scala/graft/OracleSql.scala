@@ -4170,6 +4170,42 @@ object OracleSql {
          |  ${R("CORR(x, close) * CORR(x, close)", 6)} AS r2
          |FROM xd GROUP BY symbol ORDER BY symbol""".stripMargin),
 
+    // Growth-accounting twin: distinct (user, week) pairs, lag/lead
+    // classification, churn at week+7 (right-censored users NOT churned),
+    // full-outer weekly merge. Counts — exact integers.
+    "ev21_growth_accounting" -> (
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(date_trunc('week', ts) AS DATE) AS week
+        |  FROM events),
+        |st AS (
+        |  SELECT user_id, week,
+        |         LAG(week) OVER w AS prev_week,
+        |         LEAD(week) OVER w AS next_week
+        |  FROM uw WINDOW w AS (PARTITION BY user_id ORDER BY week)),
+        |sc AS (
+        |  SELECT week,
+        |    SUM(CASE WHEN prev_week IS NULL THEN 1 ELSE 0 END) AS n_new,
+        |    SUM(CASE WHEN prev_week IS NOT NULL
+        |             AND datediff('day', prev_week, week) = 7
+        |             THEN 1 ELSE 0 END) AS n_retained,
+        |    SUM(CASE WHEN prev_week IS NOT NULL
+        |             AND datediff('day', prev_week, week) > 7
+        |             THEN 1 ELSE 0 END) AS n_resurrected
+        |  FROM st GROUP BY 1),
+        |ch AS (
+        |  SELECT week + 7 AS week, COUNT(*) AS n_churned
+        |  FROM st
+        |  WHERE next_week IS NOT NULL AND datediff('day', week, next_week) > 7
+        |  GROUP BY 1)
+        |SELECT COALESCE(sc.week, ch.week) AS week,
+        |  CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+        |  CAST(COALESCE(n_retained, 0) AS BIGINT) AS n_retained,
+        |  CAST(COALESCE(n_resurrected, 0) AS BIGINT) AS n_resurrected,
+        |  CAST(COALESCE(n_churned, 0) AS BIGINT) AS n_churned
+        |FROM sc FULL OUTER JOIN ch ON sc.week = ch.week
+        |ORDER BY week""".stripMargin),
+
     // Stochastic-oscillator twin: window MIN/MAX channel bounds are exact,
     // %K is identical per-row arithmetic, %D averages raw %K with NULLs
     // skipped the same way.

@@ -2762,6 +2762,14 @@ object Queries {
     analytics.Transitions.stationaryDistribution(counts)
   }
 
+  /** Weekly growth accounting — new / retained / resurrected / churned
+    * users per week (see [[graft.analytics.Lifecycle.growthAccounting]]);
+    * the "quality of growth" decomposition next to ev5's triangle. */
+  def ev21GrowthAccounting(s: SparkSession, dir: String): DataFrame =
+    analytics.Lifecycle.growthAccounting(
+      Sources.events(s, dir).select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("week")))
+
   /** ANN recall observability as a FIRST-CLASS query — recall@5 of the
     * three approximate retrieval tiers (sim2 LSH, sim6 multiprobe, sim3
     * IVF) against sim1's brute-force truth, the production health check a
@@ -3005,6 +3013,7 @@ object Queries {
     "ev20_markov_stationary" -> (ev20MarkovStationary _),
     "t33_trigram_entropy" -> (t33TrigramEntropy _),
     "a22_ols_trend" -> (a22OlsTrend _),
-    "sim20_recall" -> (sim20Recall _)
+    "sim20_recall" -> (sim20Recall _),
+    "ev21_growth_accounting" -> (ev21GrowthAccounting _)
   )
 }

@@ -493,6 +493,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() == 0 &&
       batch.exceptAll(streamed).count() == 0,
       "streamed retention triangle diverges from the batch operator")
+
+    // ev21's twin is pure composition over the SAME snapshots: the
+    // per-user week sets explode into (user, week) pairs and fold through
+    // the same Lifecycle.growthAccounting the batch query runs
+    val latestWithUser = spark.table("retention_stream_test")
+      .groupBy("user_id")
+      .agg(max_by(col("week_set"), col("n_events_seen")).as("week_set"))
+    val userWeeks = latestWithUser
+      .select(col("user_id"), explode(col("week_set")).as("wd"))
+      .select(col("user_id"),
+        date_add(to_date(lit("1970-01-01")), col("wd")).as("week"))
+    val streamedGrowth = graft.analytics.Lifecycle.growthAccounting(userWeeks)
+    val batchGrowth = Queries.all("ev21_growth_accounting")(spark, dir)
+    assert(batchGrowth.count() > 0 &&
+      streamedGrowth.count() == batchGrowth.count())
+    assert(streamedGrowth.exceptAll(batchGrowth).count() == 0 &&
+      batchGrowth.exceptAll(streamedGrowth).count() == 0,
+      "streamed growth accounting diverges from the batch ev21")
   }
 
   test("streaming active-user snapshots fold to the batch DAU/WAU curve") {
