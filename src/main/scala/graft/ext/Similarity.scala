@@ -1202,6 +1202,8 @@ object Similarity {
     val el = emb.select(posexplode(col("embedding")).as(Seq("pos", "v")))
       .select(col("pos"), col("v").cast("double").as("v"))
     val mean = Array.ofDim[Double](dims)
+    // dims-sized (64-row) aggregated statistic to the driver — a model
+    // PARAMETER pull (the Spark ML PCA pattern), never corpus rows
     el.groupBy("pos").agg(avg("v").as("m")).collect()
       .foreach(r => mean(r.getInt(0)) = r.getDouble(1))
     // E[v vᵀ] in one pass: per-row outer product flattened to a dims²
