@@ -4170,6 +4170,39 @@ object OracleSql {
          |  ${R("CORR(x, close) * CORR(x, close)", 6)} AS r2
          |FROM xd GROUP BY symbol ORDER BY symbol""".stripMargin),
 
+    // Weekly-OHLC twin: arg_min/arg_max on the unique (symbol, date) key
+    // (the a6 contract), exact max/min/sum, round 2 on the arg picks.
+    "w25_weekly_ohlc" -> withCtes(stockCte, cleanCte, dedupCte)(
+      s"""SELECT symbol, CAST(date_trunc('week', "date") AS DATE) AS week,
+         |  ${R("arg_min(open, \"date\")", 2)} AS w_open,
+         |  ${R("MAX(high)", 2)} AS w_high,
+         |  ${R("MIN(low)", 2)} AS w_low,
+         |  ${R("arg_max(close, \"date\")", 2)} AS w_close,
+         |  CAST(SUM(volume) AS BIGINT) AS w_volume,
+         |  CAST(COUNT(*) AS BIGINT) AS n_days
+         |FROM dedup GROUP BY 1, 2 ORDER BY symbol, week""".stripMargin),
+
+    // Triangle twin: same undirected canonicalization, same ordered
+    // two-join triangle enumeration, per-node explode via UNNEST.
+    "g2_triangles" -> (
+      """WITH lk AS (
+        |  SELECT 'h' || CAST(doc_id % 13 AS VARCHAR) || '.example.com' AS src,
+        |         'h' || CAST(u.dk AS VARCHAR) || '.example.com' AS dst
+        |  FROM documents,
+        |       UNNEST([(doc_id * 7 + 3) % 13, (doc_id * doc_id + 1) % 13]) u(dk)
+        |  WHERE doc_id % 13 <> u.dk),
+        |und AS (
+        |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        |  FROM lk),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM und e1
+        |  JOIN und e2 ON e2.a = e1.b
+        |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT u.host, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |FROM tri, UNNEST([x, y, z]) u(host)
+        |GROUP BY 1 ORDER BY u.host""".stripMargin),
+
     // Growth-accounting twin: distinct (user, week) pairs, lag/lead
     // classification, churn at week+7 (right-censored users NOT churned),
     // full-outer weekly merge. Counts — exact integers.

@@ -2762,6 +2762,63 @@ object Queries {
     analytics.Transitions.stationaryDistribution(counts)
   }
 
+  /** Weekly OHLC resample — the classic bar-downsampling transform (daily
+    * -> weekly candles): first open / max high / min low / last close per
+    * (symbol, ISO week), volume summed. ONE hash aggregate; the
+    * first/last selections are arg-aggregates on the unique (symbol,
+    * date) key (the a6 min_by/arg_min contract), never a window sort.
+    * high/low/volume are exact; open/close round 2 (multi-source doubles
+    * through arg selection, the a6 scale). */
+  def w25WeeklyOhlc(s: SparkSession, dir: String): DataFrame =
+    rounded(cleanedStock(s, dir).drop("rid")
+      .groupBy(col("symbol"),
+        date_trunc("week", col("date")).cast("date").as("week"))
+      .agg(
+        min_by(col("open"), col("date")).as("w_open"),
+        max(col("high")).as("w_high"),
+        min(col("low")).as("w_low"),
+        max_by(col("close"), col("date")).as("w_close"),
+        sum(col("volume")).as("w_volume"),
+        count(lit(1)).as("n_days")),
+      Seq("w_open", "w_high", "w_low", "w_close"), 2)
+      .orderBy("symbol", "week")
+
+  /** Per-host triangle participation over the g1 link graph — the local
+    * clustering signal (spam/link-farm detection reads it) and the second
+    * operator of the graph family. Edges canonicalize to undirected
+    * (a < b) pairs; triangles come from two equi-joins with the
+    * orderly a < b < c constraint (each triangle counted once), then
+    * per-node participation via one explode. Everything after the one
+    * corpus-sized edge aggregate is bounded by the host graph. */
+  def g2Triangles(s: SparkSession, dir: String): DataFrame = {
+    // two link targets per doc (affine + quadratic residue): g1's single
+    // functional target yields a triangle-free cycle — this graph has 23
+    // undirected edges and exactly 4 triangles over the 13 hosts
+    val links = Sources.documents(s, dir)
+      .select(col("doc_id"), explode(array(
+        (col("doc_id") * 7 + 3) % 13,
+        (col("doc_id") * col("doc_id") + 1) % 13)).as("dk"))
+      .select(
+        concat(lit("h"), (col("doc_id") % 13).cast("string"),
+          lit(".example.com")).as("src"),
+        concat(lit("h"), col("dk").cast("string"),
+          lit(".example.com")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val und = Materialize(links.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct())
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .join(und.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("host"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy("host")
+  }
+
   /** Weekly growth accounting — new / retained / resurrected / churned
     * users per week (see [[graft.analytics.Lifecycle.growthAccounting]]);
     * the "quality of growth" decomposition next to ev5's triangle. */
@@ -3014,6 +3071,8 @@ object Queries {
     "t33_trigram_entropy" -> (t33TrigramEntropy _),
     "a22_ols_trend" -> (a22OlsTrend _),
     "sim20_recall" -> (sim20Recall _),
-    "ev21_growth_accounting" -> (ev21GrowthAccounting _)
+    "ev21_growth_accounting" -> (ev21GrowthAccounting _),
+    "w25_weekly_ohlc" -> (w25WeeklyOhlc _),
+    "g2_triangles" -> (g2Triangles _)
   )
 }
