@@ -4170,6 +4170,45 @@ object OracleSql {
          |  ${R("CORR(x, close) * CORR(x, close)", 6)} AS r2
          |FROM xd GROUP BY symbol ORDER BY symbol""".stripMargin),
 
+    // Fuzzy-linkage twin: same dirt formulas (Java/RE2-common regexes),
+    // same second-token blocking + 64-cap per side, Jaccard via
+    // list_intersect / distinct-concat union (== Spark array_union).
+    "j11_fuzzy_linkage" -> (
+      s"""WITH p AS (
+         |  SELECT p_partkey,
+         |         lower(concat_ws(' ', p_name, p_type, p_brand)) AS name
+         |  FROM part),
+         |c AS (
+         |  SELECT p_partkey AS catalog_id,
+         |         CASE WHEN p_partkey % 3 = 0
+         |              THEN regexp_replace(name, ' [^ ]+$$', '')
+         |              WHEN p_partkey % 3 = 1
+         |              THEN regexp_replace(name, '^[a-z]+', 'unknown')
+         |              ELSE name END AS cname
+         |  FROM p),
+         |pb AS (
+         |  SELECT * FROM (
+         |    SELECT p_partkey, name, string_split(name, ' ')[2] AS bk,
+         |           ROW_NUMBER() OVER (PARTITION BY string_split(name, ' ')[2]
+         |             ORDER BY p_partkey) AS rn
+         |    FROM p) WHERE rn <= 64),
+         |cb AS (
+         |  SELECT * FROM (
+         |    SELECT catalog_id, cname, string_split(cname, ' ')[2] AS bk,
+         |           ROW_NUMBER() OVER (PARTITION BY string_split(cname, ' ')[2]
+         |             ORDER BY catalog_id) AS rn
+         |    FROM c) WHERE rn <= 64),
+         |j AS (
+         |  SELECT pb.p_partkey, cb.catalog_id,
+         |    ${R("""CAST(len(list_intersect(list_distinct(string_split(pb.name, ' ')),
+         |                                   list_distinct(string_split(cb.cname, ' ')))) AS DOUBLE)
+         |      / len(list_distinct(list_concat(list_distinct(string_split(pb.name, ' ')),
+         |                                      list_distinct(string_split(cb.cname, ' ')))))""", 6)} AS jaccard
+         |  FROM pb JOIN cb ON cb.bk = pb.bk)
+         |SELECT p_partkey, catalog_id, jaccard FROM j
+         |WHERE jaccard >= 0.5
+         |ORDER BY p_partkey, catalog_id""".stripMargin),
+
     // Weekly-OHLC twin: arg_min/arg_max on the unique (symbol, date) key
     // (the a6 contract), exact max/min/sum, round 2 on the arg picks.
     "w25_weekly_ohlc" -> withCtes(stockCte, cleanCte, dedupCte)(

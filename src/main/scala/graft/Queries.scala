@@ -2819,6 +2819,49 @@ object Queries {
       .orderBy("host")
   }
 
+  /** Cross-table fuzzy record linkage — entity resolution between the
+    * part catalog and a deterministically-dirtied twin (dropped last
+    * token / replaced first token / unchanged, by key residue): the
+    * blocking-then-verify ER shape d10 runs WITHIN one table, here across
+    * two. Blocking keys on the second name token (untouched by both dirt
+    * patterns — blocking-key choice is domain knowledge), with a 64-row
+    * per-block cap on EACH side (TPC-H's ~92-word p_name vocabulary makes
+    * uncapped blocks quadratic — the d2 hot-bucket discipline); the
+    * verify is token-set Jaccard >= 0.5 on the tie-safe-ROUNDED ratio
+    * (exact-integer division, the d8 convention). */
+  def j11FuzzyLinkage(s: SparkSession, dir: String): DataFrame = {
+    // entity name = name + type + brand (4 tokens on this corpus — p_name
+    // alone is 2, too thin for meaningful Jaccard); the last-token class
+    // is [^ ]+ because brand tokens contain '#'
+    val part = Sources.table(s, dir, "part")
+      .select(col("p_partkey"), lower(concat_ws(" ",
+        col("p_name"), col("p_type"), col("p_brand"))).as("name"))
+    val catalog = part.select(col("p_partkey").as("catalog_id"),
+      when(col("p_partkey") % 3 === 0,
+        regexp_replace(col("name"), " [^ ]+$", ""))
+        .when(col("p_partkey") % 3 === 1,
+          regexp_replace(col("name"), "^[a-z]+", "unknown"))
+        .otherwise(col("name")).as("cname"))
+    def bkey(c: Column): Column = split(c, " ").getItem(1)
+    val pB = part.withColumn("bk", bkey(col("name")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("bk").orderBy("p_partkey")))
+      .filter(col("rn") <= 64).drop("rn")
+    val cB = catalog.withColumn("bk", bkey(col("cname")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("bk").orderBy("catalog_id")))
+      .filter(col("rn") <= 64).drop("rn")
+    val ta = array_distinct(split(col("name"), " "))
+    val tb = array_distinct(split(col("cname"), " "))
+    pB.join(cB, "bk")
+      .withColumn("jaccard", Num.cround(
+        size(array_intersect(ta, tb)).cast("double")
+          / size(array_union(ta, tb)), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select("p_partkey", "catalog_id", "jaccard")
+      .orderBy("p_partkey", "catalog_id")
+  }
+
   /** Weekly growth accounting — new / retained / resurrected / churned
     * users per week (see [[graft.analytics.Lifecycle.growthAccounting]]);
     * the "quality of growth" decomposition next to ev5's triangle. */
@@ -3073,6 +3116,7 @@ object Queries {
     "sim20_recall" -> (sim20Recall _),
     "ev21_growth_accounting" -> (ev21GrowthAccounting _),
     "w25_weekly_ohlc" -> (w25WeeklyOhlc _),
-    "g2_triangles" -> (g2Triangles _)
+    "g2_triangles" -> (g2Triangles _),
+    "j11_fuzzy_linkage" -> (j11FuzzyLinkage _)
   )
 }
