@@ -438,17 +438,144 @@ object OracleSql {
   ) ++ analyticsSql ++ scalarSql ++ joinSql ++ extSql ++ smallOpsSql ++
     recallSql
 
-  /** sim20's oracle composes the already-verified sim1/sim2/sim6/sim3
-    * statements as subqueries — the recall report is pure membership over
-    * their exact outputs, so this entry inherits their cross-engine
-    * contracts wholesale (any divergence would already fail THEIR gates). */
+  /** The three approximate-tier statements, parameterized by the top-k
+    * retrieval depth: the registered sim2/sim6/sim3 queries run k=3 (the
+    * tiers' production default), while sim20's recall report re-runs them
+    * at k=5 to match the brute-force truth depth — a recall@5 against
+    * k=3 retrieval would cap at 0.6 under perfect recall (round-12
+    * ADVICE). Only the final rank bound varies; every CTE is shared
+    * verbatim across both depths. */
+  private def sim2LshSqlAtK(k: Int): String = withCtes(
+    embUnnestCte(""), normCte,
+    """pl AS (
+      |  SELECT p, d,
+      |    (CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 8)) AS BIGINT)
+      |     % 2001 - 1000) / 1000.0 AS w
+      |  FROM range(0, 8) t1(p), range(1, 65) t2(d))""".stripMargin,
+    """pd AS (
+      |  SELECT u.vec_id, pl.p, SUM(CAST(u.v AS DOUBLE) * pl.w) AS pdot
+      |  FROM u JOIN pl ON pl.d = u.i GROUP BY 1, 2)""".stripMargin,
+    """bu AS (
+      |  SELECT vec_id,
+      |         CAST(SUM(CASE WHEN pdot > 0 THEN CAST(POWER(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM pd GROUP BY 1)""".stripMargin,
+    "qs AS (SELECT vec_id AS query_id, bucket FROM bu WHERE vec_id % 100 = 0)",
+    """cand AS (
+      |  SELECT qs.query_id, bu.vec_id, qs.bucket
+      |  FROM qs JOIN bu ON bu.bucket = qs.bucket AND bu.vec_id <> qs.query_id)""".stripMargin,
+    """cd AS (
+      |  SELECT c.query_id, c.vec_id, c.bucket,
+      |         SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dp
+      |  FROM cand c JOIN u a ON a.vec_id = c.query_id
+      |              JOIN u b ON b.vec_id = c.vec_id AND b.i = a.i
+      |  GROUP BY 1, 2, 3)""".stripMargin,
+    s"""sc AS (
+       |  SELECT query_id, cd.vec_id, bucket,
+       |         ${R("dp / (nq.nv * nc.nv)", 6)} AS cosine
+       |  FROM cd JOIN nrm nq ON nq.vec_id = query_id
+       |           JOIN nrm nc ON nc.vec_id = cd.vec_id)""".stripMargin)(
+    s"""SELECT query_id, rank, vec_id, bucket, cosine FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM sc)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin)
+
+  private def sim6MultiProbeSqlAtK(k: Int): String = withCtes(
+    embUnnestCte(""), normCte,
+    """pl AS (
+      |  SELECT p, d,
+      |    (CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 8)) AS BIGINT)
+      |     % 2001 - 1000) / 1000.0 AS w
+      |  FROM range(0, 8) t1(p), range(1, 65) t2(d))""".stripMargin,
+    """pd AS (
+      |  SELECT u.vec_id, pl.p, SUM(CAST(u.v AS DOUBLE) * pl.w) AS pdot
+      |  FROM u JOIN pl ON pl.d = u.i GROUP BY 1, 2)""".stripMargin,
+    """bu AS (
+      |  SELECT vec_id,
+      |         CAST(SUM(CASE WHEN pdot > 0 THEN CAST(POWER(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM pd GROUP BY 1)""".stripMargin,
+    s"""qf AS (
+       |  SELECT vec_id, p FROM (
+       |    SELECT vec_id, p,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id
+       |             ORDER BY ${R("ABS(pdot)", 6)}, p) AS rnk
+       |    FROM pd WHERE vec_id % 100 = 0)
+       |  WHERE rnk <= 2)""".stripMargin,
+    """qs AS (
+      |  SELECT vec_id AS query_id, bucket FROM bu WHERE vec_id % 100 = 0
+      |  UNION ALL
+      |  SELECT f.vec_id AS query_id,
+      |         xor(b.bucket, CAST(POWER(2, f.p) AS BIGINT)) AS bucket
+      |  FROM qf f JOIN bu b ON b.vec_id = f.vec_id)""".stripMargin,
+    """cand AS (
+      |  SELECT qs.query_id, bu.vec_id, qs.bucket
+      |  FROM qs JOIN bu ON bu.bucket = qs.bucket AND bu.vec_id <> qs.query_id)""".stripMargin,
+    """cd AS (
+      |  SELECT c.query_id, c.vec_id, c.bucket,
+      |         SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dp
+      |  FROM cand c JOIN u a ON a.vec_id = c.query_id
+      |              JOIN u b ON b.vec_id = c.vec_id AND b.i = a.i
+      |  GROUP BY 1, 2, 3)""".stripMargin,
+    s"""sc AS (
+       |  SELECT query_id, cd.vec_id, bucket,
+       |         ${R("dp / (nq.nv * nc.nv)", 6)} AS cosine
+       |  FROM cd JOIN nrm nq ON nq.vec_id = query_id
+       |           JOIN nrm nc ON nc.vec_id = cd.vec_id)""".stripMargin)(
+    s"""SELECT query_id, rank, vec_id, bucket, cosine FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM sc)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin)
+
+  private def sim3IvfSqlAtK(k: Int): String = withCtes(
+    embUnnestCte(""), normCte,
+    """an AS (
+      |  SELECT c, d,
+      |    (CAST(('0x' || substr(md5(CAST(c AS VARCHAR) || '~' || CAST(d AS VARCHAR)), 1, 8)) AS BIGINT)
+      |     % 2001 - 1000) / 1000.0 AS w
+      |  FROM range(0, 16) t1(c), range(1, 65) t2(d))""".stripMargin,
+    "anorm AS (SELECT c, SQRT(SUM(w * w)) AS anorm FROM an GROUP BY c)",
+    """sc0 AS (
+      |  SELECT u.vec_id, an.c, SUM(CAST(u.v AS DOUBLE) * an.w) AS adot
+      |  FROM u JOIN an ON an.d = u.i GROUP BY 1, 2)""".stripMargin,
+    """scr AS (
+      |  SELECT vec_id, c, adot / anorm AS score,
+      |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY adot / anorm DESC, c) AS rnk
+      |  FROM sc0 JOIN anorm USING (c))""".stripMargin,
+    "assigned AS (SELECT vec_id, c AS list_id FROM scr WHERE rnk = 1)",
+    """probes AS (
+      |  SELECT vec_id AS query_id, c AS list_id FROM scr
+      |  WHERE vec_id % 100 = 0 AND rnk <= 2)""".stripMargin,
+    """cand AS (
+      |  SELECT p.query_id, a.vec_id, a.list_id
+      |  FROM probes p JOIN assigned a ON a.list_id = p.list_id AND a.vec_id <> p.query_id)""".stripMargin,
+    """cd AS (
+      |  SELECT c.query_id, c.vec_id, c.list_id,
+      |         SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dp
+      |  FROM cand c JOIN u a ON a.vec_id = c.query_id
+      |              JOIN u b ON b.vec_id = c.vec_id AND b.i = a.i
+      |  GROUP BY 1, 2, 3)""".stripMargin,
+    s"""sc AS (
+       |  SELECT query_id, cd.vec_id, list_id,
+       |         ${R("dp / (nq.nv * nc.nv)", 6)} AS cosine
+       |  FROM cd JOIN nrm nq ON nq.vec_id = query_id
+       |           JOIN nrm nc ON nc.vec_id = cd.vec_id)""".stripMargin)(
+    s"""SELECT query_id, rank, vec_id, list_id, cosine FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM sc)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin)
+
+  /** sim20's oracle composes the already-verified sim1 statement and the
+    * three tier statements above AT k=5 (matching the Spark side's k=5
+    * retrieval against top-5 truth) — the recall report is pure membership
+    * over their exact outputs, so this entry inherits their cross-engine
+    * contracts wholesale (the k=5 bodies differ from the gated k=3 ones
+    * only in the final rank bound). */
   private lazy val recallSql: Map[String, String] = Map(
     "sim20_recall" -> {
-      def sub(name: String) = s"SELECT query_id, vec_id FROM (${extSql(name)})"
-      s"""WITH truth AS (${sub("sim1_cosine_topk")}),
-         |l2 AS (${sub("sim2_lsh_topk")}),
-         |l6 AS (${sub("sim6_lsh_multiprobe")}),
-         |l3 AS (${sub("sim3_ivf_topk")}),
+      def sub(sql: String) = s"SELECT query_id, vec_id FROM ($sql)"
+      s"""WITH truth AS (${sub(extSql("sim1_cosine_topk"))}),
+         |l2 AS (${sub(sim2LshSqlAtK(5))}),
+         |l6 AS (${sub(sim6MultiProbeSqlAtK(5))}),
+         |l3 AS (${sub(sim3IvfSqlAtK(5))}),
          |nt AS (SELECT COUNT(*) AS n_truth FROM truth),
          |h AS (
          |  SELECT 'lsh' AS method, COUNT(*) AS hits FROM truth t
@@ -2374,39 +2501,7 @@ object OracleSql {
         |JOIN lab cl ON cl.vec_id = r.neg_id
         |WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin),
 
-    "sim2_lsh_topk" -> withCtes(
-      embUnnestCte(""), normCte,
-      """pl AS (
-        |  SELECT p, d,
-        |    (CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 8)) AS BIGINT)
-        |     % 2001 - 1000) / 1000.0 AS w
-        |  FROM range(0, 8) t1(p), range(1, 65) t2(d))""".stripMargin,
-      """pd AS (
-        |  SELECT u.vec_id, pl.p, SUM(CAST(u.v AS DOUBLE) * pl.w) AS pdot
-        |  FROM u JOIN pl ON pl.d = u.i GROUP BY 1, 2)""".stripMargin,
-      """bu AS (
-        |  SELECT vec_id,
-        |         CAST(SUM(CASE WHEN pdot > 0 THEN CAST(POWER(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
-        |  FROM pd GROUP BY 1)""".stripMargin,
-      "qs AS (SELECT vec_id AS query_id, bucket FROM bu WHERE vec_id % 100 = 0)",
-      """cand AS (
-        |  SELECT qs.query_id, bu.vec_id, qs.bucket
-        |  FROM qs JOIN bu ON bu.bucket = qs.bucket AND bu.vec_id <> qs.query_id)""".stripMargin,
-      """cd AS (
-        |  SELECT c.query_id, c.vec_id, c.bucket,
-        |         SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dp
-        |  FROM cand c JOIN u a ON a.vec_id = c.query_id
-        |              JOIN u b ON b.vec_id = c.vec_id AND b.i = a.i
-        |  GROUP BY 1, 2, 3)""".stripMargin,
-      s"""sc AS (
-         |  SELECT query_id, cd.vec_id, bucket,
-         |         ${R("dp / (nq.nv * nc.nv)", 6)} AS cosine
-         |  FROM cd JOIN nrm nq ON nq.vec_id = query_id
-         |           JOIN nrm nc ON nc.vec_id = cd.vec_id)""".stripMargin)(
-      """SELECT query_id, rank, vec_id, bucket, cosine FROM (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
-        |  FROM sc)
-        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+    "sim2_lsh_topk" -> sim2LshSqlAtK(3),
 
     // Range-search twin: sim2's bucket/candidate/score CTEs with the
     // denser % 10 query set; the final stage is the tau filter on the
@@ -2483,89 +2578,9 @@ object OracleSql {
     // tiebreak — an unrounded float rank could pick different probe
     // buckets across engines). A candidate lives in exactly one bucket
     // and probed buckets are distinct, so no dedup is needed.
-    "sim6_lsh_multiprobe" -> withCtes(
-      embUnnestCte(""), normCte,
-      """pl AS (
-        |  SELECT p, d,
-        |    (CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 8)) AS BIGINT)
-        |     % 2001 - 1000) / 1000.0 AS w
-        |  FROM range(0, 8) t1(p), range(1, 65) t2(d))""".stripMargin,
-      """pd AS (
-        |  SELECT u.vec_id, pl.p, SUM(CAST(u.v AS DOUBLE) * pl.w) AS pdot
-        |  FROM u JOIN pl ON pl.d = u.i GROUP BY 1, 2)""".stripMargin,
-      """bu AS (
-        |  SELECT vec_id,
-        |         CAST(SUM(CASE WHEN pdot > 0 THEN CAST(POWER(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
-        |  FROM pd GROUP BY 1)""".stripMargin,
-      s"""qf AS (
-         |  SELECT vec_id, p FROM (
-         |    SELECT vec_id, p,
-         |           ROW_NUMBER() OVER (PARTITION BY vec_id
-         |             ORDER BY ${R("ABS(pdot)", 6)}, p) AS rnk
-         |    FROM pd WHERE vec_id % 100 = 0)
-         |  WHERE rnk <= 2)""".stripMargin,
-      """qs AS (
-        |  SELECT vec_id AS query_id, bucket FROM bu WHERE vec_id % 100 = 0
-        |  UNION ALL
-        |  SELECT f.vec_id AS query_id,
-        |         xor(b.bucket, CAST(POWER(2, f.p) AS BIGINT)) AS bucket
-        |  FROM qf f JOIN bu b ON b.vec_id = f.vec_id)""".stripMargin,
-      """cand AS (
-        |  SELECT qs.query_id, bu.vec_id, qs.bucket
-        |  FROM qs JOIN bu ON bu.bucket = qs.bucket AND bu.vec_id <> qs.query_id)""".stripMargin,
-      """cd AS (
-        |  SELECT c.query_id, c.vec_id, c.bucket,
-        |         SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dp
-        |  FROM cand c JOIN u a ON a.vec_id = c.query_id
-        |              JOIN u b ON b.vec_id = c.vec_id AND b.i = a.i
-        |  GROUP BY 1, 2, 3)""".stripMargin,
-      s"""sc AS (
-         |  SELECT query_id, cd.vec_id, bucket,
-         |         ${R("dp / (nq.nv * nc.nv)", 6)} AS cosine
-         |  FROM cd JOIN nrm nq ON nq.vec_id = query_id
-         |           JOIN nrm nc ON nc.vec_id = cd.vec_id)""".stripMargin)(
-      """SELECT query_id, rank, vec_id, bucket, cosine FROM (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
-        |  FROM sc)
-        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+    "sim6_lsh_multiprobe" -> sim6MultiProbeSqlAtK(3),
 
-    "sim3_ivf_topk" -> withCtes(
-      embUnnestCte(""), normCte,
-      """an AS (
-        |  SELECT c, d,
-        |    (CAST(('0x' || substr(md5(CAST(c AS VARCHAR) || '~' || CAST(d AS VARCHAR)), 1, 8)) AS BIGINT)
-        |     % 2001 - 1000) / 1000.0 AS w
-        |  FROM range(0, 16) t1(c), range(1, 65) t2(d))""".stripMargin,
-      "anorm AS (SELECT c, SQRT(SUM(w * w)) AS anorm FROM an GROUP BY c)",
-      """sc0 AS (
-        |  SELECT u.vec_id, an.c, SUM(CAST(u.v AS DOUBLE) * an.w) AS adot
-        |  FROM u JOIN an ON an.d = u.i GROUP BY 1, 2)""".stripMargin,
-      """scr AS (
-        |  SELECT vec_id, c, adot / anorm AS score,
-        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY adot / anorm DESC, c) AS rnk
-        |  FROM sc0 JOIN anorm USING (c))""".stripMargin,
-      "assigned AS (SELECT vec_id, c AS list_id FROM scr WHERE rnk = 1)",
-      """probes AS (
-        |  SELECT vec_id AS query_id, c AS list_id FROM scr
-        |  WHERE vec_id % 100 = 0 AND rnk <= 2)""".stripMargin,
-      """cand AS (
-        |  SELECT p.query_id, a.vec_id, a.list_id
-        |  FROM probes p JOIN assigned a ON a.list_id = p.list_id AND a.vec_id <> p.query_id)""".stripMargin,
-      """cd AS (
-        |  SELECT c.query_id, c.vec_id, c.list_id,
-        |         SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dp
-        |  FROM cand c JOIN u a ON a.vec_id = c.query_id
-        |              JOIN u b ON b.vec_id = c.vec_id AND b.i = a.i
-        |  GROUP BY 1, 2, 3)""".stripMargin,
-      s"""sc AS (
-         |  SELECT query_id, cd.vec_id, list_id,
-         |         ${R("dp / (nq.nv * nc.nv)", 6)} AS cosine
-         |  FROM cd JOIN nrm nq ON nq.vec_id = query_id
-         |           JOIN nrm nc ON nc.vec_id = cd.vec_id)""".stripMargin)(
-      """SELECT query_id, rank, vec_id, list_id, cosine FROM (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
-        |  FROM sc)
-        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+    "sim3_ivf_topk" -> sim3IvfSqlAtK(3),
 
     // RRF twin: the sim2 chain verbatim (pl..sc) and the sim3 chain with
     // its colliding CTEs renamed (icand/icd/isc), both cut at rank<=10,
@@ -4159,6 +4174,10 @@ object OracleSql {
 
     // OLS-trend twin: the w16 co-moment contract (COVAR_SAMP / VAR_SAMP /
     // CORR agree cross-engine at round 6), epoch-day x in both engines.
+    // The VAR_SAMP(close) = 0 CASE mirrors the Spark side's guard: DuckDB's
+    // CORR already returns NULL on a zero-variance argument (Spark's
+    // returns NaN), so the branch is a no-op here — it documents the
+    // shared NULL-r2 contract for constant-close symbols.
     "a22_ols_trend" -> withCtes(stockCte, cleanCte, dedupCte,
       """xd AS (
         |  SELECT symbol, close,
@@ -4167,7 +4186,8 @@ object OracleSql {
       s"""SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_days,
          |  ${R("COVAR_SAMP(x, close) / VAR_SAMP(x)", 6)} AS slope,
          |  ${R("AVG(close) - COVAR_SAMP(x, close) / VAR_SAMP(x) * AVG(x)", 2)} AS intercept,
-         |  ${R("CORR(x, close) * CORR(x, close)", 6)} AS r2
+         |  CASE WHEN VAR_SAMP(close) = 0 THEN NULL
+         |       ELSE ${R("CORR(x, close) * CORR(x, close)", 6)} END AS r2
          |FROM xd GROUP BY symbol ORDER BY symbol""".stripMargin),
 
     // Fuzzy-linkage twin: same dirt formulas (Java/RE2-common regexes),

@@ -2706,7 +2706,11 @@ object Queries {
     * convention): it is avg - slope*avg(x) at ~1e5 magnitude — a
     * big-number cancellation whose co-moment ulps exceed 1e-6 (found at
     * the synthesized sf1.0: 3 of 200k symbols diverged at round 6).
-    * Single-day symbols yield NULLs. */
+    * Single-day symbols yield NULLs. A constant-close symbol (>=2 rows,
+    * zero close variance) yields NULL r2: Spark's corr returns NaN on a
+    * zero-variance argument where DuckDB's CORR returns NULL — the same
+    * latent 0/0 divergence a20 guards with its se2 <= 0 branch (round-12
+    * ADVICE), so the var_samp gate maps both engines to NULL. */
   def a22OlsTrend(s: SparkSession, dir: String): DataFrame = {
     val d = cleanedStock(s, dir).drop("rid")
       .withColumn("x",
@@ -2716,7 +2720,9 @@ object Queries {
       .agg(count(lit(1)).as("n_days"),
         slope.as("slope"),
         (avg(col("close")) - slope * avg(col("x"))).as("intercept"),
-        (corr(col("x"), col("close")) * corr(col("x"), col("close")))
+        when(var_samp(col("close")) === 0, lit(null).cast("double"))
+          .otherwise(corr(col("x"), col("close")) *
+            corr(col("x"), col("close")))
           .as("r2")),
       Seq("slope", "r2")), Seq("intercept"), 2)
       .orderBy("symbol")
@@ -2877,7 +2883,12 @@ object Queries {
     * the dev-loop sibling; this is the operator). Truth materializes once
     * and broadcasts into three left-semi membership joins; each report row
     * is exact-integer division. Cost is the three index scans it measures
-    * — the observability is as cheap as the thing observed. */
+    * — the observability is as cheap as the thing observed.
+    *
+    * Every tier retrieves at the SAME k=5 as the brute-force truth (the
+    * registered sim2/sim6/sim3 queries run their default k=3 — a
+    * health-check at k<k_truth would cap the metric at k/k_truth even
+    * under perfect retrieval and read as permanently degraded recall). */
   def sim20Recall(s: SparkSession, dir: String): DataFrame = {
     val emb = Sources.embeddings(s, dir)
     val truth = Materialize(
@@ -2892,11 +2903,13 @@ object Queries {
         .select(lit(method).as("method"), col("hits"), col("n_truth"),
           Num.cround(col("hits").cast("double") / col("n_truth"), 6)
             .as("recall_at_5"))
-    report("lsh", ext.Similarity.lshTopK(emb, ext.Similarity.planes(s)))
+    report("lsh",
+        ext.Similarity.lshTopK(emb, ext.Similarity.planes(s), k = 5))
       .unionByName(report("lsh_multiprobe",
-        ext.Similarity.lshTopKMultiProbe(emb, ext.Similarity.planes(s))))
+        ext.Similarity.lshTopKMultiProbe(emb, ext.Similarity.planes(s),
+          k = 5)))
       .unionByName(report("ivf",
-        ext.Similarity.ivfTopK(emb, ext.Similarity.ivfAnchors(s))))
+        ext.Similarity.ivfTopK(emb, ext.Similarity.ivfAnchors(s), k = 5)))
       .orderBy("method")
   }
 

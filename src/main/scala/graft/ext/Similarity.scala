@@ -1472,6 +1472,11 @@ object Similarity {
     * lesson: `1.0 - 0.7 != 0.3` in IEEE). */
   def mmrTopK(emb: DataFrame, queryMod: Int = 100, queryCap: Long = 2000L,
               shortlist: Int = 20, k: Int = 5): DataFrame = {
+    // Spark's sequence(2, 1) generates a DESCENDING [2, 1], so an
+    // unguarded k=1 would run two bogus greedy steps instead of returning
+    // only the relevance winner (round-12 ADVICE) — the greedy loop below
+    // only applies when k > 1.
+    require(k >= 1, s"mmrTopK: k must be >= 1 (got $k)")
     val withNorm = withDoubles(emb)
     val queries = withNorm.filter(queryPred(queryMod, queryCap))
       .select(col("vec_id").as("query_id"), col("emb_d").as("q_emb"))
@@ -1522,9 +1527,10 @@ object Similarity {
         b => struct(rank.as("rank"),
           b.getField("vec_id").as("vec_id"),
           b.getField(scoreField).as("mmr_score")))
-    val selExpr = aggregate(
+    val initSel = pickBest(col("cands"), "rel", lit(1))
+    val selExpr = if (k == 1) initSel else aggregate(
       sequence(lit(2), lit(k)),
-      pickBest(col("cands"), "rel", lit(1)),
+      initSel,
       (sel, step) => {
         val selIds = transform(sel, s => s.getField("vec_id"))
         val scored = transform(

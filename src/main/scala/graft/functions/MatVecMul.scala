@@ -25,9 +25,12 @@ import org.apache.spark.sql.types._
   *
   * Semantics: null input -> null; a vector whose length is zero or does
   * not divide the matrix length -> null (corrupt embedding, same contract
-  * as [[CosineSimilarity]]'s dimension-mismatch null); null vector
-  * elements contribute 0 (skip, the null-element convention of the other
-  * array kernels).
+  * as [[CosineSimilarity]]'s dimension-mismatch null); null elements in
+  * EITHER argument contribute 0 (skip, the null-element convention of the
+  * other array kernels — the function is registered in SQL and callable
+  * on arbitrary arrays, so matrix cells get the same guard as vector
+  * cells; reading a null slot via getDouble would be undefined and could
+  * disagree between the interpreted and codegen paths).
   */
 case class MatVecMul(left: Expression, right: Expression)
   extends BinaryExpression with ImplicitCastInputTypes {
@@ -49,7 +52,9 @@ case class MatVecMul(left: Expression, right: Expression)
       var acc = 0.0
       var j = 0
       while (j < n) {
-        if (!v.isNullAt(j)) acc += m.getDouble(i * n + j) * v.getDouble(j)
+        if (!v.isNullAt(j) && !m.isNullAt(i * n + j)) {
+          acc += m.getDouble(i * n + j) * v.getDouble(j)
+        }
         j += 1
       }
       out(i) = acc.toFloat
@@ -76,7 +81,7 @@ case class MatVecMul(left: Expression, right: Expression)
          |  for (int $i = 0; $i < $rows; $i++) {
          |    double $acc = 0.0;
          |    for (int $j = 0; $j < $n; $j++) {
-         |      if (!$b.isNullAt($j)) {
+         |      if (!$b.isNullAt($j) && !$a.isNullAt($i * $n + $j)) {
          |        $acc += $a.getDouble($i * $n + $j) * $b.getDouble($j);
          |      }
          |    }

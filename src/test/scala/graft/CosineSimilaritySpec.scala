@@ -69,6 +69,24 @@ class CosineSimilaritySpec extends AnyFunSuite {
     assert(row.isNullAt(3))
   }
 
+  test("mat_vec_mul: null elements in either argument contribute 0") {
+    // the SQL-registered function is callable on arbitrary arrays — null
+    // matrix cells must get the same skip guard as null vector cells
+    // (round-12 ADVICE: getDouble on a null slot is undefined and the
+    // interpreted and codegen paths could disagree)
+    val row = spark.sql(
+      """SELECT
+        |  mat_vec_mul(array(1.0D, CAST(NULL AS DOUBLE), 3.0D, 4.0D),
+        |              array(10.0D, 100.0D)) AS mnull,
+        |  mat_vec_mul(array(1.0D, 2.0D, 3.0D, 4.0D),
+        |              array(10.0D, CAST(NULL AS DOUBLE))) AS vnull
+        |""".stripMargin).head
+    // row 0: 1*10 + skip = 10; row 1: 3*10 + 4*100 = 430
+    assert(row.getSeq[Float](0) === Seq(10.0f, 430.0f))
+    // null vector cell skips column 1 in every row: 10, 30
+    assert(row.getSeq[Float](1) === Seq(10.0f, 30.0f))
+  }
+
   test("mat_vec_mul rotation preserves norms on real embeddings") {
     val emb = graft.io.Sources.embeddings(spark, "/root/testdata/sf0.001").limit(20)
     val rot = Similarity.opqRotation(

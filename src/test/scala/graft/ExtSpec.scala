@@ -1585,4 +1585,22 @@ class ExtSpec extends AnyFunSuite {
     assert(redMmr < redBf,
       f"MMR intra-set redundancy $redMmr%.3f not below plain top-k $redBf%.3f")
   }
+
+  test("MMR k=1 returns exactly the relevance winner; k=0 rejected") {
+    // sequence(2, 1) is DESCENDING in Spark — an unguarded k=1 would run
+    // two bogus greedy steps (round-12 ADVICE); the guard must return one
+    // row per query, identical to brute-force rank 1.
+    val emb = RecallProbe.plantedEmbeddings(spark).localCheckpoint(true)
+    val m1 = Similarity.mmrTopK(emb, k = 1).localCheckpoint(true)
+    val perQuery = m1.groupBy("query_id").count()
+      .agg(min("count"), max("count")).head
+    assert(perQuery.getLong(0) == 1L && perQuery.getLong(1) == 1L,
+      "k=1 must select exactly one vector per query")
+    val b1 = Similarity.bruteForceTopK(emb, 100, 5)
+      .filter(col("rank") === 1).select("query_id", "vec_id")
+    val s1 = m1.select("query_id", "vec_id")
+    assert(s1.exceptAll(b1).count() == 0 && b1.exceptAll(s1).count() == 0,
+      "k=1 selection must equal the brute-force rank-1 winner")
+    assertThrows[IllegalArgumentException](Similarity.mmrTopK(emb, k = 0))
+  }
 }
