@@ -438,14 +438,37 @@ object OracleSql {
   ) ++ analyticsSql ++ scalarSql ++ joinSql ++ extSql ++ smallOpsSql ++
     recallSql
 
-  /** The three approximate-tier statements, parameterized by the top-k
-    * retrieval depth: the registered sim2/sim6/sim3 queries run k=3 (the
-    * tiers' production default), while sim20's recall report re-runs them
-    * at k=5 to match the brute-force truth depth — a recall@5 against
-    * k=3 retrieval would cap at 0.6 under perfect recall (round-12
-    * ADVICE). Only the final rank bound varies; every CTE is shared
-    * verbatim across both depths. */
-  private def sim2LshSqlAtK(k: Int): String = withCtes(
+  /** The brute-force truth and three approximate-tier statements,
+    * parameterized by (top-k retrieval depth, query-batch cap): the
+    * registered sim1/sim2/sim6/sim3 queries run their production defaults
+    * (k=5 truth, k=3 tiers, uncapped corpus-growing query sample), while
+    * the recall reports re-run them at matched depth — sim20 at k=5
+    * uncapped (a recall@5 against k=3 retrieval would cap at 0.6 under
+    * perfect recall, round-12 ADVICE), sim22 at k=5 with the FIXED
+    * vec_id < 2000 batch (the sim17/e4 production shape). Only the final
+    * rank bound and the query-set predicate vary; every other CTE is
+    * shared verbatim across depths and caps. */
+  private def capSql(cap: Long, qual: String = ""): String =
+    if (cap == Long.MaxValue) "" else s" AND ${qual}vec_id < $cap"
+
+  private def sim1BruteSqlAtCap(cap: Long): String = withCtes(
+    embUnnestCte(""), normCte,
+    s"""qd AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+       |         SUM(CAST(q.v AS DOUBLE) * CAST(c.v AS DOUBLE)) AS dp
+       |  FROM u q JOIN u c ON q.i = c.i AND q.vec_id % 100 = 0${capSql(cap, "q.")} AND c.vec_id <> q.vec_id
+       |  GROUP BY 1, 2)""".stripMargin,
+    s"""sc AS (
+       |  SELECT query_id, qd.vec_id,
+       |         ${R("dp / (nq.nv * nc.nv)", 6)} AS cosine
+       |  FROM qd JOIN nrm nq ON nq.vec_id = query_id
+       |           JOIN nrm nc ON nc.vec_id = qd.vec_id)""".stripMargin)(
+    """SELECT query_id, rank, vec_id, cosine FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      |  FROM sc)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+
+  private def sim2LshSqlAtK(k: Int, cap: Long = Long.MaxValue): String = withCtes(
     embUnnestCte(""), normCte,
     """pl AS (
       |  SELECT p, d,
@@ -459,7 +482,7 @@ object OracleSql {
       |  SELECT vec_id,
       |         CAST(SUM(CASE WHEN pdot > 0 THEN CAST(POWER(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
       |  FROM pd GROUP BY 1)""".stripMargin,
-    "qs AS (SELECT vec_id AS query_id, bucket FROM bu WHERE vec_id % 100 = 0)",
+    s"qs AS (SELECT vec_id AS query_id, bucket FROM bu WHERE vec_id % 100 = 0${capSql(cap)})",
     """cand AS (
       |  SELECT qs.query_id, bu.vec_id, qs.bucket
       |  FROM qs JOIN bu ON bu.bucket = qs.bucket AND bu.vec_id <> qs.query_id)""".stripMargin,
@@ -479,7 +502,7 @@ object OracleSql {
        |  FROM sc)
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin)
 
-  private def sim6MultiProbeSqlAtK(k: Int): String = withCtes(
+  private def sim6MultiProbeSqlAtK(k: Int, cap: Long = Long.MaxValue): String = withCtes(
     embUnnestCte(""), normCte,
     """pl AS (
       |  SELECT p, d,
@@ -498,14 +521,14 @@ object OracleSql {
        |    SELECT vec_id, p,
        |           ROW_NUMBER() OVER (PARTITION BY vec_id
        |             ORDER BY ${R("ABS(pdot)", 6)}, p) AS rnk
-       |    FROM pd WHERE vec_id % 100 = 0)
+       |    FROM pd WHERE vec_id % 100 = 0${capSql(cap)})
        |  WHERE rnk <= 2)""".stripMargin,
-    """qs AS (
-      |  SELECT vec_id AS query_id, bucket FROM bu WHERE vec_id % 100 = 0
-      |  UNION ALL
-      |  SELECT f.vec_id AS query_id,
-      |         xor(b.bucket, CAST(POWER(2, f.p) AS BIGINT)) AS bucket
-      |  FROM qf f JOIN bu b ON b.vec_id = f.vec_id)""".stripMargin,
+    s"""qs AS (
+       |  SELECT vec_id AS query_id, bucket FROM bu WHERE vec_id % 100 = 0${capSql(cap)}
+       |  UNION ALL
+       |  SELECT f.vec_id AS query_id,
+       |         xor(b.bucket, CAST(POWER(2, f.p) AS BIGINT)) AS bucket
+       |  FROM qf f JOIN bu b ON b.vec_id = f.vec_id)""".stripMargin,
     """cand AS (
       |  SELECT qs.query_id, bu.vec_id, qs.bucket
       |  FROM qs JOIN bu ON bu.bucket = qs.bucket AND bu.vec_id <> qs.query_id)""".stripMargin,
@@ -525,7 +548,7 @@ object OracleSql {
        |  FROM sc)
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin)
 
-  private def sim3IvfSqlAtK(k: Int): String = withCtes(
+  private def sim3IvfSqlAtK(k: Int, cap: Long = Long.MaxValue): String = withCtes(
     embUnnestCte(""), normCte,
     """an AS (
       |  SELECT c, d,
@@ -541,9 +564,9 @@ object OracleSql {
       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY adot / anorm DESC, c) AS rnk
       |  FROM sc0 JOIN anorm USING (c))""".stripMargin,
     "assigned AS (SELECT vec_id, c AS list_id FROM scr WHERE rnk = 1)",
-    """probes AS (
-      |  SELECT vec_id AS query_id, c AS list_id FROM scr
-      |  WHERE vec_id % 100 = 0 AND rnk <= 2)""".stripMargin,
+    s"""probes AS (
+       |  SELECT vec_id AS query_id, c AS list_id FROM scr
+       |  WHERE vec_id % 100 = 0${capSql(cap)} AND rnk <= 2)""".stripMargin,
     """cand AS (
       |  SELECT p.query_id, a.vec_id, a.list_id
       |  FROM probes p JOIN assigned a ON a.list_id = p.list_id AND a.vec_id <> p.query_id)""".stripMargin,
@@ -569,31 +592,255 @@ object OracleSql {
     * over their exact outputs, so this entry inherits their cross-engine
     * contracts wholesale (the k=5 bodies differ from the gated k=3 ones
     * only in the final rank bound). */
+  private def recallReportSql(cap: Long): String = {
+    def sub(sql: String) = s"SELECT query_id, vec_id FROM ($sql)"
+    s"""WITH truth AS (${sub(sim1BruteSqlAtCap(cap))}),
+       |l2 AS (${sub(sim2LshSqlAtK(5, cap))}),
+       |l6 AS (${sub(sim6MultiProbeSqlAtK(5, cap))}),
+       |l3 AS (${sub(sim3IvfSqlAtK(5, cap))}),
+       |nt AS (SELECT COUNT(*) AS n_truth FROM truth),
+       |h AS (
+       |  SELECT 'lsh' AS method, COUNT(*) AS hits FROM truth t
+       |  WHERE EXISTS (SELECT 1 FROM l2 a
+       |                WHERE a.query_id = t.query_id AND a.vec_id = t.vec_id)
+       |  UNION ALL
+       |  SELECT 'lsh_multiprobe', COUNT(*) FROM truth t
+       |  WHERE EXISTS (SELECT 1 FROM l6 a
+       |                WHERE a.query_id = t.query_id AND a.vec_id = t.vec_id)
+       |  UNION ALL
+       |  SELECT 'ivf', COUNT(*) FROM truth t
+       |  WHERE EXISTS (SELECT 1 FROM l3 a
+       |                WHERE a.query_id = t.query_id AND a.vec_id = t.vec_id))
+       |SELECT method, CAST(hits AS BIGINT) AS hits,
+       |  CAST(n_truth AS BIGINT) AS n_truth,
+       |  ${R("CAST(hits AS DOUBLE) / n_truth", 6)} AS recall_at_5
+       |FROM h CROSS JOIN nt ORDER BY method""".stripMargin
+  }
+
+  // ---- sim21: the PQ codebook-configuration scorecard -------------------
+  //
+  // Each candidate configuration is a FULL self-contained statement (the
+  // sim20 composition pattern); the selector is pure membership + a
+  // 3-row winner window over their outputs. The learned/residual
+  // candidates embed the engine's 3-iteration Lloyd's k-means as unrolled
+  // CTEs — argmin on the tie-safe-rounded subspace distance with centroid
+  // tiebreak, centroid means ROUND(..., 9), empty cells keep the previous
+  // centroid — exactly graft.ext.Similarity.learnPqFromLong's discipline.
+
+  /** One Lloyd's iteration chain over population CTE `pop` (columns
+    * vec_id, s, d, v), seeded from codebook CTE `seed`; returns the CTEs
+    * and the final codebook CTE name. */
+  private def lloydCtes(pop: String, seed: String, prefix: String,
+                        iters: Int = 3): (Seq[String], String) = {
+    val ctes = (1 to iters).flatMap { i =>
+      val prev = if (i == 1) seed else s"${prefix}cb${i - 1}"
+      Seq(
+        s"""${prefix}a${i}0 AS (
+           |  SELECT e.vec_id, e.s, cb.c, SUM((e.v - cb.w) * (e.v - cb.w)) AS dist2
+           |  FROM $pop e JOIN $prev cb ON cb.s = e.s AND cb.d = e.d
+           |  GROUP BY 1, 2, 3)""".stripMargin,
+        s"""${prefix}a$i AS (
+           |  SELECT vec_id, s, c FROM (
+           |    SELECT *, ROW_NUMBER() OVER (
+           |        PARTITION BY vec_id, s ORDER BY ${R("dist2", 6)}, c) AS rn
+           |    FROM ${prefix}a${i}0) WHERE rn = 1)""".stripMargin,
+        s"""${prefix}u$i AS (
+           |  SELECT a.s, a.c, e.d, ROUND(AVG(e.v), 9) AS w
+           |  FROM $pop e JOIN ${prefix}a$i a ON a.vec_id = e.vec_id AND a.s = e.s
+           |  GROUP BY 1, 2, 3)""".stripMargin,
+        s"""${prefix}cb$i AS (
+           |  SELECT p.s, p.c, p.d, COALESCE(n.w, p.w) AS w
+           |  FROM $prev p LEFT JOIN ${prefix}u$i n
+           |    ON n.s = p.s AND n.c = p.c AND n.d = p.d)""".stripMargin)
+    }
+    (ctes, s"${prefix}cb$iters")
+  }
+
+  private lazy val fixedCbCte: String =
+    """cb0 AS (
+      |  SELECT s, c, d,
+      |    (CAST(('0x' || substr(md5('pq_' || CAST(s AS VARCHAR) || '_' || CAST(c AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 8)) AS BIGINT)
+      |     % 2001 - 1000) / 1000.0 AS w
+      |  FROM range(0, 8) t1(s), range(0, 16) t2(c), range(1, 9) t3(d))""".stripMargin
+
+  /** The IVF coarse-routing CTEs shared by every sim21 candidate (sim18's
+    * an/anorm/sc0/scr/assigned/probes, query batch fixed below 2000). */
+  private lazy val ivfRoutingCtes: Seq[String] = Seq(
+    """an AS (
+      |  SELECT c, d,
+      |    (CAST(('0x' || substr(md5(CAST(c AS VARCHAR) || '~' || CAST(d AS VARCHAR)), 1, 8)) AS BIGINT)
+      |     % 2001 - 1000) / 1000.0 AS w
+      |  FROM range(0, 16) t1(c), range(1, 65) t2(d))""".stripMargin,
+    "anorm AS (SELECT c, SQRT(SUM(w * w)) AS anorm FROM an GROUP BY c)",
+    """sc0 AS (
+      |  SELECT u.vec_id, an.c, SUM(CAST(u.v AS DOUBLE) * an.w) AS adot
+      |  FROM u JOIN an ON an.d = u.i GROUP BY 1, 2)""".stripMargin,
+    """scr AS (
+      |  SELECT vec_id, c,
+      |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY adot / anorm DESC, c) AS rnk
+      |  FROM sc0 JOIN anorm USING (c))""".stripMargin,
+    "assigned AS (SELECT vec_id, c AS list_id FROM scr WHERE rnk = 1)",
+    """probes AS (
+      |  SELECT vec_id AS query_id, c AS list_id FROM scr
+      |  WHERE vec_id % 100 = 0 AND vec_id < 2000 AND rnk <= 2)""".stripMargin)
+
+  /** IVF-PQ + exact-rerank top-5 over the fixed query batch with the
+    * LEARNED codebook (3 Lloyd iterations over the raw subvectors, seeded
+    * from the fixed md5 codebook) — sim18's chain with cb -> the trained
+    * codebook. Emits (query_id, vec_id) only. */
+  private def sim21LearnedSql: String = {
+    val (lloyd, cbName) = lloydCtes("el", "cb0", "l")
+    withCtes(
+      (Seq(embUnnestCte(""), normCte) ++ ivfRoutingCtes ++ Seq(
+        "el AS (SELECT vec_id, (i - 1) // 8 AS s, (i - 1) % 8 + 1 AS d, CAST(v AS DOUBLE) AS v FROM u)",
+        fixedCbCte) ++ lloyd ++ Seq(
+        s"""enc0 AS (
+           |  SELECT e.vec_id, e.s, cb.c, SUM((e.v - cb.w) * (e.v - cb.w)) AS dist2
+           |  FROM el e JOIN $cbName cb ON cb.s = e.s AND cb.d = e.d
+           |  GROUP BY 1, 2, 3)""".stripMargin,
+        s"""enc AS (
+           |  SELECT vec_id, s, c AS code FROM (
+           |    SELECT *, ROW_NUMBER() OVER (
+           |        PARTITION BY vec_id, s ORDER BY ${R("dist2", 6)}, c) AS rn
+           |    FROM enc0) WHERE rn = 1)""".stripMargin,
+        s"""adc AS (
+           |  SELECT q.vec_id AS query_id, q.s, cb.c, SUM((q.v - cb.w) * (q.v - cb.w)) AS qd
+           |  FROM el q JOIN $cbName cb ON cb.s = q.s AND cb.d = q.d
+           |  WHERE q.vec_id % 100 = 0 AND q.vec_id < 2000
+           |  GROUP BY 1, 2, 3)""".stripMargin,
+        s"""dd AS (
+           |  SELECT p.query_id, e.vec_id, ${R("SUM(a.qd)", 6)} AS adc_dist2
+           |  FROM probes p
+           |  JOIN assigned a2 ON a2.list_id = p.list_id AND a2.vec_id <> p.query_id
+           |  JOIN enc e ON e.vec_id = a2.vec_id
+           |  JOIN adc a ON a.query_id = p.query_id AND a.s = e.s AND a.c = e.code
+           |  GROUP BY 1, 2)""".stripMargin,
+        """sl AS (
+          |  SELECT query_id, vec_id, adc_dist2 FROM (
+          |    SELECT *, ROW_NUMBER() OVER (
+          |        PARTITION BY query_id ORDER BY adc_dist2, vec_id) AS rn
+          |    FROM dd) WHERE rn <= 50)""".stripMargin,
+        """dpp AS (
+          |  SELECT s.query_id, s.vec_id,
+          |         SUM(CAST(q.v AS DOUBLE) * CAST(c.v AS DOUBLE)) AS dp
+          |  FROM sl s JOIN u q ON q.vec_id = s.query_id
+          |            JOIN u c ON c.vec_id = s.vec_id AND c.i = q.i
+          |  GROUP BY 1, 2)""".stripMargin,
+        s"""scf AS (
+           |  SELECT query_id, dpp.vec_id,
+           |         ${R("dp / (nq.nv * nc.nv)", 6)} AS cosine
+           |  FROM dpp JOIN nrm nq ON nq.vec_id = query_id
+           |           JOIN nrm nc ON nc.vec_id = dpp.vec_id)""".stripMargin)): _*)(
+      """SELECT query_id, vec_id FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM scf)
+        |WHERE rank <= 5""".stripMargin)
+  }
+
+  /** Residual IVFADC + exact-rerank top-5 over the fixed query batch (the
+    * FAISS IVFADC form): residual population v - anchor, learned residual
+    * codebook (3 Lloyd iterations, fixed seed), per-(query, probed list)
+    * residual ADC tables. Emits (query_id, vec_id) only. */
+  private def sim21ResidualSql: String = {
+    val (lloyd, cbName) = lloydCtes("rel", "cb0", "r")
+    withCtes(
+      (Seq(embUnnestCte(""), normCte) ++ ivfRoutingCtes ++ Seq(
+        """rel0 AS (
+          |  SELECT u.vec_id, a.list_id, u.i, CAST(u.v AS DOUBLE) - an.w AS v
+          |  FROM u JOIN assigned a ON a.vec_id = u.vec_id
+          |         JOIN an ON an.c = a.list_id AND an.d = u.i)""".stripMargin,
+        "rel AS (SELECT vec_id, list_id, (i - 1) // 8 AS s, (i - 1) % 8 + 1 AS d, v FROM rel0)",
+        fixedCbCte) ++ lloyd ++ Seq(
+        s"""renc0 AS (
+           |  SELECT e.vec_id, e.list_id, e.s, cb.c, SUM((e.v - cb.w) * (e.v - cb.w)) AS dist2
+           |  FROM rel e JOIN $cbName cb ON cb.s = e.s AND cb.d = e.d
+           |  GROUP BY 1, 2, 3, 4)""".stripMargin,
+        s"""renc AS (
+           |  SELECT vec_id, list_id, s, c AS code FROM (
+           |    SELECT *, ROW_NUMBER() OVER (
+           |        PARTITION BY vec_id, s ORDER BY ${R("dist2", 6)}, c) AS rn
+           |    FROM renc0) WHERE rn = 1)""".stripMargin,
+        """qres AS (
+          |  SELECT u.vec_id AS query_id, p.list_id,
+          |         (u.i - 1) // 8 AS s, (u.i - 1) % 8 + 1 AS d,
+          |         CAST(u.v AS DOUBLE) - an.w AS v
+          |  FROM u JOIN probes p ON p.query_id = u.vec_id
+          |         JOIN an ON an.c = p.list_id AND an.d = u.i)""".stripMargin,
+        s"""radc AS (
+           |  SELECT q.query_id, q.list_id, q.s, cb.c,
+           |         SUM((q.v - cb.w) * (q.v - cb.w)) AS qd
+           |  FROM qres q JOIN $cbName cb ON cb.s = q.s AND cb.d = q.d
+           |  GROUP BY 1, 2, 3, 4)""".stripMargin,
+        s"""rdd AS (
+           |  SELECT p.query_id, e.vec_id, ${R("SUM(a.qd)", 6)} AS adc_dist2
+           |  FROM probes p
+           |  JOIN renc e ON e.list_id = p.list_id AND e.vec_id <> p.query_id
+           |  JOIN radc a ON a.query_id = p.query_id AND a.list_id = p.list_id
+           |             AND a.s = e.s AND a.c = e.code
+           |  GROUP BY 1, 2)""".stripMargin,
+        """rsl AS (
+          |  SELECT query_id, vec_id, adc_dist2 FROM (
+          |    SELECT *, ROW_NUMBER() OVER (
+          |        PARTITION BY query_id ORDER BY adc_dist2, vec_id) AS rn
+          |    FROM rdd) WHERE rn <= 50)""".stripMargin,
+        """rdpp AS (
+          |  SELECT s.query_id, s.vec_id,
+          |         SUM(CAST(q.v AS DOUBLE) * CAST(c.v AS DOUBLE)) AS dp
+          |  FROM rsl s JOIN u q ON q.vec_id = s.query_id
+          |             JOIN u c ON c.vec_id = s.vec_id AND c.i = q.i
+          |  GROUP BY 1, 2)""".stripMargin,
+        s"""rscf AS (
+           |  SELECT query_id, rdpp.vec_id,
+           |         ${R("dp / (nq.nv * nc.nv)", 6)} AS cosine
+           |  FROM rdpp JOIN nrm nq ON nq.vec_id = query_id
+           |            JOIN nrm nc ON nc.vec_id = rdpp.vec_id)""".stripMargin)): _*)(
+      """SELECT query_id, vec_id FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM rscf)
+        |WHERE rank <= 5""".stripMargin)
+  }
+
+  /** The selector report: membership of each candidate's top-5 in the
+    * brute-force truth at the same fixed batch; winner = best recall with
+    * ties toward the CHEAPER config (build-cost order fixed < learned <
+    * residual). The OPQ candidate is not here by design — its rotation
+    * training is a driver-side eigendecomposition no SQL engine can
+    * express (see the Spark-side scaladoc). */
+  private def sim21SelectorSql: String = {
+    def sub(sql: String) = s"SELECT query_id, vec_id FROM ($sql)"
+    s"""WITH truth AS (${sub(sim1BruteSqlAtCap(2000L))}),
+       |ffull AS (${sub(extSql("sim18_ivfpq_rerank_batch"))}),
+       |lfull AS (${sub(sim21LearnedSql)}),
+       |rfull AS (${sub(sim21ResidualSql)}),
+       |nt AS (SELECT COUNT(*) AS n_truth FROM truth),
+       |h AS (
+       |  SELECT 'fixed' AS config, 0 AS build_cost, COUNT(*) AS hits FROM truth t
+       |  WHERE EXISTS (SELECT 1 FROM ffull a
+       |                WHERE a.query_id = t.query_id AND a.vec_id = t.vec_id)
+       |  UNION ALL
+       |  SELECT 'learned', 1, COUNT(*) FROM truth t
+       |  WHERE EXISTS (SELECT 1 FROM lfull a
+       |                WHERE a.query_id = t.query_id AND a.vec_id = t.vec_id)
+       |  UNION ALL
+       |  SELECT 'residual', 2, COUNT(*) FROM truth t
+       |  WHERE EXISTS (SELECT 1 FROM rfull a
+       |                WHERE a.query_id = t.query_id AND a.vec_id = t.vec_id)),
+       |rep AS (
+       |  SELECT config, CAST(build_cost AS INTEGER) AS build_cost,
+       |    CAST(hits AS BIGINT) AS hits, CAST(n_truth AS BIGINT) AS n_truth,
+       |    ${R("CAST(hits AS DOUBLE) / n_truth", 6)} AS recall_at_5
+       |  FROM h CROSS JOIN nt)
+       |SELECT config, build_cost, hits, n_truth, recall_at_5,
+       |  (ROW_NUMBER() OVER (ORDER BY recall_at_5 DESC, build_cost) = 1) AS is_winner
+       |FROM rep ORDER BY config""".stripMargin
+  }
+
   private lazy val recallSql: Map[String, String] = Map(
-    "sim20_recall" -> {
-      def sub(sql: String) = s"SELECT query_id, vec_id FROM ($sql)"
-      s"""WITH truth AS (${sub(extSql("sim1_cosine_topk"))}),
-         |l2 AS (${sub(sim2LshSqlAtK(5))}),
-         |l6 AS (${sub(sim6MultiProbeSqlAtK(5))}),
-         |l3 AS (${sub(sim3IvfSqlAtK(5))}),
-         |nt AS (SELECT COUNT(*) AS n_truth FROM truth),
-         |h AS (
-         |  SELECT 'lsh' AS method, COUNT(*) AS hits FROM truth t
-         |  WHERE EXISTS (SELECT 1 FROM l2 a
-         |                WHERE a.query_id = t.query_id AND a.vec_id = t.vec_id)
-         |  UNION ALL
-         |  SELECT 'lsh_multiprobe', COUNT(*) FROM truth t
-         |  WHERE EXISTS (SELECT 1 FROM l6 a
-         |                WHERE a.query_id = t.query_id AND a.vec_id = t.vec_id)
-         |  UNION ALL
-         |  SELECT 'ivf', COUNT(*) FROM truth t
-         |  WHERE EXISTS (SELECT 1 FROM l3 a
-         |                WHERE a.query_id = t.query_id AND a.vec_id = t.vec_id))
-         |SELECT method, CAST(hits AS BIGINT) AS hits,
-         |  CAST(n_truth AS BIGINT) AS n_truth,
-         |  ${R("CAST(hits AS DOUBLE) / n_truth", 6)} AS recall_at_5
-         |FROM h CROSS JOIN nt ORDER BY method""".stripMargin
-    })
+    "sim20_recall" -> recallReportSql(Long.MaxValue),
+    "sim22_recall_batch" -> recallReportSql(2000L),
+    "sim21_codebook_selector" -> sim21SelectorSql)
 
   // ===== projections, small filters, remaining scalars/sorts ===============
 
@@ -2042,22 +2289,7 @@ object OracleSql {
          |       ELSE ${R("1 - CAST(edit_distance AS DOUBLE) / mx", 6)} END AS sim_ratio
          |FROM pr WHERE edit_distance <= 8 ORDER BY doc_a, doc_b""".stripMargin),
 
-    "sim1_cosine_topk" -> withCtes(
-      embUnnestCte(""), normCte,
-      """qd AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-        |         SUM(CAST(q.v AS DOUBLE) * CAST(c.v AS DOUBLE)) AS dp
-        |  FROM u q JOIN u c ON q.i = c.i AND q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id
-        |  GROUP BY 1, 2)""".stripMargin,
-      s"""sc AS (
-         |  SELECT query_id, qd.vec_id,
-         |         ${R("dp / (nq.nv * nc.nv)", 6)} AS cosine
-         |  FROM qd JOIN nrm nq ON nq.vec_id = query_id
-         |           JOIN nrm nc ON nc.vec_id = qd.vec_id)""".stripMargin)(
-      """SELECT query_id, rank, vec_id, cosine FROM (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
-        |  FROM sc)
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    "sim1_cosine_topk" -> sim1BruteSqlAtCap(Long.MaxValue),
 
     // PQ twin: codebook rebuilt from the public md5 formula; per-subspace
     // encode argmins and the final ranking both compare tie-safe-ROUNDED

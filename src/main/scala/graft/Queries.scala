@@ -495,7 +495,17 @@ object Queries {
     * but whose joint count is zero still contributes (0−E)²/E = E to the
     * statistic, so the observed levels are crossed per symbol and missing
     * cells filled with o=0 — dropping them would understate chi2 exactly
-    * when the calendar effect is strongest. */
+    * when the calendar effect is strongest.
+    *
+    * Shape (round 12, the r11 verdict's a17 cost note): the densification
+    * and marginals fold into ONE per-symbol aggregate over the cell table
+    * — collect the ≤14 (wd, up, o) cells per symbol and cross the sorted
+    * level sets with higher-order functions, each term's o/rt/ct read
+    * from the in-row array. The r10 form's two distinct()+join passes and
+    * three marginal windows re-derived the corpus aggregate and doubled
+    * the query's cost; this is two exchanges total (corpus → cells,
+    * cells → symbol), and the sorted level arrays make the ≤14-term sum
+    * order DETERMINISTIC where the old window sum was shuffle-ordered. */
   def a17Chi2(s: SparkSession, dir: String): DataFrame = {
     val f = cleanedStock(s, dir).drop("rid")
       .withColumn("up", col("close") > lag("close", 1).over(w))
@@ -503,23 +513,33 @@ object Queries {
       .withColumn("wd", weekday(col("date")))
     val observed =
       f.groupBy("symbol", "wd", "up").agg(count(lit(1)).as("o"))
-    val cells = observed.select("symbol", "wd").distinct()
-      .join(observed.select("symbol", "up").distinct(), "symbol")
-      .join(observed, Seq("symbol", "wd", "up"), "left")
-      .na.fill(0L, Seq("o"))
-    val wSym = Window.partitionBy("symbol")
-    val o = col("o").cast("double")
-    val e = col("rt").cast("double") * col("ct") / col("n")
-    val terms = cells
-      .withColumn("n", sum("o").over(wSym))
-      .withColumn("rt", sum("o").over(Window.partitionBy("symbol", "wd")))
-      .withColumn("ct", sum("o").over(Window.partitionBy("symbol", "up")))
-      .withColumn("term", (o - e) * (o - e) / e)
-    terms.groupBy("symbol")
-      .agg(sum("o").as("n_days"),
-        ((countDistinct(col("wd")) - 1) * (countDistinct(col("up")) - 1))
-          .cast("int").as("dof"),
-        Num.cround(sum("term"), 6).as("chi2"))
+    val cells = col("cells")
+    def cellSum(pred: Column => Column): Column =
+      aggregate(filter(cells, pred), lit(0L),
+        (a, c) => a + c.getField("o"))
+    val n = aggregate(cells, lit(0L), (a, c) => a + c.getField("o"))
+    val wds = array_sort(array_distinct(
+      transform(cells, c => c.getField("wd"))))
+    val ups = array_sort(array_distinct(
+      transform(cells, c => c.getField("up"))))
+    val chi2 = aggregate(
+      flatten(transform(wds, wd => transform(ups, up =>
+        struct(wd.as("wd"), up.as("up"))))),
+      lit(0.0),
+      (acc, p) => {
+        val o = cellSum(c => c.getField("wd") === p.getField("wd") &&
+          c.getField("up") === p.getField("up")).cast("double")
+        val rt = cellSum(c => c.getField("wd") === p.getField("wd"))
+        val ct = cellSum(c => c.getField("up") === p.getField("up"))
+        val e = rt.cast("double") * ct / n
+        acc + (o - e) * (o - e) / e
+      })
+    observed.groupBy("symbol")
+      .agg(collect_list(struct(col("wd"), col("up"), col("o"))).as("cells"))
+      .select(col("symbol"),
+        n.as("n_days"),
+        ((size(wds) - 1) * (size(ups) - 1)).cast("int").as("dof"),
+        Num.cround(chi2, 6).as("chi2"))
       .orderBy("symbol")
   }
 
@@ -2643,12 +2663,10 @@ object Queries {
     * cross-engine rounding argument). Every host has out-links by
     * construction (all 13 residues occur), so no dangling-mass leak. */
   def g1Pagerank(s: SparkSession, dir: String): DataFrame = {
-    val links = Sources.documents(s, dir).select(
-      concat(lit("h"), (col("doc_id") % 13).cast("string"),
-        lit(".example.com")).as("src"),
-      concat(lit("h"), ((col("doc_id") * 7 + 3) % 13).cast("string"),
-        lit(".example.com")).as("dst"))
-      .filter(col("src") =!= col("dst"))
+    // edge projection shared verbatim with the streaming twin
+    // (StreamingGraph.toEdgeEvents — the ev20 one-code-path invariant)
+    val links = streaming.StreamingGraph.toEdgeEvents(
+      Sources.documents(s, dir))
     analytics.Graph.pagerank(links)
   }
 
@@ -2889,10 +2907,82 @@ object Queries {
     * registered sim2/sim6/sim3 queries run their default k=3 — a
     * health-check at k<k_truth would cap the metric at k/k_truth even
     * under perfect retrieval and read as permanently degraded recall). */
-  def sim20Recall(s: SparkSession, dir: String): DataFrame = {
+  def sim20Recall(s: SparkSession, dir: String): DataFrame =
+    recallReport(s, dir, queryCap = Long.MaxValue)
+
+  /** sim20's PRODUCTION shape, registered as sim22 (r11 verdict item #3 —
+    * the sim17/e4 fixed-query-batch recipe): the recall health check runs
+    * over the FIXED query batch vec_id ≡ 0 (mod 100) below 2000, which
+    * stops growing once the corpus passes the driver's sf0.1 size — so the
+    * brute-force truth scan and every tier it measures are LINEAR in the
+    * corpus, the regime a vector platform's scheduled recall monitor
+    * actually runs. sim20's corpus-growing queryMod sample inherits sim1's
+    * declared-quadratic probe regime; this is the shape with clean decade
+    * alphas. */
+  def sim22RecallBatch(s: SparkSession, dir: String): DataFrame =
+    recallReport(s, dir, queryCap = 2000L)
+
+  /** PQ codebook-configuration scorecard as a FIRST-CLASS query (r11
+    * verdict item #4): [[graft.ext.Similarity.choosePqConfig]]'s measured
+    * selection, registered so a production pipeline can read the decision
+    * the way sim20/sim22 expose recall. Each candidate configuration runs
+    * the SAME IVF routing / code budget / shortlist / exact-rerank stack
+    * over the FIXED vec_id < 2000 query batch; recall@5 scores against
+    * the brute-force truth on that batch; the winner flag breaks ties
+    * toward the CHEAPER config in build-cost order (fixed < learned <
+    * residual — the choosePqConfig discipline).
+    *
+    * Scope: the three RELATIONAL codebook families. choosePqConfig's
+    * fourth candidate (OPQ) trains its rotation through a driver-side
+    * eigendecomposition — the one computation no SQL oracle can express —
+    * so its scorecard row stays ExtSpec-gated (both recall fixtures)
+    * rather than weakening this query to a rows-only check; the registered
+    * report covers every configuration whose training is itself a
+    * relational dataflow, which is what the cross-engine gate can verify.
+    *
+    * Shape at scale: selection is index-BUILD-time work — each candidate
+    * is linear in the corpus under the fixed batch (the sim18 shape), the
+    * learned/residual training passes are the bounded-iteration k-means
+    * the index build pays anyway, and the recall joins reduce
+    * batch-sized frames. */
+  def sim21CodebookSelector(s: SparkSession, dir: String): DataFrame = {
+    val emb = Sources.embeddings(s, dir)
+    val cap = 2000L
+    val anchors = ext.Similarity.ivfAnchors(s)
+    val truth = Materialize(
+      ext.Similarity.bruteForceTopK(emb, queryCap = cap)
+        .select("query_id", "vec_id"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    def report(config: String, buildCost: Int, approx: DataFrame): DataFrame =
+      truth.join(approx.select("query_id", "vec_id"),
+          Seq("query_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(broadcast(nTruth))
+        .select(lit(config).as("config"),
+          lit(buildCost).as("build_cost"), col("hits"), col("n_truth"),
+          Num.cround(col("hits").cast("double") / col("n_truth"), 6)
+            .as("recall_at_5"))
+    val rows = report("fixed", 0,
+        ext.Similarity.ivfPqTopKRerank(emb, anchors,
+          ext.Similarity.pqCodebook(s), queryCap = cap))
+      .unionByName(report("learned", 1,
+        ext.Similarity.ivfPqTopKRerank(emb, anchors,
+          ext.Similarity.learnPqCodebook(emb), queryCap = cap)))
+      .unionByName(report("residual", 2,
+        ext.Similarity.ivfPqResidualTopKRerank(emb, anchors,
+          queryCap = cap)))
+    // 3-row frame: the single-partition window is the point, not a smell
+    val wAll = Window.orderBy(desc("recall_at_5"), col("build_cost"))
+    rows.withColumn("is_winner", row_number().over(wAll) === 1)
+      .orderBy("config")
+  }
+
+  private def recallReport(s: SparkSession, dir: String,
+                           queryCap: Long): DataFrame = {
     val emb = Sources.embeddings(s, dir)
     val truth = Materialize(
-      ext.Similarity.bruteForceTopK(emb).select("query_id", "vec_id"))
+      ext.Similarity.bruteForceTopK(emb, queryCap = queryCap)
+        .select("query_id", "vec_id"))
     val nTruth = truth.agg(count(lit(1)).as("n_truth"))
     def report(method: String, approx: DataFrame): DataFrame =
       truth
@@ -2904,12 +2994,14 @@ object Queries {
           Num.cround(col("hits").cast("double") / col("n_truth"), 6)
             .as("recall_at_5"))
     report("lsh",
-        ext.Similarity.lshTopK(emb, ext.Similarity.planes(s), k = 5))
+        ext.Similarity.lshTopK(emb, ext.Similarity.planes(s), k = 5,
+          queryCap = queryCap))
       .unionByName(report("lsh_multiprobe",
         ext.Similarity.lshTopKMultiProbe(emb, ext.Similarity.planes(s),
-          k = 5)))
+          k = 5, queryCap = queryCap)))
       .unionByName(report("ivf",
-        ext.Similarity.ivfTopK(emb, ext.Similarity.ivfAnchors(s), k = 5)))
+        ext.Similarity.ivfTopK(emb, ext.Similarity.ivfAnchors(s), k = 5,
+          queryCap = queryCap)))
       .orderBy("method")
   }
 
@@ -3127,6 +3219,8 @@ object Queries {
     "t33_trigram_entropy" -> (t33TrigramEntropy _),
     "a22_ols_trend" -> (a22OlsTrend _),
     "sim20_recall" -> (sim20Recall _),
+    "sim22_recall_batch" -> (sim22RecallBatch _),
+    "sim21_codebook_selector" -> (sim21CodebookSelector _),
     "ev21_growth_accounting" -> (ev21GrowthAccounting _),
     "w25_weekly_ohlc" -> (w25WeeklyOhlc _),
     "g2_triangles" -> (g2Triangles _),

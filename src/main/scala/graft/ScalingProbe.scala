@@ -74,8 +74,9 @@ object ScalingProbe {
       // leave the floor for the same declared-by-design reason as sim7.
       "sim8_ivfpq",
       // sim20 embeds sim1 as its recall truth, so it inherits sim1's
-      // corpus x queries regime under the probe's queryMod sampling; a
-      // production recall check samples a FIXED query set (the e4 recipe)
+      // corpus x queries regime under the probe's queryMod sampling; the
+      // FIXED-query-set production shape is registered as
+      // sim22_recall_batch (linear in the corpus — probe that instead)
       "sim20_recall")
 
   // ===== generation ========================================================

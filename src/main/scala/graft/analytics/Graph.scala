@@ -25,9 +25,18 @@ object Graph {
     * rounds at 6. No dangling-mass redistribution: a sink node keeps its
     * teleport share and leaks the rest — documented, and pinned by
     * GraphSpec's star fixture. */
-  def pagerank(links: DataFrame, iters: Int = 10): DataFrame = {
-    val edges = Materialize(links.groupBy("src", "dst")
-      .agg(count(lit(1)).as("cnt")))
+  def pagerank(links: DataFrame, iters: Int = 10): DataFrame =
+    fromEdgeCounts(links.groupBy("src", "dst")
+      .agg(count(lit(1)).as("cnt")), iters)
+
+  /** [[pagerank]] over an ALREADY-AGGREGATED (src, dst, cnt) edge-count
+    * table — the kernel the streaming twin shares verbatim: a streamed
+    * incremental edge-count aggregate (update-mode groupBy state) snapshots
+    * to exactly this shape, so stream == batch reduces to the aggregate
+    * equality the StreamingSpec harness proves (the ev20 composition
+    * pattern). */
+  def fromEdgeCounts(edgeCounts: DataFrame, iters: Int = 10): DataFrame = {
+    val edges = Materialize(edgeCounts)
     val outCnt = edges.groupBy("src").agg(sum("cnt").as("out_cnt"))
     val ew = Materialize(edges.join(outCnt, "src")
       .select(col("src"), col("dst"),

@@ -82,12 +82,14 @@ object Similarity {
   }
 
   /** Brute-force cosine top-k: deterministic query subset
-    * (vec_id % queryMod == 0) against the full corpus. Ranking uses the
-    * comparison-rounded cosine (ties broken by vec_id) so results are
+    * (vec_id % queryMod == 0, optionally capped below `queryCap` — the
+    * fixed-batch production shape) against the full corpus. Ranking uses
+    * the comparison-rounded cosine (ties broken by vec_id) so results are
     * engine-reproducible. */
-  def bruteForceTopK(emb: DataFrame, queryMod: Int = 100, k: Int = 5): DataFrame = {
+  def bruteForceTopK(emb: DataFrame, queryMod: Int = 100, k: Int = 5,
+                     queryCap: Long = Long.MaxValue): DataFrame = {
     val withNorm = withDoubles(emb)
-    val queries = withNorm.filter(col("vec_id") % queryMod === 0)
+    val queries = withNorm.filter(queryPred(queryMod, queryCap))
       .select(col("vec_id").as("query_id"), col("emb_d").as("q_emb"))
     val scored = withNorm.join(broadcast(queries),
         col("vec_id") =!= col("query_id"))
@@ -260,18 +262,19 @@ object Similarity {
     * vs brute force; the inverted-list layout is exactly the partition/
     * bucket layout a 100 TB deployment stores the corpus in. */
   def ivfTopK(emb: DataFrame, anchors: DataFrame, queryMod: Int = 100,
-              k: Int = 3, nprobe: Int = 2): DataFrame = {
+              k: Int = 3, nprobe: Int = 2,
+              queryCap: Long = Long.MaxValue): DataFrame = {
     val scores = anchorScores(emb, anchors)
     val wBest = Window.partitionBy("vec_id").orderBy(desc("score"), col("c"))
     val assigned = scores.withColumn("rnk", row_number().over(wBest))
       .filter(col("rnk") === 1).select(col("vec_id"), col("c").as("list_id"))
 
     val vecs = withDoubles(emb).join(assigned, "vec_id")
-    val probes = scores.filter(col("vec_id") % queryMod === 0)
+    val probes = scores.filter(queryPred(queryMod, queryCap))
       .withColumn("rnk", row_number().over(wBest))
       .filter(col("rnk") <= nprobe)
       .select(col("vec_id").as("query_id"), col("c").as("list_id"))
-    val queries = withDoubles(emb).filter(col("vec_id") % queryMod === 0)
+    val queries = withDoubles(emb).filter(queryPred(queryMod, queryCap))
       .select(col("vec_id").as("query_id"), col("emb_d").as("q_emb"))
       .join(probes, "query_id")
 
@@ -427,11 +430,12 @@ object Similarity {
     * scored. The 2^nPlanes buckets bound the self-join; per-bucket top-k
     * keeps the shuffle payload at k rows per query. */
   def lshTopK(emb: DataFrame, planesDf: DataFrame, queryMod: Int = 100,
-              k: Int = 3, nPlanes: Int = 8): DataFrame = {
+              k: Int = 3, nPlanes: Int = 8,
+              queryCap: Long = Long.MaxValue): DataFrame = {
     val withNorm = withDoubles(emb)
     val buckets = lshBuckets(emb, planesDf, nPlanes)
     val vecs = withNorm.join(buckets, "vec_id")
-    val queries = vecs.filter(col("vec_id") % queryMod === 0)
+    val queries = vecs.filter(queryPred(queryMod, queryCap))
       .select(col("vec_id").as("query_id"), col("emb_d").as("q_emb"),
         col("bucket"))
     val scored = vecs.join(broadcast(queries),
@@ -505,7 +509,8 @@ object Similarity {
     * expansion multiplies only the (tiny, broadcast) query side. */
   def lshTopKMultiProbe(emb: DataFrame, planesDf: DataFrame,
                         queryMod: Int = 100, k: Int = 3, nPlanes: Int = 8,
-                        probes: Int = 2): DataFrame = {
+                        probes: Int = 2,
+                        queryCap: Long = Long.MaxValue): DataFrame = {
     val withNorm = withDoubles(emb)
     val dots = emb.select(col("vec_id"),
         posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -518,17 +523,17 @@ object Similarity {
         pow(lit(2.0), col("p")).cast("long")).otherwise(0L)).as("bucket"))
     val vecs = withNorm.join(buckets, "vec_id")
 
-    val qBase = buckets.filter(col("vec_id") % queryMod === 0)
+    val qBase = buckets.filter(queryPred(queryMod, queryCap))
     val wFlip = Window.partitionBy("vec_id")
       .orderBy(graft.ops.Num.cround(abs(col("pdot")), 6), col("p"))
-    val flips = dots.filter(col("vec_id") % queryMod === 0)
+    val flips = dots.filter(queryPred(queryMod, queryCap))
       .withColumn("__rnk", row_number().over(wFlip))
       .filter(col("__rnk") <= probes)
       .select(col("vec_id"), pow(lit(2.0), col("p")).cast("long").as("__bit"))
     val probeBuckets = qBase
       .unionAll(qBase.join(flips, "vec_id")
         .select(col("vec_id"), col("bucket").bitwiseXOR(col("__bit")).as("bucket")))
-    val queries = withNorm.filter(col("vec_id") % queryMod === 0)
+    val queries = withNorm.filter(queryPred(queryMod, queryCap))
       .select(col("vec_id").as("query_id"), col("emb_d").as("q_emb"))
       .join(probeBuckets.withColumnRenamed("vec_id", "query_id"), "query_id")
 

@@ -1,0 +1,41 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming twin of the graph family (g1/g2's edge distillation): the
+  * corpus-linear half of [[graft.analytics.Graph.pagerank]] — the
+  * per-(src, dst) edge-count aggregate — run as an INCREMENTAL streaming
+  * aggregation, so a link graph stays current as documents arrive instead
+  * of re-scanning the corpus per refresh.
+  *
+  * Division of labor (the ev20 composition pattern): the stream maintains
+  * only the stateful edge-count aggregate (per-key running counts — state
+  * is one row per DISTINCT edge, never per document); the power iteration
+  * is [[graft.analytics.Graph.fromEdgeCounts]], shared verbatim with the
+  * batch query, applied to any snapshot of the streamed counts.
+  * StreamingSpec proves snapshot == batch g1 under shuffled micro-batches
+  * — including edges whose occurrences arrive in different batches (the
+  * running count carries across).
+  *
+  * At 100 TB: the edge-count state is bounded by the DISTINCT edge set
+  * (hosts², not documents), partitioned by (src, dst) — the same key the
+  * batch aggregate shuffles on. */
+object StreamingGraph {
+
+  /** g1's host-graph edge projection, stateless per document — shared by
+    * the batch query and the stream (one code path, the twin invariant). */
+  def toEdgeEvents(docs: DataFrame): DataFrame =
+    docs.select(
+        concat(lit("h"), (col("doc_id") % 13).cast("string"),
+          lit(".example.com")).as("src"),
+        concat(lit("h"), ((col("doc_id") * 7 + 3) % 13).cast("string"),
+          lit(".example.com")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+
+  /** The incremental edge-count aggregate over an edge-event stream.
+    * Complete/update output carries (src, dst, cnt) — exactly the
+    * [[graft.analytics.Graph.fromEdgeCounts]] input shape. */
+  def edgeCountsStream(spark: SparkSession, edges: DataFrame): DataFrame =
+    edges.groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+}

@@ -442,4 +442,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"g1's bounded-graph iterations must broadcast, never sort-merge:\n$p")
   }
+
+  test("chi-square densifies inside one per-symbol aggregate — no joins") {
+    // a17 (round 12): the (wd, up) level crossing and the marginal sums
+    // run as higher-order functions over the collected ≤14-cell array.
+    // The r10 form's two distinct()+join passes re-derived the corpus
+    // aggregate three times and tripled the windows — a join or a
+    // third hash exchange here means that shape crept back.
+    val p = plan("a17_chi2")
+    assert(!p.contains("Join"),
+      s"a17 must densify in-row, never via joins:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 3,
+      s"a17 is one symbol window + two aggregates (saw $exchanges hash exchanges):\n$p")
+  }
 }
