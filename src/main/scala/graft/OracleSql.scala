@@ -837,10 +837,110 @@ object OracleSql {
        |FROM rep ORDER BY config""".stripMargin
   }
 
+  /** sim23's oracle: the k-NN-graph build (sim2's LSH buckets -> capped
+    * co-occupant seed pairs -> top-8 by exact cosine -> one NN-descent
+    * neighbors-of-neighbors refinement) and the 3-hop beam-10 greedy from
+    * each query's own node, every ranking on the tie-safe-rounded cosine
+    * with dst/vec_id tiebreak — the graft.ext.Similarity.knnGraph /
+    * graphAnnTopK contract. UNION (distinct) mirrors the engine's
+    * .distinct() beam merges; hop CTEs unroll like the sim21 k-means. */
+  private def sim23GraphAnnSql(hops: Int = 3, m: Int = 8, beam: Int = 10,
+                               k: Int = 5): String = {
+    // Pair scoring via list_dot_product over DOUBLE[] (index-order double
+    // accumulation, same contract as the engine's fused cosine loop; the
+    // tie-safe round-6 absorbs residual ulps as everywhere). The
+    // unnest-join SUM formulation the other sim oracles use held ~70 M
+    // intermediate rows for this statement's 1M+ seed pairs and OOM'd
+    // DuckDB at the synthesized sf1.0 — per-pair vector access is the
+    // memory-bounded spelling of the same dot product.
+    def pairScore(pairs: String, a: String, b: String,
+                  dName: String, sName: String): Seq[String] = Seq(
+      s"""$sName AS (
+         |  SELECT p.$a, p.$b,
+         |         ${R("list_dot_product(ea.emb, eb.emb) / (na.nv * nb.nv)", 6)} AS cosine
+         |  FROM $pairs p JOIN edv ea ON ea.vec_id = p.$a
+         |                JOIN edv eb ON eb.vec_id = p.$b
+         |                JOIN nrm na ON na.vec_id = p.$a
+         |                JOIN nrm nb ON nb.vec_id = p.$b)""".stripMargin)
+    def topM(src: String, name: String): String =
+      s"""$name AS (
+         |  SELECT src, dst, cosine FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |        PARTITION BY src ORDER BY cosine DESC, dst) AS rn
+         |    FROM $src) WHERE rn <= $m)""".stripMargin
+    val hopCtes = (1 to hops).flatMap { i =>
+      val prev = s"b${i - 1}"
+      Seq(
+        s"""e$i AS (
+           |  SELECT DISTINCT b.query_id, g.dst AS vec_id
+           |  FROM $prev b JOIN g ON g.src = b.vec_id
+           |  WHERE g.dst <> b.query_id)""".stripMargin) ++
+        pairScore(s"e$i", "query_id", "vec_id", s"ed$i", s"es$i") ++ Seq(
+        s"""b$i AS (
+           |  SELECT query_id, vec_id, cosine FROM (
+           |    SELECT *, ROW_NUMBER() OVER (
+           |        PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+           |    FROM (SELECT * FROM $prev UNION SELECT * FROM es$i))
+           |  WHERE rn <= $beam)""".stripMargin)
+    }
+    withCtes(
+      (Seq(embUnnestCte(""), normCte,
+        "edv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)",
+        """pl AS (
+          |  SELECT p, d,
+          |    (CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 8)) AS BIGINT)
+          |     % 2001 - 1000) / 1000.0 AS w
+          |  FROM range(0, 8) t1(p), range(1, 65) t2(d))""".stripMargin,
+        """pd AS (
+          |  SELECT u.vec_id, pl.p, SUM(CAST(u.v AS DOUBLE) * pl.w) AS pdot
+          |  FROM u JOIN pl ON pl.d = u.i GROUP BY 1, 2)""".stripMargin,
+        """bu AS (
+          |  SELECT vec_id,
+          |         CAST(SUM(CASE WHEN pdot > 0 THEN CAST(POWER(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+          |  FROM pd GROUP BY 1)""".stripMargin,
+        """cap AS (
+          |  SELECT vec_id, bucket FROM (
+          |    SELECT vec_id, bucket, ROW_NUMBER() OVER (
+          |        PARTITION BY bucket ORDER BY vec_id) AS rn
+          |    FROM bu) WHERE rn <= 64)""".stripMargin) ++
+      ivfRoutingCtes ++ Seq(
+        """lcap AS (
+          |  SELECT vec_id, list_id FROM (
+          |    SELECT vec_id, list_id, ROW_NUMBER() OVER (
+          |        PARTITION BY list_id ORDER BY vec_id) AS rn
+          |    FROM assigned) WHERE rn <= 64)""".stripMargin,
+        """sp AS (
+          |  SELECT a.vec_id AS src, b.vec_id AS dst
+          |  FROM cap a JOIN cap b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+          |  UNION
+          |  SELECT a.vec_id, b.vec_id
+          |  FROM lcap a JOIN lcap b ON a.list_id = b.list_id AND a.vec_id <> b.vec_id)""".stripMargin) ++
+        pairScore("sp", "src", "dst", "spd", "sps") ++ Seq(
+        topM("sps", "g0"),
+        """th AS (
+          |  SELECT DISTINCT a.src, b.dst
+          |  FROM g0 a JOIN g0 b ON b.src = a.dst WHERE a.src <> b.dst)""".stripMargin,
+        "gc AS (SELECT src, dst FROM g0 UNION SELECT src, dst FROM th)") ++
+        pairScore("gc", "src", "dst", "gcd", "gcs") ++ Seq(
+        topM("gcs", "g"),
+        s"""b0 AS (
+           |  SELECT src AS query_id, dst AS vec_id, cosine FROM (
+           |    SELECT *, ROW_NUMBER() OVER (
+           |        PARTITION BY src ORDER BY cosine DESC, dst) AS rn
+           |    FROM g WHERE src % 100 = 0) WHERE rn <= $beam)""".stripMargin) ++
+        hopCtes): _*)(
+      s"""SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, cosine FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM b$hops)
+         |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin)
+  }
+
   private lazy val recallSql: Map[String, String] = Map(
     "sim20_recall" -> recallReportSql(Long.MaxValue),
     "sim22_recall_batch" -> recallReportSql(2000L),
-    "sim21_codebook_selector" -> sim21SelectorSql)
+    "sim21_codebook_selector" -> sim21SelectorSql,
+    "sim23_graph_ann" -> sim23GraphAnnSql())
 
   // ===== projections, small filters, remaining scalars/sorts ===============
 

@@ -3005,6 +3005,20 @@ object Queries {
       .orderBy("method")
   }
 
+  /** Graph-based ANN top-k — k-NN-graph beam search (see
+    * [[graft.ext.Similarity.knnGraph]] /
+    * [[graft.ext.Similarity.graphAnnTopK]]), the navigable-graph
+    * architecture class (HNSW/NSG family) completing the engine's ANN
+    * survey next to the LSH (sim2/sim6), IVF (sim3), and PQ (sim7-sim18)
+    * tiers. Build: LSH-seeded NN-descent, bounded-degree m=8; search:
+    * 3-hop beam-10 greedy from the query's own node. Per-query search
+    * cost is CONSTANT in the corpus (beam x m x hops) — the build is the
+    * only corpus-sized pass. */
+  def sim23GraphAnn(s: SparkSession, dir: String): DataFrame =
+    ext.Similarity.graphAnnTopK(Sources.embeddings(s, dir),
+      ext.Similarity.planes(s))
+      .orderBy("query_id", "rank")
+
   /** MMR diversified top-k retrieval over the fixed query batch (see
     * [[graft.ext.Similarity.mmrTopK]]): relevance proposes, the greedy
     * marginal-relevance loop (lambda 0.7) demotes candidates redundant
@@ -3221,6 +3235,7 @@ object Queries {
     "sim20_recall" -> (sim20Recall _),
     "sim22_recall_batch" -> (sim22RecallBatch _),
     "sim21_codebook_selector" -> (sim21CodebookSelector _),
+    "sim23_graph_ann" -> (sim23GraphAnn _),
     "ev21_growth_accounting" -> (ev21GrowthAccounting _),
     "w25_weekly_ohlc" -> (w25WeeklyOhlc _),
     "g2_triangles" -> (g2Triangles _),

@@ -199,6 +199,18 @@ object RecallProbe {
     row("opq ivf-pq+rerank", "rotated anchors+cb, shortlist=50",
       recall(Similarity.opqIvfPqTopKRerank(emb, queryMod = qm, k = k,
         shortlist = 50), truth))
+
+    // sim23: graph ANN — dual-seeded (LSH buckets ∪ IVF lists) NN-descent
+    // build, beam-greedy search (the navigable-graph family). Per-query
+    // candidate budget at the registered config (m=8, beam=10, hops=3) is
+    // <= beam*m*hops = 240 — roughly IVF nprobe=2's corpus/8 at this
+    // fixture size, the equal-budget comparison the spec gates. Search
+    // knobs saturate fast (beam 10→20 and hops 3→5 measured flat);
+    // BUILD quality is the recall lever, so the sweep is (m, rounds).
+    for ((mW, rounds) <- Seq((8, 1), (8, 2), (16, 1)))
+      row("sim23 graph-ann", s"m=$mW rounds=$rounds beam=10 hops=3",
+        recall(Similarity.graphAnnTopK(emb, Similarity.planes(spark),
+          queryMod = qm, k = k, m = mW, descentRounds = rounds), truth))
   }
 
   def main(args: Array[String]): Unit = {

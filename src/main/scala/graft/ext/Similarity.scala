@@ -548,6 +548,144 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "bucket", "cosine")
   }
 
+  /** Bounded-degree k-NN graph over the corpus — the index half of the
+    * graph-based ANN family (the architecture class HNSW/NSG occupy;
+    * Malkov & Yashunin, "Efficient and robust approximate nearest
+    * neighbor search using Hierarchical Navigable Small World graphs",
+    * TPAMI 2020). Construction is Spark-native NN-descent (Dong, Moses &
+    * Li, "Efficient K-Nearest Neighbor Graph Construction for Generic
+    * Similarity Measures", WWW 2011): seed each node's candidate set from
+    * its LSH bucket co-occupants (the sim2 bucketing, hot buckets capped
+    * at `bucketCap` rows — the d2 discipline, so no bucket ever goes
+    * quadratic) UNIONED with its IVF-list co-occupants (the sim3
+    * assignment, same cap), keep the top-`m` by exact cosine, then refine
+    * `descentRounds` times with the neighbors-of-neighbors expansion
+    * (≤ m² candidates per node, the NN-descent kernel). TWO independent
+    * seed partitionings matter: a single hashing's buckets PARTITION the
+    * corpus, so descent's two-hop expansion can never leave a bucket's
+    * clique — seeds from a second, differently-shaped partitioning give
+    * descent the cross-boundary bridges it needs (measured on the planted
+    * fixture: LSH-only seeding pinned recall at its 0.31 seed quality;
+    * the dual seeding is the NN-descent analog of multi-table LSH).
+    *
+    * Shape at scale: every stage is bounded-per-node — both seed joins
+    * are cap-bounded, each descent round is two self-joins of an (n × m)
+    * edge table plus one bounded rescore, and the output is exactly
+    * n × m edges. No stage ever holds a corpus × corpus frame.
+    * Determinism: every ranking compares the tie-safe-ROUNDED cosine
+    * (scale 6) with dst as tiebreak; bucket caps order by vec_id.
+    * Output: (src, dst, cosine), directed, top-m per src. */
+  def knnGraph(emb: DataFrame, planesDf: DataFrame, m: Int = 8,
+               nPlanes: Int = 8, bucketCap: Int = 64,
+               descentRounds: Int = 1): DataFrame = {
+    import graft.ops.Materialize.MaterializeOps
+    val withNorm = withDoubles(emb).materialized
+    val wB = Window.partitionBy("bucket").orderBy("vec_id")
+    val capped = lshBuckets(emb, planesDf, nPlanes)
+      .withColumn("__rn", row_number().over(wB))
+      .filter(col("__rn") <= bucketCap)
+      .select("vec_id", "bucket")
+    val scores = anchorScores(emb, ivfAnchors(emb.sparkSession))
+    val wBest = Window.partitionBy("vec_id").orderBy(desc("score"), col("c"))
+    val wL = Window.partitionBy("bucket").orderBy("vec_id")
+    val listCapped = scores.withColumn("__rnk", row_number().over(wBest))
+      .filter(col("__rnk") === 1)
+      .select(col("vec_id"), col("c").as("bucket"))
+      .withColumn("__rn", row_number().over(wL))
+      .filter(col("__rn") <= bucketCap)
+      .select("vec_id", "bucket")
+    def score(pairs: DataFrame): DataFrame =
+      pairs
+        .join(withNorm.select(col("vec_id").as("src"),
+          col("emb_d").as("__se")), Seq("src"))
+        .join(withNorm.select(col("vec_id").as("dst"),
+          col("emb_d").as("__de")), Seq("dst"))
+        .select(col("src"), col("dst"), graft.ops.Num.cround(
+          nativeCosine(col("__se"), col("__de")), 6).as("cosine"))
+    def topM(scored: DataFrame): DataFrame = {
+      val w = Window.partitionBy("src")
+        .orderBy(col("cosine").desc, col("dst"))
+      scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= m)
+        .select("src", "dst", "cosine")
+    }
+    def coPairs(part: DataFrame): DataFrame =
+      part.select(col("vec_id").as("src"), col("bucket"))
+        .join(part.select(col("vec_id").as("dst"), col("bucket")),
+          Seq("bucket"))
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst")
+    val seedPairs = coPairs(capped).unionByName(coPairs(listCapped))
+      .distinct()
+    var g = topM(score(seedPairs)).materialized
+    for (_ <- 1 to descentRounds) {
+      val twoHop = g.select(col("src"), col("dst").as("__mid"))
+        .join(g.select(col("src").as("__mid"), col("dst")), Seq("__mid"))
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst")
+      val cand = g.select("src", "dst").unionByName(twoHop).distinct()
+      g = topM(score(cand)).materialized
+    }
+    g
+  }
+
+  /** Greedy beam search over the [[knnGraph]] — the search half of the
+    * graph-ANN family, completing the engine's survey of production ANN
+    * architectures (LSH buckets, IVF lists, PQ codes, OPQ rotation, and
+    * now navigable graphs). Queries are corpus members (the engine's
+    * vec_id ≡ 0 sampling convention), so search starts at the query's OWN
+    * node: hop 0 seeds the beam with its out-edges (whose stored cosine
+    * IS the relevance), and each of the `hops` expansions scores the
+    * beam's out-neighbors against the query, keeps the top-`beam`, and
+    * repeats — the flat-graph greedy of HNSW's layer 0.
+    *
+    * Shape at scale: per query, per hop, the frontier is ≤ beam × m rows
+    * — CONSTANT in the corpus — so search cost is queries × beam × m ×
+    * hops after the one-time build; the only corpus-sized work is
+    * [[knnGraph]] itself (the index build, amortized like every index).
+    * Determinism: candidates dedupe on exact (query_id, vec_id, rounded
+    * cosine) triples; every beam/top-k cut orders (cosine desc, vec_id).
+    * A query whose node is isolated (alone in its capped bucket) returns
+    * no rows — the documented cold-start of every graph index. */
+  def graphAnnTopK(emb: DataFrame, planesDf: DataFrame, queryMod: Int = 100,
+                   k: Int = 5, m: Int = 8, beam: Int = 10, hops: Int = 3,
+                   nPlanes: Int = 8, bucketCap: Int = 64,
+                   descentRounds: Int = 1,
+                   queryCap: Long = Long.MaxValue): DataFrame = {
+    import graft.ops.Materialize.MaterializeOps
+    val g = knnGraph(emb, planesDf, m, nPlanes, bucketCap, descentRounds)
+    val withNorm = withDoubles(emb)
+    val queries = withNorm.filter(queryPred(queryMod, queryCap))
+      .select(col("vec_id").as("query_id"), col("emb_d").as("q_emb"))
+      .materialized
+    val wQ = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    def topBeam(df: DataFrame): DataFrame =
+      df.withColumn("__rn", row_number().over(wQ))
+        .filter(col("__rn") <= beam)
+        .select("query_id", "vec_id", "cosine")
+    var beamDf = topBeam(
+      g.join(queries.select(col("query_id")),
+          g("src") === col("query_id"))
+        .select(col("query_id"), col("dst").as("vec_id"), col("cosine")))
+    for (_ <- 1 to hops) {
+      val expanded = beamDf.select("query_id", "vec_id")
+        .join(g.select(col("src").as("vec_id"), col("dst")), Seq("vec_id"))
+        .select(col("query_id"), col("dst").as("vec_id"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .distinct()
+        .join(withNorm, Seq("vec_id"))
+        .join(broadcast(queries), Seq("query_id"))
+        .select(col("query_id"), col("vec_id"), graft.ops.Num.cround(
+          nativeCosine(col("emb_d"), col("q_emb")), 6).as("cosine"))
+      beamDf = topBeam(
+        beamDf.unionByName(expanded).distinct())
+    }
+    beamDf.withColumn("rank", row_number().over(wQ))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cosine")
+  }
+
   /** Symmetric per-vector int8 scalar quantization: scale = max|x| / 127,
     * q_i = round(x_i / scale). 4x smaller embeddings for the candidate-
     * generation tier (the shuffle/broadcast payloads above shrink with it);

@@ -1586,6 +1586,28 @@ class ExtSpec extends AnyFunSuite {
       f"MMR intra-set redundancy $redMmr%.3f not below plain top-k $redBf%.3f")
   }
 
+  test("graph ANN: dual-seeded NN-descent beats its LSH seed; IVF comparison at equal budget") {
+    // The navigable-graph tier (sim23) on the planted fixture: the gate is
+    // (a) the descent-built graph must RECALL MORE than the single-table
+    // LSH tier that seeds it (single-partitioning seeds pin recall at the
+    // seed's quality — the defect the dual seeding fixes), and (b) the
+    // equal-candidate-budget comparison vs IVF nprobe=2 (~corpus/8
+    // candidates vs beam*m*hops = 240) is printed and floor-gated.
+    val emb = RecallProbe.plantedEmbeddings(spark).localCheckpoint(true)
+    val truth = Similarity.bruteForceTopK(emb).localCheckpoint(true)
+    val rGraph = RecallProbe.recall(
+      Similarity.graphAnnTopK(emb, Similarity.planes(spark)), truth)
+    val rLsh = RecallProbe.recall(
+      Similarity.lshTopK(emb, Similarity.planes(spark), k = 5), truth)
+    val rIvf = RecallProbe.recall(
+      Similarity.ivfTopK(emb, Similarity.ivfAnchors(spark), k = 5), truth)
+    info(f"planted recall@5: graph=$rGraph%.3f lsh-seed=$rLsh%.3f ivf(nprobe=2)=$rIvf%.3f")
+    assert(rGraph > rLsh,
+      f"graph ANN ($rGraph%.3f) must beat its LSH seed ($rLsh%.3f)")
+    assert(rGraph >= 0.5,
+      f"graph ANN recall floor on the planted fixture: $rGraph%.3f")
+  }
+
   test("MMR k=1 returns exactly the relevance winner; k=0 rejected") {
     // sequence(2, 1) is DESCENDING in Spark — an unguarded k=1 would run
     // two bogus greedy steps (round-12 ADVICE); the guard must return one
