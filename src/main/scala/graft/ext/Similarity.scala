@@ -54,7 +54,7 @@ object Similarity {
   /** Double-cast copy of the embedding, computed ONCE per side before the
     * pairwise join so the n_queries x n_vectors dot products don't re-cast
     * every float element per pair. */
-  private def withDoubles(emb: DataFrame): DataFrame =
+  private[graft] def withDoubles(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("emb_d"))
 
@@ -246,7 +246,7 @@ object Similarity {
 
   /** Anchor-similarity scores per vector: (vec_id, c, score) where score =
     * dot(v, anchor_c) / |anchor_c| (|v| constant across lists, dropped). */
-  private def anchorScores(emb: DataFrame, anchors: DataFrame): DataFrame = {
+  private[graft] def anchorScores(emb: DataFrame, anchors: DataFrame): DataFrame = {
     val anorm = anchors.groupBy("c").agg(sqrt(sum(col("w") * col("w"))).as("anorm"))
     emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .withColumn("d", col("pos") + 1)
@@ -577,9 +577,43 @@ object Similarity {
     * Output: (src, dst, cosine), directed, top-m per src. */
   def knnGraph(emb: DataFrame, planesDf: DataFrame, m: Int = 8,
                nPlanes: Int = 8, bucketCap: Int = 64,
-               descentRounds: Int = 1): DataFrame = {
-    import graft.ops.Materialize.MaterializeOps
-    val withNorm = withDoubles(emb).materialized
+               descentRounds: Int = 1): DataFrame =
+    descend(emb, seedEdges(emb, planesDf, m, nPlanes, bucketCap),
+      m, descentRounds)
+
+  /** Exact-cosine scoring of a bounded (src, dst) pair table against the
+    * double-cast corpus — shared by the seed, descent, and incremental
+    * maintenance paths (one kernel, the twin invariant). */
+  private[graft] def scorePairs(withNorm: DataFrame,
+                                pairs: DataFrame): DataFrame =
+    pairs
+      .join(withNorm.select(col("vec_id").as("src"),
+        col("emb_d").as("__se")), Seq("src"))
+      .join(withNorm.select(col("vec_id").as("dst"),
+        col("emb_d").as("__de")), Seq("dst"))
+      .select(col("src"), col("dst"), graft.ops.Num.cround(
+        nativeCosine(col("__se"), col("__de")), 6).as("cosine"))
+
+  /** Keep each src's top-`m` out-edges (rounded cosine desc, dst
+    * tiebreak). Top-m is MERGEABLE under edge additions — top-m(top-m(A)
+    * ∪ B) == top-m(A ∪ B) — which is what makes the incremental index's
+    * per-batch fold exact ([[IncrementalAnnIndex]]). */
+  private[graft] def topMEdges(scored: DataFrame, m: Int): DataFrame = {
+    val w = Window.partitionBy("src")
+      .orderBy(col("cosine").desc, col("dst"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= m)
+      .select("src", "dst", "cosine")
+  }
+
+  /** The dual-partitioning membership tables the seed pairs come from:
+    * LSH buckets and IVF-list assignment, each capped at `bucketCap`
+    * members per bucket (smallest vec_ids — an ORDER-INDEPENDENT
+    * election, so incremental ingest in vec_id order reproduces it
+    * append-only). Returns (lshCapped, ivfCapped), both (vec_id, bucket). */
+  private[graft] def seedMemberships(emb: DataFrame, planesDf: DataFrame,
+                                     nPlanes: Int, bucketCap: Int)
+      : (DataFrame, DataFrame) = {
     val wB = Window.partitionBy("bucket").orderBy("vec_id")
     val capped = lshBuckets(emb, planesDf, nPlanes)
       .withColumn("__rn", row_number().over(wB))
@@ -587,28 +621,23 @@ object Similarity {
       .select("vec_id", "bucket")
     val scores = anchorScores(emb, ivfAnchors(emb.sparkSession))
     val wBest = Window.partitionBy("vec_id").orderBy(desc("score"), col("c"))
-    val wL = Window.partitionBy("bucket").orderBy("vec_id")
     val listCapped = scores.withColumn("__rnk", row_number().over(wBest))
       .filter(col("__rnk") === 1)
       .select(col("vec_id"), col("c").as("bucket"))
-      .withColumn("__rn", row_number().over(wL))
+      .withColumn("__rn", row_number().over(wB))
       .filter(col("__rn") <= bucketCap)
       .select("vec_id", "bucket")
-    def score(pairs: DataFrame): DataFrame =
-      pairs
-        .join(withNorm.select(col("vec_id").as("src"),
-          col("emb_d").as("__se")), Seq("src"))
-        .join(withNorm.select(col("vec_id").as("dst"),
-          col("emb_d").as("__de")), Seq("dst"))
-        .select(col("src"), col("dst"), graft.ops.Num.cround(
-          nativeCosine(col("__se"), col("__de")), 6).as("cosine"))
-    def topM(scored: DataFrame): DataFrame = {
-      val w = Window.partitionBy("src")
-        .orderBy(col("cosine").desc, col("dst"))
-      scored.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= m)
-        .select("src", "dst", "cosine")
-    }
+    (capped, listCapped)
+  }
+
+  /** The seed half of [[knnGraph]]: dual-partitioning co-occupant pairs,
+    * exact-scored, cut to top-m per src. */
+  def seedEdges(emb: DataFrame, planesDf: DataFrame, m: Int = 8,
+                nPlanes: Int = 8, bucketCap: Int = 64): DataFrame = {
+    import graft.ops.Materialize.MaterializeOps
+    val withNorm = withDoubles(emb).materialized
+    val (capped, listCapped) =
+      seedMemberships(emb, planesDf, nPlanes, bucketCap)
     def coPairs(part: DataFrame): DataFrame =
       part.select(col("vec_id").as("src"), col("bucket"))
         .join(part.select(col("vec_id").as("dst"), col("bucket")),
@@ -617,14 +646,23 @@ object Similarity {
         .select("src", "dst")
     val seedPairs = coPairs(capped).unionByName(coPairs(listCapped))
       .distinct()
-    var g = topM(score(seedPairs)).materialized
-    for (_ <- 1 to descentRounds) {
+    topMEdges(scorePairs(withNorm, seedPairs), m)
+  }
+
+  /** The NN-descent half of [[knnGraph]]: `rounds` neighbors-of-neighbors
+    * refinements of an existing top-m edge table. */
+  def descend(emb: DataFrame, g0: DataFrame, m: Int = 8,
+              rounds: Int = 1): DataFrame = {
+    import graft.ops.Materialize.MaterializeOps
+    val withNorm = withDoubles(emb).materialized
+    var g = g0.materialized
+    for (_ <- 1 to rounds) {
       val twoHop = g.select(col("src"), col("dst").as("__mid"))
         .join(g.select(col("src").as("__mid"), col("dst")), Seq("__mid"))
         .filter(col("src") =!= col("dst"))
         .select("src", "dst")
       val cand = g.select("src", "dst").unionByName(twoHop).distinct()
-      g = topM(score(cand)).materialized
+      g = topMEdges(scorePairs(withNorm, cand), m).materialized
     }
     g
   }
@@ -651,9 +689,19 @@ object Similarity {
                    k: Int = 5, m: Int = 8, beam: Int = 10, hops: Int = 3,
                    nPlanes: Int = 8, bucketCap: Int = 64,
                    descentRounds: Int = 1,
-                   queryCap: Long = Long.MaxValue): DataFrame = {
+                   queryCap: Long = Long.MaxValue): DataFrame =
+    searchGraph(emb,
+      knnGraph(emb, planesDf, m, nPlanes, bucketCap, descentRounds),
+      queryMod, k, beam, hops, queryCap)
+
+  /** The search half of [[graphAnnTopK]] over an ALREADY-BUILT edge table
+    * — shared with the incremental index's snapshot search
+    * ([[IncrementalAnnIndex]]), the one-kernel twin invariant. */
+  def searchGraph(emb: DataFrame, graph: DataFrame, queryMod: Int = 100,
+                  k: Int = 5, beam: Int = 10, hops: Int = 3,
+                  queryCap: Long = Long.MaxValue): DataFrame = {
     import graft.ops.Materialize.MaterializeOps
-    val g = knnGraph(emb, planesDf, m, nPlanes, bucketCap, descentRounds)
+    val g = graph
     val withNorm = withDoubles(emb)
     val queries = withNorm.filter(queryPred(queryMod, queryCap))
       .select(col("vec_id").as("query_id"), col("emb_d").as("q_emb"))
