@@ -1989,6 +1989,47 @@ object OracleSql {
        |    GROUP BY 1) s ON s.host = n.host)""".stripMargin
   }
 
+  /** The g3 min-label propagation rounds, unrolled. Labels are strings —
+    * float-free, so the engines agree structurally (binary collation on
+    * ASCII hosts in both). Self-loops in `us` fold the keep-own-label
+    * branch into the same MIN as the neighbor labels (the Spark side's
+    * single-reference trick); MATERIALIZED because DuckDB inlines CTEs —
+    * an unmaterialized chain re-plans the whole prefix per reference. */
+  private def componentIterCtes(iters: Int): Seq[String] = (1 to iters).map { t =>
+    s"""l$t AS MATERIALIZED (
+       |  SELECT u.b AS host, MIN(p.comp) AS comp
+       |  FROM us u JOIN l${t - 1} p ON p.host = u.a
+       |  GROUP BY 1)""".stripMargin
+  }
+
+  /** The g4 HITS rounds, unrolled — two halves per iteration (authority
+    * from hubs, hubs from authorities), each half's incoming sum rounded
+    * tie-safe at 12 and then L1-normalized with the total and the ratio
+    * both rounded at 12, mirroring Graph.hits in lockstep. */
+  private def hitsIterCtes(iters: Int): Seq[String] = (1 to iters).flatMap { t =>
+    Seq(
+      s"""ar$t AS MATERIALIZED (
+         |  SELECT n.host, COALESCE(s.a, 0.0) AS a
+         |  FROM nodes n
+         |  LEFT JOIN (
+         |    SELECT e.dst AS host, ${R("SUM(p.h)", 12)} AS a
+         |    FROM e JOIN h${t - 1} p ON p.host = e.src
+         |    GROUP BY 1) s ON s.host = n.host)""".stripMargin,
+      s"""at$t AS MATERIALIZED (
+         |  SELECT host, ${R("a / tt.t", 12)} AS a
+         |  FROM ar$t CROSS JOIN (SELECT ${R("SUM(a)", 12)} AS t FROM ar$t) tt)""".stripMargin,
+      s"""hr$t AS MATERIALIZED (
+         |  SELECT n.host, COALESCE(s.h, 0.0) AS h
+         |  FROM nodes n
+         |  LEFT JOIN (
+         |    SELECT e.src AS host, ${R("SUM(p.a)", 12)} AS h
+         |    FROM e JOIN at$t p ON p.host = e.dst
+         |    GROUP BY 1) s ON s.host = n.host)""".stripMargin,
+      s"""h$t AS MATERIALIZED (
+         |  SELECT host, ${R("h / tt.t", 12)} AS h
+         |  FROM hr$t CROSS JOIN (SELECT ${R("SUM(h)", 12)} AS t FROM hr$t) tt)""".stripMargin)
+  }
+
   private def embUnnestCte(pred: String): String =
     s"""u AS (
        |  SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
@@ -4593,6 +4634,97 @@ object OracleSql {
         |SELECT u.host, CAST(COUNT(*) AS BIGINT) AS n_triangles
         |FROM tri, UNNEST([x, y, z]) u(host)
         |GROUP BY 1 ORDER BY u.host""".stripMargin),
+
+    // Connected-components twin: same planted mod-4 seeding (every edge
+    // step a multiple of 4), symmetrized distinct edges, and
+    // componentIterCtes unrolls the 10 min-label rounds. String labels —
+    // no floats anywhere.
+    "g3_components" -> withCtes(Seq(
+      """lk AS (
+        |  SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) || '.example.com' AS src,
+        |         'h' || CAST((doc_id % 40 + ((doc_id // 40) % 9 + 1) * 4) % 40
+        |           AS VARCHAR) || '.example.com' AS dst
+        |  FROM documents)""".stripMargin,
+      """und AS MATERIALIZED (
+        |  SELECT DISTINCT a, b FROM (
+        |    SELECT src AS a, dst AS b FROM lk
+        |    UNION ALL SELECT dst, src FROM lk) t
+        |  WHERE a <> b)""".stripMargin,
+      "nodes AS MATERIALIZED (SELECT DISTINCT a AS host FROM und)",
+      """us AS MATERIALIZED (
+        |  SELECT a, b FROM und
+        |  UNION ALL SELECT host, host FROM nodes)""".stripMargin,
+      "l0 AS MATERIALIZED (SELECT host, host AS comp FROM nodes)") ++
+      componentIterCtes(10): _*)(
+      """SELECT l.host, l.comp AS component,
+        |  CAST(sz.n AS BIGINT) AS component_size
+        |FROM l10 l
+        |JOIN (SELECT comp, COUNT(*) AS n FROM l10 GROUP BY 1) sz
+        |  ON sz.comp = l.comp
+        |ORDER BY l.host""".stripMargin),
+
+    // HITS twin: the g2 two-target directed graph, distinct edges,
+    // hitsIterCtes unrolls the 10 mutual-reinforcement rounds (round-12
+    // lockstep on every sum and normalized ratio, the g1 contract).
+    "g4_hits" -> withCtes(Seq(
+      """lk AS (
+        |  SELECT 'h' || CAST(doc_id % 13 AS VARCHAR) || '.example.com' AS src,
+        |         'h' || CAST(u.dk AS VARCHAR) || '.example.com' AS dst
+        |  FROM documents,
+        |       UNNEST([(doc_id * 7 + 3) % 13, (doc_id * doc_id + 1) % 13]) u(dk)
+        |  WHERE doc_id % 13 <> u.dk)""".stripMargin,
+      "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM lk)",
+      "nodes AS MATERIALIZED (SELECT src AS host FROM e UNION SELECT dst FROM e)",
+      "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+      "h0 AS MATERIALIZED (SELECT host, 1.0 / nn.n AS h FROM nodes CROSS JOIN nn)") ++
+      hitsIterCtes(10): _*)(
+      s"""SELECT h.host, ${R("h.h", 6)} AS hub, ${R("a.a", 6)} AS authority
+         |FROM h10 h JOIN at10 a ON a.host = h.host
+         |ORDER BY h.host""".stripMargin),
+
+    // BPE-pair twin: same lowercase space-split word counts (the t11
+    // split semantics), pair explode over the DISTINCT vocabulary via
+    // 1-based range unnest (the t33 position idiom), DISTINCT (w, pair)
+    // for the vocab doc-frequency. Exact integers end to end.
+    "t34_bpe_pairs" -> (
+      """WITH wc AS (
+        |  SELECT w, COUNT(*) AS wc FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS w
+        |    FROM documents) t
+        |  WHERE length(w) >= 2 GROUP BY 1),
+        |pc AS (
+        |  SELECT substr(w, CAST(r.i AS INTEGER), 2) AS pair,
+        |         SUM(wc) AS pair_count
+        |  FROM wc, UNNEST(range(1, length(w))) r(i)
+        |  GROUP BY 1),
+        |df AS (
+        |  SELECT pair, COUNT(*) AS n_vocab_words FROM (
+        |    SELECT DISTINCT w, substr(w, CAST(r.i AS INTEGER), 2) AS pair
+        |    FROM wc, UNNEST(range(1, length(w))) r(i)) t
+        |  GROUP BY 1)
+        |SELECT pc.pair, CAST(pair_count AS BIGINT) AS pair_count,
+        |  CAST(n_vocab_words AS BIGINT) AS n_vocab_words
+        |FROM pc JOIN df ON df.pair = pc.pair
+        |ORDER BY pair_count DESC, pc.pair
+        |LIMIT 30""".stripMargin),
+
+    // Inter-arrival twin: per-(user, type) LAG with the event_id
+    // same-instant tiebreak, FLOOR-epoch integer seconds (the ev19
+    // contract), quantile_cont == percentile (the a5 contract).
+    "ev22_interarrival" -> (
+      s"""WITH g AS (
+         |  SELECT event_type,
+         |         CAST(FLOOR(epoch(ts)) AS BIGINT)
+         |           - CAST(FLOOR(epoch(LAG(ts) OVER (
+         |               PARTITION BY user_id, event_type
+         |               ORDER BY ts, event_id))) AS BIGINT) AS gap_sec
+         |  FROM events)
+         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         |  ${R("quantile_cont(gap_sec, 0.5)", 6)} AS p50_sec,
+         |  ${R("quantile_cont(gap_sec, 0.9)", 6)} AS p90_sec,
+         |  ${R("AVG(gap_sec)", 2)} AS avg_sec
+         |FROM g WHERE gap_sec IS NOT NULL
+         |GROUP BY 1 ORDER BY event_type""".stripMargin),
 
     // Growth-accounting twin: distinct (user, week) pairs, lag/lead
     // classification, churn at week+7 (right-censored users NOT churned),

@@ -2843,6 +2843,114 @@ object Queries {
       .orderBy("host")
   }
 
+  /** Connected components over a 40-host link graph with PLANTED
+    * components — the mirror-farm / site-family detector next to g1's
+    * rank and g2's clustering signal (components group hosts that
+    * interlink at all; the d6 duplicate-cluster idiom lifted to the host
+    * graph). Links are seeded deterministically from doc_ids with every
+    * edge step a multiple of 4, so hosts partition into the 4 residue
+    * classes mod 4 by construction — the min-label propagation
+    * ([[graft.analytics.Graph.connectedComponents]], 10 rounds >= the
+    * within-class diameter) must recover exactly those classes. Corpus
+    * pays one distinct-edge aggregate; every round runs on the bounded
+    * host graph. Labels are strings; the whole query is float-free. */
+  def g3Components(s: SparkSession, dir: String): DataFrame = {
+    val host = (k: Column) =>
+      concat(lit("h"), k.cast("string"), lit(".example.com"))
+    val a = col("doc_id") % 40
+    val step = (expr("doc_id div 40") % 9 + 1) * 4
+    val links = Sources.documents(s, dir)
+      .select(host(a).as("src"), host((a + step) % 40).as("dst"))
+    analytics.Graph.connectedComponents(links)
+  }
+
+  /** HITS hubs-and-authorities over the g2 two-target host graph (the
+    * richer directed shape — g1's single-target graph is a functional
+    * cycle where hub==authority by symmetry). 10 mutual-reinforcement
+    * rounds, L1-normalized per half, tie-safe round 12 per step
+    * ([[graft.analytics.Graph.hits]]; the oracle unrolls identical
+    * iterations). The read: high-authority hosts are linked BY many good
+    * hubs (canonical sources), high-hub hosts link TO many good
+    * authorities (directories/aggregators) — PageRank's one score can't
+    * separate the two roles. */
+  def g4Hits(s: SparkSession, dir: String): DataFrame = {
+    val links = Sources.documents(s, dir)
+      .select(col("doc_id"), explode(array(
+        (col("doc_id") * 7 + 3) % 13,
+        (col("doc_id") * col("doc_id") + 1) % 13)).as("dk"))
+      .select(
+        concat(lit("h"), (col("doc_id") % 13).cast("string"),
+          lit(".example.com")).as("src"),
+        concat(lit("h"), col("dk").cast("string"),
+          lit(".example.com")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    analytics.Graph.hits(links)
+  }
+
+  /** First BPE merge iteration — corpus-weighted adjacent character-pair
+    * counts (Sennrich et al. 2016's trainer computes exactly this table
+    * before each merge; this is merge 0 over raw words). The
+    * tokenizer-training prep next to t11's word vocabulary and t27's
+    * word-bigram collocations: the top pair is the first merge a BPE
+    * vocabulary would learn on this corpus.
+    *
+    * Shape at 100 TB: the CORPUS pays exactly one word-count aggregate
+    * (map-side combined) — the pair explode then runs over the DISTINCT
+    * word VOCABULARY (Heaps-law sublinear in the corpus), weighted by the
+    * word counts, and the pair aggregate partial-combines into a table
+    * bounded by |charset|². Top-30 is a TakeOrderedAndProject with the
+    * pair itself as the deterministic tiebreak. Repeated pairs inside a
+    * word count once per occurrence ("aaa" contributes "aa" twice per
+    * word occurrence), exactly as BPE counts; n_vocab_words counts
+    * DISTINCT words containing the pair (array_distinct before the second
+    * vocab-sized explode — never a count-distinct Expand). Exact integers
+    * end to end. */
+  def t34BpePairs(s: SparkSession, dir: String): DataFrame = {
+    val words = Sources.documents(s, dir)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    val wp = words.withColumn("pairs", expr(
+      "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+    val counts = wp.select(col("wc"), explode(col("pairs")).as("pair"))
+      .groupBy("pair").agg(sum("wc").as("pair_count"))
+    val dfreq = wp.select(explode(array_distinct(col("pairs"))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n_vocab_words"))
+    counts.join(dfreq, "pair")
+      .orderBy(col("pair_count").desc, col("pair").asc)
+      .limit(30)
+  }
+
+  /** Inter-arrival cadence per event type — per-user gaps between
+    * consecutive events of the SAME type, reduced to p50/p90/mean
+    * seconds: the engagement-frequency read behind ev14's stickiness
+    * ratio (how often does a returning user view vs purchase?), and the
+    * rate table a capacity planner reads next to ev8's volume anomalies.
+    *
+    * One exchange on (user_id, event_type) serves the lag; the gap rows
+    * then reduce through an |event_types|-row aggregate. Gaps are exact
+    * integer seconds (the ev19 FLOOR-epoch contract, same-instant rows
+    * tie-broken by event_id); percentile == quantile_cont (the a5
+    * contract), rounded 6, mean rounded 2. */
+  def ev22Interarrival(s: SparkSession, dir: String): DataFrame = {
+    val byUt = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts", "event_id")
+    val gaps = Sources.events(s, dir)
+      .withColumn("prev_ts", lag("ts", 1).over(byUt))
+      .filter(col("prev_ts").isNotNull)
+      .select(col("event_type"),
+        (col("ts").cast("long") - col("prev_ts").cast("long")).as("gap_sec"))
+    rounded(
+      gaps.groupBy("event_type").agg(
+        count(lit(1)).as("n_gaps"),
+        expr("percentile(gap_sec, 0.5D)").as("p50_sec"),
+        expr("percentile(gap_sec, 0.9D)").as("p90_sec"),
+        avg("gap_sec").as("avg_sec")),
+      Seq("p50_sec", "p90_sec"))
+      .withColumn("avg_sec", Num.cround(col("avg_sec"), 2))
+      .orderBy("event_type")
+  }
+
   /** Cross-table fuzzy record linkage — entity resolution between the
     * part catalog and a deterministically-dirtied twin (dropped last
     * token / replaced first token / unchanged, by key residue): the
@@ -3239,6 +3347,10 @@ object Queries {
     "ev21_growth_accounting" -> (ev21GrowthAccounting _),
     "w25_weekly_ohlc" -> (w25WeeklyOhlc _),
     "g2_triangles" -> (g2Triangles _),
-    "j11_fuzzy_linkage" -> (j11FuzzyLinkage _)
+    "j11_fuzzy_linkage" -> (j11FuzzyLinkage _),
+    "g3_components" -> (g3Components _),
+    "g4_hits" -> (g4Hits _),
+    "t34_bpe_pairs" -> (t34BpePairs _),
+    "ev22_interarrival" -> (ev22Interarrival _)
   )
 }

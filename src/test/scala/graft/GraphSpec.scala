@@ -52,4 +52,61 @@ class GraphSpec extends AnyFunSuite {
     assert(out("a").getAs[Long]("out_links") == 3L)
     assert(out("b").getAs[Long]("in_links") == 2L)
   }
+
+  test("connectedComponents: two planted components, min label wins, direction ignored") {
+    // a-b-c connected (note c->b is AGAINST the chain direction — the
+    // symmetrization must erase orientation); d-e separate.
+    val links = Seq(("a", "b"), ("c", "b"), ("e", "d")).toDF("src", "dst")
+    val out = Graph.connectedComponents(links).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out.keySet == Set("a", "b", "c", "d", "e"))
+    Seq("a", "b", "c").foreach(h => assert(out(h) == ("a", 3L), s"$h: ${out(h)}"))
+    Seq("d", "e").foreach(h => assert(out(h) == ("d", 2L), s"$h: ${out(h)}"))
+  }
+
+  test("connectedComponents: label crosses a chain longer than one round") {
+    // a-b-c-d-e-f: the min label 'a' needs 5 propagation rounds to reach
+    // f — inside the default 10, so the whole chain must collapse to 'a'.
+    val links = Seq(("b", "a"), ("c", "b"), ("d", "c"), ("e", "d"), ("f", "e"))
+      .toDF("src", "dst")
+    val out = Graph.connectedComponents(links).collect()
+    assert(out.length == 6)
+    out.foreach(r => assert(r.getString(1) == "a" && r.getLong(2) == 6L,
+      s"chain node not folded: $r"))
+  }
+
+  test("hits: symmetric complete bipartite graph is the exact fixed point") {
+    // h1,h2 -> a1,a2 (all four edges): hubs split 1/2 each, authorities
+    // 1/2 each, pure sources have authority 0 and pure sinks hub 0 —
+    // uniform-by-symmetry is reproduced exactly every iteration.
+    val links = Seq(("h1", "a1"), ("h1", "a2"), ("h2", "a1"), ("h2", "a2"))
+      .toDF("src", "dst")
+    val out = Graph.hits(links).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    Seq("h1", "h2").foreach { h =>
+      assert(math.abs(out(h)._1 - 0.5) < 1e-6, s"$h hub: ${out(h)}")
+      assert(out(h)._2 == 0.0, s"$h authority: ${out(h)}")
+    }
+    Seq("a1", "a2").foreach { a =>
+      assert(out(a)._1 == 0.0, s"$a hub: ${out(a)}")
+      assert(math.abs(out(a)._2 - 0.5) < 1e-6, s"$a authority: ${out(a)}")
+    }
+  }
+
+  test("hits: mutual reinforcement ranks the better-endorsed authority and the broader hub") {
+    // h1 -> a1, a2; h2 -> a1: a1 is endorsed by both hubs (higher
+    // authority than a2); h1 points at more authority mass than h2
+    // (higher hub). Roles never mix: sources hold 0 authority.
+    val links = Seq(("h1", "a1"), ("h1", "a2"), ("h2", "a1"))
+      .toDF("src", "dst")
+    val out = Graph.hits(links).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out("a1")._2 > out("a2")._2 && out("a2")._2 > 0.0, s"$out")
+    assert(out("h1")._1 > out("h2")._1 && out("h2")._1 > 0.0, s"$out")
+    assert(out("h1")._2 == 0.0 && out("h2")._2 == 0.0)
+    assert(out("a1")._1 == 0.0 && out("a2")._1 == 0.0)
+    // L1 contract: each score family sums to 1
+    assert(math.abs(out.values.map(_._1).sum - 1.0) < 1e-9)
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-9)
+  }
 }

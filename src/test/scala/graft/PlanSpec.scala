@@ -443,6 +443,52 @@ class PlanSpec extends AnyFunSuite {
       s"g1's bounded-graph iterations must broadcast, never sort-merge:\n$p")
   }
 
+  test("connected components: corpus distilled once, label rounds broadcast") {
+    // g3: the g1 contract — the self-loop edge table is materialized
+    // (ExistingRDD), and the 10 min-label rounds join a node-count-sized
+    // label frame: broadcast only, never sort-merge, never cartesian.
+    val p = plan("g3_components")
+    assert(p.contains("Scan ExistingRDD"),
+      s"g3's edge table must be materialized once, not rescanned:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"g3's bounded-graph rounds must broadcast, never sort-merge:\n$p")
+  }
+
+  test("HITS: distinct edges materialized once, reinforcement rounds broadcast") {
+    // g4: same contract; the per-half L1 normalization additionally runs
+    // as ONE global window over the bounded node frame (a total-aggregate
+    // cross join would double the logical plan per half-round).
+    val p = plan("g4_hits")
+    assert(p.contains("Scan ExistingRDD"),
+      s"g4's edges must be materialized once, not rescanned:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"g4's bounded-graph rounds must broadcast, never sort-merge:\n$p")
+  }
+
+  test("BPE pair counts explode the vocabulary, never the corpus") {
+    // t34: the corpus reduces through ONE word-count aggregate; both pair
+    // explodes run downstream of that aggregate (over the distinct
+    // vocabulary), and the top-30 is a bounded TakeOrdered.
+    val p = plan("t34_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"t34 top-30 should plan as top-k:\n$p")
+    // corpus -> word counts (1) -> pair counts (2) + vocab doc-freq (3)
+    // -> pair join (4): anything beyond says a corpus-sized explode or an
+    // Expand crept in
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 4,
+      s"t34 is one corpus aggregate + vocab-sized work (saw $exchanges):\n$p")
+    assert(!p.contains("Expand"),
+      s"t34 must not count-distinct via Expand:\n$p")
+  }
+
+  test("inter-arrival gaps: one (user, type) exchange serves lag + aggregate") {
+    val p = plan("ev22_interarrival")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2,
+      s"ev22 is one lag window + one small aggregate (saw $exchanges):\n$p")
+  }
+
   test("chi-square densifies inside one per-symbol aggregate — no joins") {
     // a17 (round 12): the (wd, up) level crossing and the marginal sums
     // run as higher-order functions over the collected ≤14-cell array.
