@@ -2854,15 +2854,12 @@ object Queries {
     * within-class diameter) must recover exactly those classes. Corpus
     * pays one distinct-edge aggregate; every round runs on the bounded
     * host graph. Labels are strings; the whole query is float-free. */
-  def g3Components(s: SparkSession, dir: String): DataFrame = {
-    val host = (k: Column) =>
-      concat(lit("h"), k.cast("string"), lit(".example.com"))
-    val a = col("doc_id") % 40
-    val step = (expr("doc_id div 40") % 9 + 1) * 4
-    val links = Sources.documents(s, dir)
-      .select(host(a).as("src"), host((a + step) % 40).as("dst"))
-    analytics.Graph.connectedComponents(links)
-  }
+  def g3Components(s: SparkSession, dir: String): DataFrame =
+    // edge projection shared verbatim with the streaming twin (the g1
+    // one-code-path invariant)
+    analytics.Graph.connectedComponents(
+      streaming.StreamingGraph.toComponentEdgeEvents(
+        Sources.documents(s, dir)))
 
   /** HITS hubs-and-authorities over the g2 two-target host graph (the
     * richer directed shape — g1's single-target graph is a functional
@@ -2873,19 +2870,9 @@ object Queries {
     * hubs (canonical sources), high-hub hosts link TO many good
     * authorities (directories/aggregators) — PageRank's one score can't
     * separate the two roles. */
-  def g4Hits(s: SparkSession, dir: String): DataFrame = {
-    val links = Sources.documents(s, dir)
-      .select(col("doc_id"), explode(array(
-        (col("doc_id") * 7 + 3) % 13,
-        (col("doc_id") * col("doc_id") + 1) % 13)).as("dk"))
-      .select(
-        concat(lit("h"), (col("doc_id") % 13).cast("string"),
-          lit(".example.com")).as("src"),
-        concat(lit("h"), col("dk").cast("string"),
-          lit(".example.com")).as("dst"))
-      .filter(col("src") =!= col("dst"))
-    analytics.Graph.hits(links)
-  }
+  def g4Hits(s: SparkSession, dir: String): DataFrame =
+    analytics.Graph.hits(
+      streaming.StreamingGraph.toHitsEdgeEvents(Sources.documents(s, dir)))
 
   /** First BPE merge iteration — corpus-weighted adjacent character-pair
     * counts (Sennrich et al. 2016's trainer computes exactly this table
@@ -2927,11 +2914,15 @@ object Queries {
     * ratio (how often does a returning user view vs purchase?), and the
     * rate table a capacity planner reads next to ev8's volume anomalies.
     *
-    * One exchange on (user_id, event_type) serves the lag; the gap rows
-    * then reduce through an |event_types|-row aggregate. Gaps are exact
-    * integer seconds (the ev19 FLOOR-epoch contract, same-instant rows
-    * tie-broken by event_id); percentile == quantile_cont (the a5
-    * contract), rounded 6, mean rounded 2. */
+    * One exchange on (user_id, event_type) serves the lag; the gaps then
+    * reduce to the (event_type, gap_sec) HISTOGRAM (bounded by types ×
+    * distinct integer gap widths — the shape the streaming twin keeps as
+    * state), and the report is
+    * [[graft.streaming.StreamingInterarrival.fold]], shared verbatim with
+    * the twin: frequency-weighted percentile == raw-multiset percentile.
+    * Gaps are exact integer seconds (the ev19 FLOOR-epoch contract,
+    * same-instant rows tie-broken by event_id); percentile ==
+    * quantile_cont (the a5 contract), rounded 6, mean rounded 2. */
   def ev22Interarrival(s: SparkSession, dir: String): DataFrame = {
     val byUt = Window.partitionBy("user_id", "event_type")
       .orderBy("ts", "event_id")
@@ -2940,15 +2931,8 @@ object Queries {
       .filter(col("prev_ts").isNotNull)
       .select(col("event_type"),
         (col("ts").cast("long") - col("prev_ts").cast("long")).as("gap_sec"))
-    rounded(
-      gaps.groupBy("event_type").agg(
-        count(lit(1)).as("n_gaps"),
-        expr("percentile(gap_sec, 0.5D)").as("p50_sec"),
-        expr("percentile(gap_sec, 0.9D)").as("p90_sec"),
-        avg("gap_sec").as("avg_sec")),
-      Seq("p50_sec", "p90_sec"))
-      .withColumn("avg_sec", Num.cround(col("avg_sec"), 2))
-      .orderBy("event_type")
+    streaming.StreamingInterarrival.fold(
+      gaps.groupBy("event_type", "gap_sec").agg(count(lit(1)).as("n")))
   }
 
   /** Cross-table fuzzy record linkage — entity resolution between the

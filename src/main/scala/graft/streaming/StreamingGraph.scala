@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Streaming twin of the graph family (g1/g2's edge distillation): the
@@ -33,9 +33,37 @@ object StreamingGraph {
           lit(".example.com")).as("dst"))
       .filter(col("src") =!= col("dst"))
 
+  /** g3's host-graph edge projection (40 hosts, every edge step a multiple
+    * of 4 — the planted mod-4 components), stateless per document; shared
+    * by the batch query and the stream like [[toEdgeEvents]]. */
+  def toComponentEdgeEvents(docs: DataFrame): DataFrame = {
+    val host = (k: Column) =>
+      concat(lit("h"), k.cast("string"), lit(".example.com"))
+    val a = col("doc_id") % 40
+    val step = (expr("doc_id div 40") % 9 + 1) * 4
+    docs.select(host(a).as("src"), host((a + step) % 40).as("dst"))
+  }
+
+  /** g2/g4's two-target host-graph projection (affine + quadratic residue
+    * links over 13 hosts), stateless per document. */
+  def toHitsEdgeEvents(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(array(
+        (col("doc_id") * 7 + 3) % 13,
+        (col("doc_id") * col("doc_id") + 1) % 13)).as("dk"))
+      .select(
+        concat(lit("h"), (col("doc_id") % 13).cast("string"),
+          lit(".example.com")).as("src"),
+        concat(lit("h"), col("dk").cast("string"),
+          lit(".example.com")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+
   /** The incremental edge-count aggregate over an edge-event stream.
     * Complete/update output carries (src, dst, cnt) — exactly the
-    * [[graft.analytics.Graph.fromEdgeCounts]] input shape. */
+    * [[graft.analytics.Graph.fromEdgeCounts]] input shape, and (projected
+    * to its distinct (src, dst) pairs) the link shape
+    * [[graft.analytics.Graph.connectedComponents]] and
+    * [[graft.analytics.Graph.hits]] consume — all three kernels compose
+    * over a snapshot of this one stateful aggregate. */
   def edgeCountsStream(spark: SparkSession, edges: DataFrame): DataFrame =
     edges.groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
 }

@@ -482,11 +482,15 @@ class PlanSpec extends AnyFunSuite {
       s"t34 must not count-distinct via Expand:\n$p")
   }
 
-  test("inter-arrival gaps: one (user, type) exchange serves lag + aggregate") {
+  test("inter-arrival gaps: one corpus-sized exchange, then histogram-sized work") {
+    // ev22: lag window on (user, type) is the only corpus exchange; the
+    // histogram aggregate and the shared fold shuffle frames bounded by
+    // types x distinct gap widths. A fourth exchange means the fold
+    // stopped riding the histogram.
     val p = plan("ev22_interarrival")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(exchanges <= 2,
-      s"ev22 is one lag window + one small aggregate (saw $exchanges):\n$p")
+    assert(exchanges <= 3,
+      s"ev22 is one lag window + two bounded aggregates (saw $exchanges):\n$p")
   }
 
   test("chi-square densifies inside one per-symbol aggregate — no joins") {

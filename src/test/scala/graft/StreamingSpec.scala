@@ -713,4 +713,111 @@ class StreamingSpec extends AnyFunSuite {
       batchRanks.exceptAll(streamedRanks).count() == 0,
       "streamed pagerank diverges from the batch g1 report")
   }
+
+  test("streamed edge snapshots compose to batch g3 components and g4 HITS") {
+    // The g1 composition proof extended to the other two graph kernels:
+    // documents arrive in 3 micro-batches; each projection's edge-count
+    // aggregate is the only stateful piece, and the SAME
+    // connectedComponents / hits kernels over the snapshots (projected to
+    // distinct (src, dst)) must equal the registered batch reports.
+    val dir = "/root/testdata/sf0.001"
+    val landing = java.nio.file.Files.createTempDirectory("graft-docs-g34")
+    val src = spark.read.parquet(s"$dir/documents.parquet")
+      .orderBy("doc_id").cache()
+    val n = src.count()
+    import scala.jdk.CollectionConverters._
+    val thirds = src.collect().grouped((n / 3 + 1).toInt).toSeq
+    thirds.zipWithIndex.foreach { case (rows, i) =>
+      val sliceDir = landing.resolve(f"stage-$i%02d")
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1), src.schema)
+        .write.parquet(sliceDir.toString)
+      val part = java.nio.file.Files.list(sliceDir).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dest = landing.resolve(f"slice-$i%02d.parquet")
+      java.nio.file.Files.move(part, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    def snapshot(project: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame, name: String) = {
+      val fileStream = spark.readStream
+        .schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "slice-*.parquet")
+        .parquet(landing.toString)
+      val q = graft.streaming.StreamingGraph
+        .edgeCountsStream(spark, project(fileStream))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      assert(q.lastProgress.batchId >= 2,
+        s"expected >= 3 micro-batches, saw ${q.lastProgress.batchId + 1}")
+      spark.table(name).select("src", "dst")
+    }
+    val compEdges = snapshot(
+      graft.streaming.StreamingGraph.toComponentEdgeEvents, "g3_stream_test")
+    val streamedComps = graft.analytics.Graph.connectedComponents(compEdges)
+    val batchComps = Queries.all("g3_components")(spark, dir)
+    assert(batchComps.count() > 0 &&
+      streamedComps.exceptAll(batchComps).count() == 0 &&
+      batchComps.exceptAll(streamedComps).count() == 0,
+      "streamed components diverge from the batch g3 report")
+
+    val hitsEdges = snapshot(
+      graft.streaming.StreamingGraph.toHitsEdgeEvents, "g4_stream_test")
+    val streamedHits = graft.analytics.Graph.hits(hitsEdges)
+    val batchHits = Queries.all("g4_hits")(spark, dir)
+    assert(batchHits.count() > 0 &&
+      streamedHits.exceptAll(batchHits).count() == 0 &&
+      batchHits.exceptAll(streamedHits).count() == 0,
+      "streamed HITS diverges from the batch g4 report")
+  }
+
+  test("incremental inter-arrival histogram folds to the batch ev22 report") {
+    // ev22's twin (the IncrementalCuration ingest pattern): events arrive
+    // in THREE event-time-ordered micro-batches (the twin's documented
+    // ordered-ingest contract). Cross-batch boundary gaps must close
+    // against the carried last-seen state — slicing by global ts order
+    // guarantees many (user, type) keys straddle batch boundaries — and
+    // the shared fold over the accumulated histogram must equal the
+    // registered batch query exactly (not just approximately: the
+    // frequency-weighted percentile IS the multiset percentile).
+    val dir = "/root/testdata/sf0.001"
+    val ev = Sources.events(spark, dir)
+      .select("user_id", "event_type", "ts", "event_id")
+      .orderBy("ts", "event_id").cache()
+    val rows = ev.collect()
+    val slices = rows.grouped(rows.length / 3 + 1).toSeq
+    assert(slices.length == 3)
+    var lastSeen = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      new org.apache.spark.sql.types.StructType()
+        .add("user_id", "long").add("event_type", "string")
+        .add("last_ts", "timestamp"))
+    var hist = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      new org.apache.spark.sql.types.StructType()
+        .add("event_type", "string").add("gap_sec", "long").add("n", "long"))
+    slices.foreach { s =>
+      val batch = spark.createDataFrame(
+        spark.sparkContext.parallelize(s.toIndexedSeq, 2), ev.schema)
+      val (gaps, nl) = graft.streaming.StreamingInterarrival
+        .batchGaps(batch, lastSeen)
+      lastSeen = nl
+      hist = graft.streaming.StreamingInterarrival.mergeHist(hist, gaps)
+    }
+    val streamed = graft.streaming.StreamingInterarrival.fold(hist)
+    val batchReport = Queries.all("ev22_interarrival")(spark, dir)
+    assert(batchReport.count() > 0 &&
+      streamed.exceptAll(batchReport).count() == 0 &&
+      batchReport.exceptAll(streamed).count() == 0,
+      "incremental inter-arrival diverges from the batch ev22 report")
+    // the state really is the bounded histogram, and gaps really did
+    // straddle batches: the boundary-closing path must have fired
+    assert(hist.agg(sum("n")).first().getLong(0) ==
+      batchReport.agg(sum("n_gaps")).first().getLong(0))
+  }
 }
