@@ -4320,6 +4320,47 @@ object OracleSql {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS obv
         |FROM sv ORDER BY symbol, "date"""".stripMargin),
 
+    // Keltner twin: the w14 shared-constant FIR EMA over the typical
+    // price, the w21 true-range/rolling-mean ATR, bands over RAW mid/atr
+    // with identical parenthesization, round 2 at the output.
+    "w23_keltner" -> withCtes(stockCte, cleanCte, dedupCte,
+      """base AS (
+        |  SELECT symbol, "date", high, low, close,
+        |         (high + low + close) / 3 AS tp,
+        |         LAG(close) OVER sw AS prev_close
+        |  FROM dedup WINDOW sw AS (PARTITION BY symbol ORDER BY "date"))""".stripMargin,
+      """trn AS (
+        |  SELECT symbol, "date", tp,
+        |         ROW_NUMBER() OVER sw AS rn,
+        |         CASE WHEN prev_close IS NULL THEN high - low
+        |              ELSE GREATEST(high - low, ABS(high - prev_close),
+        |                            ABS(low - prev_close)) END AS tr
+        |  FROM base WINDOW sw AS (PARTITION BY symbol ORDER BY "date"))""".stripMargin,
+      s"""k AS (
+         |  SELECT symbol, "date",
+         |         ${firSql("tp", 20, 20)} AS mid,
+         |         AVG(tr) OVER (PARTITION BY symbol ORDER BY "date"
+         |           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS atr
+         |  FROM trn WINDOW sw AS (PARTITION BY symbol ORDER BY "date"))""".stripMargin)(
+      s"""SELECT symbol, "date", ${R("mid", 2)} AS k_mid,
+         |  ${R("mid + 2.0 * atr", 2)} AS k_upper,
+         |  ${R("mid - 2.0 * atr", 2)} AS k_lower
+         |FROM k ORDER BY symbol, "date"""".stripMargin),
+
+    // Gini twin: one per-symbol volume aggregate, rank over the entity
+    // frame, the rank-sum identity with identical parenthesization —
+    // exact integer sums into an exact double conversion.
+    "a23_gini" -> withCtes(stockCte, cleanCte, dedupCte,
+      "v AS (SELECT symbol, SUM(volume) AS x FROM dedup GROUP BY 1)",
+      """rk AS (
+        |  SELECT x, ROW_NUMBER() OVER (ORDER BY x, symbol) AS i
+        |  FROM v)""".stripMargin,
+      "ag AS (SELECT COUNT(*) AS n, SUM(x) AS t, SUM(i * x) AS s FROM rk)")(
+      s"""SELECT CAST(n AS BIGINT) AS n_symbols,
+         |  CAST(t AS BIGINT) AS total_volume,
+         |  ${R("(2.0 * s) / (n * t) - (n + 1.0) / n", 6)} AS gini
+         |FROM ag""".stripMargin),
+
     // Welch drift twin: ROW_NUMBER runs after the WHERE (SQL window-
     // after-filter semantics == the engine's filter-then-rank), halves
     // pivot via MAX(CASE), and the t / df formulas render with IDENTICAL

@@ -2410,6 +2410,39 @@ object Queries {
         Seq("tr"), 6), Seq("atr14"), 2)
     }
 
+  /** Keltner channels (20, 2, 14) — EMA20 of the typical price
+    * (high+low+close)/3 as the middle line, bands at ±2 × ATR14: the
+    * volatility channel that pairs w15's Bollinger (stddev bands) with
+    * w21's true-range machinery. Both kernels are the PROVEN ones: the
+    * truncated adjust=true FIR EMA ([[graft.ops.Num.emaKernel]], shared
+    * constants with the oracle — the w14 contract) and w21's TR/rolling
+    * mean. Warm-up rows (rn < 20) hold NULL mid and bands, the w14
+    * convention. Bands compute over RAW mid/atr and round at 2 (price
+    * units); the ~1e-13 window-summation ulp sits far under the tie-safe
+    * guard. One symbol exchange serves the lag, the FIR lags, the rank,
+    * and the ATR frame. */
+  def w23Keltner(s: SparkSession, dir: String): DataFrame =
+    windowQuery(s, dir) { df =>
+      val ws = Num.emaKernel(20)
+      val withTr = df
+        .withColumn("__tp", (col("high") + col("low") + col("close")) / 3)
+        .withColumn("__pc", lag("close", 1).over(w))
+        .withColumn("__tr", when(col("__pc").isNull, col("high") - col("low"))
+          .otherwise(greatest(col("high") - col("low"),
+            abs(col("high") - col("__pc")), abs(col("low") - col("__pc")))))
+        .withColumn("__rn", row_number().over(w))
+      val num = ws.zipWithIndex.map { case (wj, j) =>
+        lit(wj) * (if (j == 0) col("__tp") else lag(col("__tp"), j).over(w))
+      }.reduce(_ + _)
+      rounded(withTr
+        .withColumn("k_mid", when(col("__rn") >= 20, num / lit(ws.sum)))
+        .withColumn("__atr", avg("__tr").over(w.rowsBetween(-13, 0)))
+        .withColumn("k_upper", col("k_mid") + lit(2.0) * col("__atr"))
+        .withColumn("k_lower", col("k_mid") - lit(2.0) * col("__atr"))
+        .select("symbol", "date", "k_mid", "k_upper", "k_lower"),
+        Seq("k_mid", "k_upper", "k_lower"), 2)
+    }
+
   /** On-balance volume — the signed-volume running total. The direction
     * sign compares exact doubles (identical branches in both engines) and
     * everything summed is BIGINT volume, so the cumulative sum is exact
@@ -2744,6 +2777,32 @@ object Queries {
           .as("r2")),
       Seq("slope", "r2")), Seq("intercept"), 2)
       .orderBy("symbol")
+  }
+
+  /** Gini coefficient of per-symbol volume concentration — the market
+    * (or corpus-source) inequality read: 0 = every symbol trades the same
+    * total volume, →1 = one symbol holds it all. Computed by the sorted
+    * rank-sum identity G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending
+    * totals (rank ties in x are sum-invariant; the symbol tiebreak only
+    * pins per-row determinism).
+    *
+    * Shape: the corpus reduces through ONE per-symbol aggregate; the rank
+    * window runs over the aggregated ENTITY frame (symbols, not rows —
+    * the ev8 windows-over-aggregates rule). Every product and sum is
+    * exact integer arithmetic (Σ i·x ≲ 1e15 at sf10, well under 2^53 and
+    * 2^63 — the double conversion in the final ratio is exact; a sf100+
+    * deployment would move the rank-sum to DECIMAL). */
+  def a23Gini(s: SparkSession, dir: String): DataFrame = {
+    val v = cleanedStock(s, dir)
+      .groupBy("symbol").agg(sum("volume").as("x"))
+    val ranked = v.withColumn("i",
+      row_number().over(Window.orderBy("x", "symbol")))
+    ranked
+      .agg(count(lit(1)).as("n"), sum("x").as("t"),
+        sum(col("i").cast("long") * col("x")).as("s"))
+      .select(col("n").as("n_symbols"), col("t").as("total_volume"),
+        Num.cround((lit(2.0) * col("s")) / (col("n") * col("t"))
+          - (col("n") + lit(1.0)) / col("n"), 6).as("gini"))
   }
 
   /** Stochastic oscillator %K / %D — close's position inside the 14-row
@@ -3335,6 +3394,8 @@ object Queries {
     "g3_components" -> (g3Components _),
     "g4_hits" -> (g4Hits _),
     "t34_bpe_pairs" -> (t34BpePairs _),
-    "ev22_interarrival" -> (ev22Interarrival _)
+    "ev22_interarrival" -> (ev22Interarrival _),
+    "w23_keltner" -> (w23Keltner _),
+    "a23_gini" -> (a23Gini _)
   )
 }

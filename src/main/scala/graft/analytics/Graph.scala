@@ -154,18 +154,21 @@ object Graph {
         .join(broadcast(hub.withColumnRenamed("host", "src")), "src")
         .groupBy(col("dst").as("host"))
         .agg(Num.cround(sum("h"), 12).as("a"))
-      auth = l1Normalize(
+      // materialize each normalized half-round: 2*iters shallow two-stage
+      // jobs beat one 4*iters-deep lineage (measured 13 s -> the g1 band
+      // at sf0.1 — the optimizer and scheduler pay per plan depth)
+      auth = Materialize(l1Normalize(
         nodes.join(broadcast(aRaw), Seq("host"), "left")
-          .select(col("host"), coalesce(col("a"), lit(0.0)).as("a")), "a")
+          .select(col("host"), coalesce(col("a"), lit(0.0)).as("a")), "a"))
       val hRaw = edges
         .join(broadcast(auth.withColumnRenamed("host", "dst")), "dst")
         .groupBy(col("src").as("host"))
         .agg(Num.cround(sum("a"), 12).as("h"))
-      hub = l1Normalize(
+      hub = Materialize(l1Normalize(
         nodes.join(broadcast(hRaw), Seq("host"), "left")
-          .select(col("host"), coalesce(col("h"), lit(0.0)).as("h")), "h")
+          .select(col("host"), coalesce(col("h"), lit(0.0)).as("h")), "h"))
     }
-    Materialize(hub).join(broadcast(Materialize(auth)), "host")
+    hub.join(broadcast(auth), "host")
       .select(col("host"), Num.cround(col("h"), 6).as("hub"),
         Num.cround(col("a"), 6).as("authority"))
       .orderBy("host")

@@ -493,6 +493,20 @@ class PlanSpec extends AnyFunSuite {
       s"ev22 is one lag window + two bounded aggregates (saw $exchanges):\n$p")
   }
 
+  test("Keltner channels ride one symbol exchange for lag, FIR, rank, and ATR") {
+    val p = plan("w23_keltner")
+    val symbolExchanges = "hashpartitioning\\(symbol".r.findAllIn(p).length
+    assert(symbolExchanges == 1,
+      s"w23 expected exactly one symbol hash exchange, got $symbolExchanges:\n$p")
+  }
+
+  test("Gini reduces the corpus once; the rank runs over the entity frame") {
+    val p = plan("a23_gini")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2,
+      s"a23 is one symbol aggregate + bounded rank/total work (saw $exchanges):\n$p")
+  }
+
   test("chi-square densifies inside one per-symbol aggregate — no joins") {
     // a17 (round 12): the (wd, up) level crossing and the marginal sums
     // run as higher-order functions over the collected ≤14-cell array.
