@@ -1989,6 +1989,24 @@ object OracleSql {
        |    GROUP BY 1) s ON s.host = n.host)""".stripMargin
   }
 
+  /** The ev23 finite-horizon absorption iterations, unrolled over the
+    * scenario × state grid: 1 at the absorbing state, 0 at the removed
+    * state (the scenario name), else the kernel-weighted pull from the
+    * previous step, rounded 12 (the markovIterCtes lockstep). */
+  private def attrIterCtes(iters: Int): Seq[String] = (1 to iters).map { t =>
+    s"""aa$t AS MATERIALIZED (
+       |  SELECT g.scenario, g.state,
+       |    CASE WHEN g.state = 'purchase' THEN 1.0
+       |         WHEN g.state = g.scenario THEN 0.0
+       |         ELSE ${R("COALESCE(s.v, 0.0)", 12)} END AS a
+       |  FROM grid g
+       |  LEFT JOIN (
+       |    SELECT p.scenario, m.src AS state, SUM(m.p * p.a) AS v
+       |    FROM m JOIN aa${t - 1} p ON p.state = m.dst
+       |    GROUP BY 1, 2) s
+       |    ON s.scenario = g.scenario AND s.state = g.state)""".stripMargin
+  }
+
   /** The g3 min-label propagation rounds, unrolled. Labels are strings —
     * float-free, so the engines agree structurally (binary collation on
     * ASCII hosts in both). Self-loops in `us` fold the keep-own-label
@@ -4842,6 +4860,64 @@ object OracleSql {
       markovIterCtes(20): _*)(
       s"""SELECT state, ${R("pi", 6)} AS pi_stationary
          |FROM pi20 ORDER BY state""".stripMargin),
+
+    // Markov-attribution twin: ev6/ev20's lag CTEs with prev IS NULL rows
+    // carrying the start distribution, per-type totals as drop-out
+    // denominators, attrIterCtes unrolls the 20 absorption steps over the
+    // scenario x state grid, and the report re-derives effects and shares
+    // with the identical parenthesization.
+    "ev23_markov_attribution" -> withCtes(Seq(
+      """seq AS (
+        |  SELECT user_id, event_type,
+        |         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events)""".stripMargin,
+      """cnt AS (
+        |  SELECT prev_type, event_type, COUNT(*) AS n
+        |  FROM seq WHERE prev_type IS NOT NULL AND prev_type <> 'purchase'
+        |  GROUP BY 1, 2)""".stripMargin,
+      """tot AS (
+        |  SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY 1)""".stripMargin,
+      """m AS MATERIALIZED (
+        |  SELECT c.prev_type AS src, c.event_type AS dst,
+        |         CAST(c.n AS DOUBLE) / t.n_events AS p
+        |  FROM cnt c JOIN tot t ON t.event_type = c.prev_type)""".stripMargin,
+      "states AS MATERIALIZED (SELECT event_type AS state FROM tot)",
+      """fe AS MATERIALIZED (
+        |  SELECT event_type, COUNT(*) AS nf
+        |  FROM seq WHERE prev_type IS NULL GROUP BY 1)""".stripMargin,
+      "nu AS (SELECT SUM(nf) AS n_users FROM fe)",
+      """scen AS MATERIALIZED (
+        |  SELECT '__full' AS scenario
+        |  UNION ALL SELECT state FROM states WHERE state <> 'purchase')""".stripMargin,
+      """grid AS MATERIALIZED (
+        |  SELECT scenario, state FROM scen CROSS JOIN states)""".stripMargin,
+      """aa0 AS MATERIALIZED (
+        |  SELECT scenario, state,
+        |         CASE WHEN state = 'purchase' THEN 1.0 ELSE 0.0 END AS a
+        |  FROM grid)""".stripMargin) ++
+      attrIterCtes(20) ++ Seq(
+      s"""pc AS MATERIALIZED (
+         |  SELECT sc.scenario, ${R("COALESCE(s.v, 0.0)", 12)} AS p
+         |  FROM scen sc
+         |  LEFT JOIN (
+         |    SELECT a.scenario,
+         |           SUM((CAST(fe.nf AS DOUBLE) / nu.n_users) * a.a) AS v
+         |    FROM fe CROSS JOIN nu
+         |    JOIN aa20 a ON a.state = fe.event_type
+         |    GROUP BY 1) s ON s.scenario = sc.scenario)""".stripMargin,
+      "pf AS (SELECT p FROM pc WHERE scenario = '__full')",
+      s"""ret AS (
+         |  SELECT ${R("SUM(f.p - r.p)", 12)} AS t
+         |  FROM pc r CROSS JOIN pf f WHERE r.scenario <> '__full')""".stripMargin): _*)(
+      s"""SELECT r.scenario AS event_type,
+         |  ${R("f.p", 6)} AS p_convert,
+         |  ${R("r.p", 6)} AS p_removed,
+         |  ${R("f.p - r.p", 6)} AS removal_effect,
+         |  CASE WHEN ret.t <= 0 THEN NULL
+         |       ELSE ${R("(f.p - r.p) / ret.t", 6)} END AS attribution_share
+         |FROM pc r CROSS JOIN pf f CROSS JOIN ret
+         |WHERE r.scenario <> '__full'
+         |ORDER BY event_type""".stripMargin),
 
     // MMR twin: sim1's unnest-dot relevance CTEs (fixed query batch),
     // top-20 shortlist, shortlist-pairwise sims, then the greedy steps

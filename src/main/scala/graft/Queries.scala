@@ -3040,6 +3040,15 @@ object Queries {
   /** Weekly growth accounting — new / retained / resurrected / churned
     * users per week (see [[graft.analytics.Lifecycle.growthAccounting]]);
     * the "quality of growth" decomposition next to ev5's triangle. */
+  /** Markov removal-effect attribution — the data-driven multi-touch
+    * model next to ev16's last-touch ledger: each non-conversion channel
+    * is credited by how much finite-horizon conversion probability the
+    * journey chain loses when that channel is removed (see
+    * [[graft.analytics.Transitions.removalAttribution]] for the model,
+    * the ev20 in-row iteration shape, and the round-12 lockstep). */
+  def ev23MarkovAttribution(s: SparkSession, dir: String): DataFrame =
+    analytics.Transitions.removalAttribution(Sources.events(s, dir))
+
   def ev21GrowthAccounting(s: SparkSession, dir: String): DataFrame =
     analytics.Lifecycle.growthAccounting(
       Sources.events(s, dir).select(col("user_id"),
@@ -3396,6 +3405,7 @@ object Queries {
     "t34_bpe_pairs" -> (t34BpePairs _),
     "ev22_interarrival" -> (ev22Interarrival _),
     "w23_keltner" -> (w23Keltner _),
-    "a23_gini" -> (a23Gini _)
+    "a23_gini" -> (a23Gini _),
+    "ev23_markov_attribution" -> (ev23MarkovAttribution _)
   )
 }

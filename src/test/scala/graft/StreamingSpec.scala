@@ -383,6 +383,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedPi.exceptAll(batchPi).count() == 0 &&
       batchPi.exceptAll(streamedPi).count() == 0,
       "streamed stationary distribution diverges from the batch ev20")
+
+    // ev23's twin composes the SAME attribution tail over three streamed
+    // fact families: the transition facts above, a per-type running count
+    // (plain incremental aggregate), and per-user first events (a min_by
+    // running aggregate whose state is one row per user — order-
+    // independent, so it needs no ingest contract at all).
+    def aggStream(name: String)(
+        agg: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+      val fs = spark.readStream
+        .schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "slice-*.parquet")
+        .parquet(landing.toString)
+      val q2 = agg(fs).writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q2.awaitTermination()
+      spark.table(name)
+    }
+    val totals = aggStream("ev23_totals_test")(
+      _.groupBy("event_type").agg(count(lit(1)).as("n_events")))
+    val starts = aggStream("ev23_starts_test")(
+      _.groupBy("user_id")
+        .agg(min_by(col("event_type"), struct(col("ts"), col("event_id")))
+          .as("first_type")))
+      .groupBy(col("first_type").as("event_type"))
+      .agg(count(lit(1)).as("n_first"))
+    val streamedAttr = graft.analytics.Transitions
+      .removalAttributionFromFacts(
+        streamed.withColumnRenamed("n_transitions", "n"), totals, starts)
+    val batchAttr = Queries.all("ev23_markov_attribution")(spark, dir)
+    assert(batchAttr.count() > 0 &&
+      streamedAttr.exceptAll(batchAttr).count() == 0 &&
+      batchAttr.exceptAll(streamedAttr).count() == 0,
+      "streamed attribution diverges from the batch ev23 report")
   }
 
   test("streaming attribution facts fold to the batch attribution report") {

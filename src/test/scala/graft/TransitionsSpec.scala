@@ -64,4 +64,78 @@ class TransitionsSpec extends AnyFunSuite {
     assert(math.abs(out("A") - 1.0 / 3) < 1e-4, s"piA = ${out("A")}")
     assert(math.abs(out("B") - 2.0 / 3) < 1e-4, s"piB = ${out("B")}")
   }
+
+  test("removal attribution: hand chain with closed-form effects") {
+    // u10: view -> click -> purchase; u20: view -> click.
+    // T(view, click) = 2/2 = 1, T(click, purchase) = 1/2 (one click ends
+    // a sequence -> drop-out). Starts: view only. So p_convert = 0.5;
+    // removing EITHER channel severs the only path: p_removed = 0,
+    // removal_effect = 0.5, shares split 0.5 / 0.5. The chain is acyclic
+    // depth 2, so horizon 20 is exact, not approximate.
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(m: Int) = new java.sql.Timestamp(ts0.getTime + m * 60000L)
+    val events = Seq(
+      (1L, t(0), 10L, "view", 1.0),
+      (2L, t(1), 10L, "click", 1.0),
+      (3L, t(2), 10L, "purchase", 1.0),
+      (4L, t(0), 20L, "view", 1.0),
+      (5L, t(1), 20L, "click", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Transitions.removalAttribution(events).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("view", "click"))
+    Seq("view", "click").foreach { ch =>
+      val r = out(ch)
+      assert(math.abs(r.getAs[Double]("p_convert") - 0.5) < 1e-6, s"$ch: $r")
+      assert(math.abs(r.getAs[Double]("p_removed")) < 1e-6, s"$ch: $r")
+      assert(math.abs(r.getAs[Double]("removal_effect") - 0.5) < 1e-6)
+      assert(math.abs(r.getAs[Double]("attribution_share") - 0.5) < 1e-6)
+    }
+  }
+
+  test("removal attribution: an off-path channel earns zero credit, shares renormalize") {
+    // u1: view -> click -> purchase (twice over two users); u3: view ->
+    // error (dead end). error sits OFF every converting path: removing it
+    // must not change conversion, so its effect is ~0 and view/click keep
+    // the whole credit. (Tiny negative-rounding drift from the cround
+    // epsilon is absorbed by the 1e-4 tolerance.)
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(m: Int) = new java.sql.Timestamp(ts0.getTime + m * 60000L)
+    val events = Seq(
+      (1L, t(0), 1L, "view", 1.0),
+      (2L, t(1), 1L, "click", 1.0),
+      (3L, t(2), 1L, "purchase", 1.0),
+      (4L, t(0), 2L, "view", 1.0),
+      (5L, t(1), 2L, "click", 1.0),
+      (6L, t(2), 2L, "purchase", 1.0),
+      (7L, t(0), 3L, "view", 1.0),
+      (8L, t(1), 3L, "error", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Transitions.removalAttribution(events).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("view", "click", "error"))
+    assert(math.abs(out("error").getAs[Double]("removal_effect")) < 1e-4)
+    assert(out("click").getAs[Double]("removal_effect") > 0.1)
+    assert(out("view").getAs[Double]("removal_effect") > 0.1)
+    val shareSum = Seq("view", "click", "error")
+      .map(out(_).getAs[Double]("attribution_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"shares must renormalize: $shareSum")
+  }
+
+  test("removal attribution: no conversions -> zero effects, NULL shares") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(m: Int) = new java.sql.Timestamp(ts0.getTime + m * 60000L)
+    val events = Seq(
+      (1L, t(0), 1L, "view", 1.0),
+      (2L, t(1), 1L, "click", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Transitions.removalAttribution(events).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("p_convert")) < 1e-6)
+      assert(math.abs(r.getAs[Double]("removal_effect")) < 1e-6)
+      assert(r.isNullAt(r.fieldIndex("attribution_share")),
+        s"share must be NULL when nothing converts: $r")
+    }
+  }
 }
