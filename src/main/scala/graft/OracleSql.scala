@@ -2007,6 +2007,32 @@ object OracleSql {
        |    ON s.scenario = g.scenario AND s.state = g.state)""".stripMargin
   }
 
+  /** The ev24 RFM Lloyd iterations, unrolled — the lloydCtes discipline
+    * (argmin on tie-safe-rounded distance with centroid tiebreak, round-9
+    * centroid means, empty clusters keep the previous centroid) over the
+    * 3-feature behavioral frame instead of PQ subvectors. */
+  // lazy: the `all` map initializes first, a strict val here would still
+  // be null when the entry interpolates it (the fixedCbCte convention)
+  private lazy val rfmDist2 =
+    "(nr - cb.wr) * (nr - cb.wr) + (nf - cb.wf) * (nf - cb.wf) + (nm - cb.wm) * (nm - cb.wm)"
+  private def rfmLloydCtes(iters: Int): Seq[String] = (1 to iters).flatMap { i =>
+    Seq(
+      s"""sa$i AS MATERIALIZED (
+         |  SELECT user_id, nr, nf, nm, c FROM (
+         |    SELECT rn.user_id, rn.nr, rn.nf, rn.nm, cb.c,
+         |      ROW_NUMBER() OVER (PARTITION BY rn.user_id
+         |        ORDER BY ${R(rfmDist2, 6)}, cb.c) AS rnk
+         |    FROM rn CROSS JOIN scb${i - 1} cb) t WHERE rnk = 1)""".stripMargin,
+      s"""sup$i AS (
+         |  SELECT c, ${R("AVG(nr)", 9)} AS uwr, ${R("AVG(nf)", 9)} AS uwf,
+         |         ${R("AVG(nm)", 9)} AS uwm
+         |  FROM sa$i GROUP BY 1)""".stripMargin,
+      s"""scb$i AS MATERIALIZED (
+         |  SELECT p.c, COALESCE(u.uwr, p.wr) AS wr,
+         |         COALESCE(u.uwf, p.wf) AS wf, COALESCE(u.uwm, p.wm) AS wm
+         |  FROM scb${i - 1} p LEFT JOIN sup$i u ON u.c = p.c)""".stripMargin)
+  }
+
   /** The g3 min-label propagation rounds, unrolled. Labels are strings —
     * float-free, so the engines agree structurally (binary collation on
     * ASCII hosts in both). Self-loops in `us` fold the keep-own-label
@@ -4918,6 +4944,61 @@ object OracleSql {
          |FROM pc r CROSS JOIN pf f CROSS JOIN ret
          |WHERE r.scenario <> '__full'
          |ORDER BY event_type""".stripMargin),
+
+    // RFM-k-means twin: ev10's purchase-only feature base, min-max
+    // normalization at round 9, md5 seed centroids (the fixedCbCte
+    // recipe, salt 'rfm'), rfmLloydCtes unrolls the 3 training rounds,
+    // and the report groups the final assignment under the trained
+    // centroids.
+    "ev24_rfm_segments" -> withCtes(Seq(
+      """mx AS (
+        |  SELECT CAST(date_trunc('day', MAX(ts)) AS DATE) AS mxd
+        |  FROM events WHERE event_type = 'purchase')""".stripMargin,
+      """ur AS (
+        |  SELECT user_id,
+        |         CAST(date_trunc('day', MAX(ts)) AS DATE) AS last_d,
+        |         COUNT(*) AS frequency,
+        |         ${MON} AS monetary
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)"""
+        .stripMargin.replace("${MON}", R("SUM(value)", 6)),
+      """rfm AS (
+        |  SELECT user_id,
+        |         CAST(datediff('day', last_d, mx.mxd) AS DOUBLE) AS recency,
+        |         frequency, monetary
+        |  FROM ur CROSS JOIN mx)""".stripMargin,
+      """st AS (
+        |  SELECT MIN(recency) AS rmn, MAX(recency) AS rmx,
+        |         MIN(frequency) AS fmn, MAX(frequency) AS fmx,
+        |         MIN(monetary) AS mmn, MAX(monetary) AS mmx
+        |  FROM rfm)""".stripMargin,
+      s"""rn AS MATERIALIZED (
+         |  SELECT user_id, recency, frequency, monetary,
+         |    CASE WHEN st.rmx = st.rmn THEN 0.0
+         |         ELSE ${R("(recency - st.rmn) / (st.rmx - st.rmn)", 9)} END AS nr,
+         |    CASE WHEN st.fmx = st.fmn THEN 0.0
+         |         ELSE ${R("(CAST(frequency AS DOUBLE) - CAST(st.fmn AS DOUBLE)) / (CAST(st.fmx AS DOUBLE) - CAST(st.fmn AS DOUBLE))", 9)} END AS nf,
+         |    CASE WHEN st.mmx = st.mmn THEN 0.0
+         |         ELSE ${R("(monetary - st.mmn) / (st.mmx - st.mmn)", 9)} END AS nm
+         |  FROM rfm CROSS JOIN st)""".stripMargin,
+      """scb0 AS (
+        |  SELECT c,
+        |    (CAST(('0x' || substr(md5(CAST(c AS VARCHAR) || '_rfm_0'), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0 AS wr,
+        |    (CAST(('0x' || substr(md5(CAST(c AS VARCHAR) || '_rfm_1'), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0 AS wf,
+        |    (CAST(('0x' || substr(md5(CAST(c AS VARCHAR) || '_rfm_2'), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0 AS wm
+        |  FROM range(0, 4) t(c))""".stripMargin) ++
+      rfmLloydCtes(3) ++ Seq(
+      s"""saf AS MATERIALIZED (
+         |  SELECT user_id, recency, frequency, monetary, c FROM (
+         |    SELECT rn.user_id, rn.recency, rn.frequency, rn.monetary, cb.c,
+         |      ROW_NUMBER() OVER (PARTITION BY rn.user_id
+         |        ORDER BY ${R(rfmDist2, 6)}, cb.c) AS rnk
+         |    FROM rn CROSS JOIN scb3 cb) t WHERE rnk = 1)""".stripMargin): _*)(
+      s"""SELECT CAST(c AS BIGINT) AS segment,
+         |  CAST(COUNT(*) AS BIGINT) AS n_users,
+         |  ${R("AVG(recency)", 2)} AS avg_recency_days,
+         |  ${R("AVG(frequency)", 2)} AS avg_frequency,
+         |  ${R("AVG(monetary)", 2)} AS avg_monetary
+         |FROM saf GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // MMR twin: sim1's unnest-dot relevance CTEs (fixed query batch),
     // top-20 shortlist, shortlist-pairwise sims, then the greedy steps

@@ -3040,6 +3040,15 @@ object Queries {
   /** Weekly growth accounting — new / retained / resurrected / churned
     * users per week (see [[graft.analytics.Lifecycle.growthAccounting]]);
     * the "quality of growth" decomposition next to ev5's triangle. */
+  /** Learned RFM segments — ev10's features under an embedded k-means
+    * training loop instead of rule buckets (see
+    * [[graft.analytics.Segments.rfmSegments]]: md5 seed centroids, three
+    * tie-safe Lloyd rounds mirrored by the oracle's unrolled CTEs — the
+    * sim21 "training as relational dataflow" contract on the events
+    * surface). */
+  def ev24RfmSegments(s: SparkSession, dir: String): DataFrame =
+    analytics.Segments.rfmSegments(Sources.events(s, dir))
+
   /** Markov removal-effect attribution — the data-driven multi-touch
     * model next to ev16's last-touch ledger: each non-conversion channel
     * is credited by how much finite-horizon conversion probability the
@@ -3406,6 +3415,7 @@ object Queries {
     "ev22_interarrival" -> (ev22Interarrival _),
     "w23_keltner" -> (w23Keltner _),
     "a23_gini" -> (a23Gini _),
-    "ev23_markov_attribution" -> (ev23MarkovAttribution _)
+    "ev23_markov_attribution" -> (ev23MarkovAttribution _),
+    "ev24_rfm_segments" -> (ev24RfmSegments _)
   )
 }
