@@ -507,6 +507,32 @@ class PlanSpec extends AnyFunSuite {
       s"a23 is one symbol aggregate + bounded rank/total work (saw $exchanges):\n$p")
   }
 
+  test("Markov attribution: one user window, matrix-sized work after") {
+    // ev23: the lag window on user_id is the only corpus-sized pass (its
+    // aggregate materializes — ExistingRDD); the absorption iterations
+    // live inside projections over a one-row frame, so the executed plan
+    // must show no joins at all and bounded exchanges.
+    val p = plan("ev23_markov_attribution")
+    assert(p.contains("Scan ExistingRDD"),
+      s"ev23's lag aggregate must materialize once:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"ev23's bounded frames must broadcast, never sort-merge:\n$p")
+  }
+
+  test("RFM k-means: per-user aggregate once, k-row broadcast per pass, no user windows") {
+    // ev24: the normalized feature frame materializes (ExistingRDD) and
+    // each Lloyd pass is a k-row broadcast cross join + argmin aggregate —
+    // a Window or sort-merge join here means assignment stopped being a
+    // map-side pass over the cached features.
+    val p = plan("ev24_rfm_segments")
+    assert(p.contains("Scan ExistingRDD"),
+      s"ev24's feature frame must be materialized once:\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("Window.partitionBy"),
+      s"ev24 must not window over users:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"ev24's centroid joins must broadcast:\n$p")
+  }
+
   test("chi-square densifies inside one per-symbol aggregate — no joins") {
     // a17 (round 12): the (wd, up) level crossing and the marginal sums
     // run as higher-order functions over the collected ≤14-cell array.
