@@ -4405,6 +4405,50 @@ object OracleSql {
          |  ${R("(2.0 * s) / (n * t) - (n + 1.0) / n", 6)} AS gini
          |FROM ag""".stripMargin),
 
+    // PSI twin: first-vs-second half of the date range, the a15 bucket
+    // idiom (LEAST-capped FLOOR, flat-range guard), 0.0001 share floor,
+    // identical term parenthesization, drift label on the ROUNDED psi.
+    "a24_psi" -> withCtes(stockCte, cleanCte, dedupCte,
+      """ext AS (
+        |  SELECT MIN("date") AS dmn, MAX("date") AS dmx,
+        |         MIN(close) AS cmn, MAX(close) AS cmx
+        |  FROM dedup)""".stripMargin,
+      """pb AS (
+        |  SELECT CASE WHEN d."date" <= dmn +
+        |           CAST(FLOOR(datediff('day', dmn, dmx) / 2) AS INTEGER)
+        |         THEN 'a' ELSE 'b' END AS period,
+        |         CASE WHEN cmx = cmn THEN 0
+        |              ELSE CAST(LEAST(9, FLOOR((close - cmn)
+        |                / ((cmx - cmn) / 10))) AS INTEGER) END AS bucket
+        |  FROM dedup d CROSS JOIN ext)""".stripMargin,
+      "cnt AS (SELECT period, bucket, COUNT(*) AS n FROM pb GROUP BY 1, 2)",
+      "tot AS (SELECT period, SUM(n) AS t FROM cnt GROUP BY 1)",
+      """grid AS (
+        |  SELECT p.period, b.bucket
+        |  FROM (SELECT 'a' AS period UNION ALL SELECT 'b') p
+        |  CROSS JOIN range(0, 10) b(bucket))""".stripMargin,
+      """sh AS (
+        |  SELECT g.period, g.bucket,
+        |         GREATEST(CAST(COALESCE(c.n, 0) AS DOUBLE) / t.t, 0.0001) AS sh
+        |  FROM grid g
+        |  LEFT JOIN cnt c ON c.period = g.period AND c.bucket = g.bucket
+        |  JOIN tot t ON t.period = g.period)""".stripMargin,
+      """ab AS (
+        |  SELECT bucket, MAX(CASE WHEN period = 'a' THEN sh END) AS p,
+        |         MAX(CASE WHEN period = 'b' THEN sh END) AS q
+        |  FROM sh GROUP BY 1)""".stripMargin,
+      s"""ps AS (SELECT ${R("SUM((p - q) * ln(p / q))", 6)} AS psi FROM ab)""",
+      """np AS (
+        |  SELECT MAX(CASE WHEN period = 'a' THEN t END) AS n_a,
+        |         MAX(CASE WHEN period = 'b' THEN t END) AS n_b
+        |  FROM tot)""".stripMargin)(
+      """SELECT CAST(np.n_a AS BIGINT) AS n_a, CAST(np.n_b AS BIGINT) AS n_b,
+        |  ps.psi,
+        |  CASE WHEN ps.psi < 0.1 THEN 'stable'
+        |       WHEN ps.psi < 0.2 THEN 'moderate'
+        |       ELSE 'shifted' END AS drift_level
+        |FROM ps CROSS JOIN np""".stripMargin),
+
     // Welch drift twin: ROW_NUMBER runs after the WHERE (SQL window-
     // after-filter semantics == the engine's filter-then-rank), halves
     // pivot via MAX(CASE), and the t / df formulas render with IDENTICAL

@@ -2805,6 +2805,56 @@ object Queries {
           - (col("n") + lit(1.0)) / col("n"), 6).as("gini"))
   }
 
+  /** Population stability index of the close-price distribution — first
+    * half of the corpus's date range vs the second (the feature-drift
+    * monitor an ML platform schedules per feature before retraining:
+    * PSI < 0.1 stable, < 0.2 moderate, else shifted). 10 equal-width
+    * buckets over the global range (the a15 bucket idiom, LEAST-capped
+    * top edge, flat-range guard); zero shares floor at the industry
+    * 0.0001 so empty buckets contribute finitely; PSI sums 10 exact
+    * per-bucket terms (ln agrees cross-engine to 1 ulp — t22), tie-safe
+    * round 6, and the drift level branches on the ROUNDED value so the
+    * label can never straddle an ulp.
+    *
+    * Shape: two corpus aggregates (global extents; per-(period, bucket)
+    * counts, map-side combined to ≤ 20 rows) — everything downstream is
+    * the 20-row grid. Degenerate single-day corpora put every row in
+    * period 'a' and the report carries NULLs (both engines identically). */
+  def a24Psi(s: SparkSession, dir: String): DataFrame = {
+    val d = cleanedStock(s, dir).select(col("date"), col("close"))
+    val ext = d.agg(min("date").as("dmn"), max("date").as("dmx"),
+      min("close").as("cmn"), max("close").as("cmx"))
+    val pb = d.crossJoin(broadcast(ext))
+      .withColumn("period", when(col("date") <= date_add(col("dmn"),
+        floor(datediff(col("dmx"), col("dmn")) / 2).cast("int")), lit("a"))
+        .otherwise(lit("b")))
+      .withColumn("bucket", when(col("cmx") === col("cmn"), lit(0))
+        .otherwise(least(lit(9), floor((col("close") - col("cmn"))
+          / ((col("cmx") - col("cmn")) / 10))).cast("int")))
+    val cnt = pb.groupBy("period", "bucket").agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy("period").agg(sum("n").as("t"))
+    val grid = s.range(10).withColumnRenamed("id", "bucket")
+      .select(col("bucket"), explode(array(lit("a"), lit("b"))).as("period"))
+    val sh = grid
+      .join(cnt, Seq("period", "bucket"), "left")
+      .join(tot, "period")
+      .withColumn("sh", greatest(
+        coalesce(col("n"), lit(0L)).cast("double") / col("t"), lit(0.0001)))
+    val ab = sh.groupBy("bucket").agg(
+      max(when(col("period") === "a", col("sh"))).as("p"),
+      max(when(col("period") === "b", col("sh"))).as("q"))
+    val psi = ab.agg(Num.cround(
+      sum((col("p") - col("q")) * log(col("p") / col("q"))), 6).as("psi"))
+    val nPer = tot.agg(
+      max(when(col("period") === "a", col("t"))).as("n_a"),
+      max(when(col("period") === "b", col("t"))).as("n_b"))
+    psi.crossJoin(broadcast(nPer))
+      .select(col("n_a"), col("n_b"), col("psi"),
+        when(col("psi") < 0.1, lit("stable"))
+          .when(col("psi") < 0.2, lit("moderate"))
+          .otherwise(lit("shifted")).as("drift_level"))
+  }
+
   /** Stochastic oscillator %K / %D — close's position inside the 14-row
     * high-low channel, %D its 3-row SMA. The channel bounds are window
     * MIN/MAX (order-independent, exact), so %K is per-row arithmetic on
@@ -3416,6 +3466,7 @@ object Queries {
     "w23_keltner" -> (w23Keltner _),
     "a23_gini" -> (a23Gini _),
     "ev23_markov_attribution" -> (ev23MarkovAttribution _),
-    "ev24_rfm_segments" -> (ev24RfmSegments _)
+    "ev24_rfm_segments" -> (ev24RfmSegments _),
+    "a24_psi" -> (a24Psi _)
   )
 }
