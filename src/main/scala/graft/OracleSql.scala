@@ -1603,6 +1603,20 @@ object OracleSql {
          |       ${R("AVG(value)", 2)} AS avg_value,
          |       ${R("SUM(value)", 2)} AS sum_value
          |FROM events GROUP BY 1, 2
+         |ORDER BY window_start, event_type""".stripMargin,
+
+    // Sliding-window twin: Spark's epoch-aligned window(1h, 15m) puts
+    // every event in exactly length/slide = 4 windows — replayed as a
+    // range(0,4) explode off the integer-floored epoch micros (exact
+    // integer arithmetic, the funnel epoch_us contract).
+    "st4_sliding_window" ->
+      s"""SELECT strftime(make_timestamp(
+         |         (epoch_us(ts) // 900000000) * 900000000 - j.j * 900000000),
+         |         '%Y-%m-%d %H:%M:%S') AS window_start,
+         |       event_type, COUNT(*) AS n_events,
+         |       ${R("AVG(value)", 2)} AS avg_value
+         |FROM events, UNNEST(range(0, 4)) j(j)
+         |GROUP BY 1, 2
          |ORDER BY window_start, event_type""".stripMargin
   )
 

@@ -1443,6 +1443,25 @@ object Queries {
       Seq("avg_value", "sum_value"), 2)
       .orderBy("window_start", "event_type")
 
+  /** Sliding-window event rates (1-hour windows every 15 minutes) — the
+    * smoothing read tumbling st1 can't give (a spike straddling a
+    * tumbling boundary halves; the slide sees it whole). Spark's
+    * `window(ts, 1h, 15m)` is epoch-aligned, so every event lands in
+    * EXACTLY length/slide = 4 windows — the oracle replays that as a
+    * range(0,4) explode off the integer-floored epoch micros (exact
+    * integer arithmetic in both engines; the funnel epoch_us contract).
+    * Same operator runs stateful under readStream (watermark evicts
+    * windows as they close) — StreamingSpec proves stream == batch under
+    * shuffled micro-batches. */
+  def st4SlidingWindow(s: SparkSession, dir: String): DataFrame =
+    rounded(streaming.StreamPipeline.slidingRates(Sources.events(s, dir))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("event_type"), col("n_events"), col("avg_value")),
+      Seq("avg_value"), 2)
+      .orderBy("window_start", "event_type")
+
   /** Click->purchase attribution within 1 hour per user — the batch twin of
     * [[graft.streaming.StreamPipeline.clickPurchase]] (a watermarked
     * stream-stream interval join). Equi-join on user_id (hash-partitioned
@@ -3467,6 +3486,7 @@ object Queries {
     "a23_gini" -> (a23Gini _),
     "ev23_markov_attribution" -> (ev23MarkovAttribution _),
     "ev24_rfm_segments" -> (ev24RfmSegments _),
-    "a24_psi" -> (a24Psi _)
+    "a24_psi" -> (a24Psi _),
+    "st4_sliding_window" -> (st4SlidingWindow _)
   )
 }

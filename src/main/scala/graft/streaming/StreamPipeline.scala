@@ -60,6 +60,19 @@ object StreamPipeline {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("avg_value"))
 
+  /** Sliding 1-hour windows every 15 minutes — [[hourlyStats]]' smoothing
+    * sibling (a spike straddling a tumbling boundary halves; the slide
+    * sees it whole). Epoch-aligned, so every event lands in exactly 4
+    * windows; identical operator batch and stream (state = one row per
+    * OPEN (window, type), watermark-evicted), shared verbatim with the
+    * registered st4 query. */
+  def slidingRates(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        avg(col("value")).as("avg_value"))
+
   /** Per-user sessionization with Spark's NATIVE session_window — the
     * streaming form of the batch gaps-and-islands query (st2_sessionize):
     * events of one user closer than `gap` merge into one session.

@@ -37,6 +37,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined.count() == 0, "streamed counts diverge from batch")
   }
 
+  test("sliding-window rates stream equals batch under shuffled micro-batches") {
+    // st4's twin: the SAME slidingRates operator runs stateful (3
+    // micro-batches, complete mode so unfinalized trailing windows are
+    // comparable) and must reproduce the batch st4 report exactly —
+    // including every event appearing in all 4 of its slide windows.
+    val dir = "/root/testdata/sf0.001"
+    val landing = java.nio.file.Files.createTempDirectory("graft-ev-slide")
+    val src = spark.read.parquet(s"$dir/events.parquet").cache()
+    val n = src.count()
+    import scala.jdk.CollectionConverters._
+    val thirds = src.collect().grouped((n / 3 + 1).toInt).toSeq
+    thirds.zipWithIndex.foreach { case (rows, i) =>
+      val sliceDir = landing.resolve(f"stage-$i%02d")
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1), src.schema)
+        .write.parquet(sliceDir.toString)
+      val part = java.nio.file.Files.list(sliceDir).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dest = landing.resolve(f"slice-$i%02d.parquet")
+      java.nio.file.Files.move(part, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val fs = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "slice-*.parquet")
+      .parquet(landing.toString)
+    val q = StreamPipeline
+      .slidingRates(graft.io.Sources.normalizeEventTs(fs))
+      .writeStream.format("memory").queryName("sliding_rates_test")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.lastProgress.batchId >= 2,
+      s"expected >= 3 micro-batches, saw ${q.lastProgress.batchId + 1}")
+    val streamed = spark.table("sliding_rates_test")
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("n_events"), col("avg_value"))
+    val batch = StreamPipeline.slidingRates(Sources.events(spark, dir))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("n_events"), col("avg_value"))
+    assert(batch.count() > 0 && streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "streamed sliding rates diverge from the batch st4 aggregate")
+  }
+
   test("native session_window sessions match the batch gaps-and-islands twin") {
     val dir = "/root/testdata/sf0.001"
     val landing = java.nio.file.Files.createTempDirectory("graft-events-sessions")
