@@ -4405,6 +4405,26 @@ object OracleSql {
          |  ${R("mid - 2.0 * atr", 2)} AS k_lower
          |FROM k ORDER BY symbol, "date"""".stripMargin),
 
+    // Donchian twin: exact window MIN/MAX envelope, midpoint and the
+    // prior-channel breakout flag with identical branch order.
+    "w26_donchian" -> withCtes(stockCte, cleanCte, dedupCte,
+      """dc AS (
+        |  SELECT symbol, "date", close,
+        |         MAX(high) OVER f AS dc_high, MIN(low) OVER f AS dc_low
+        |  FROM dedup WINDOW f AS (PARTITION BY symbol ORDER BY "date"
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))""".stripMargin,
+      """pc AS (
+        |  SELECT *, LAG(dc_high) OVER sw AS ph, LAG(dc_low) OVER sw AS pl
+        |  FROM dc WINDOW sw AS (PARTITION BY symbol ORDER BY "date"))""".stripMargin)(
+      s"""SELECT symbol, "date", ${R("dc_high", 2)} AS dc_high,
+         |  ${R("dc_low", 2)} AS dc_low,
+         |  ${R("(dc_high + dc_low) / 2", 2)} AS dc_mid,
+         |  CAST(CASE WHEN ph IS NULL THEN NULL
+         |            WHEN close > ph THEN 1
+         |            WHEN close < pl THEN -1
+         |            ELSE 0 END AS INTEGER) AS breakout
+         |FROM pc ORDER BY symbol, "date"""".stripMargin),
+
     // Gini twin: one per-symbol volume aggregate, rank over the entity
     // frame, the rank-sum identity with identical parenthesization —
     // exact integer sums into an exact double conversion.

@@ -2462,6 +2462,32 @@ object Queries {
         Seq("k_mid", "k_upper", "k_lower"), 2)
     }
 
+  /** Donchian channels (20) — completes the volatility-channel triple
+    * (w15 Bollinger = stddev bands, w23 Keltner = ATR bands, Donchian =
+    * the raw 20-day high/low envelope, the turtle-trader breakout rule).
+    * Channel bounds are window MIN/MAX — order-independent and exact, so
+    * only the midpoint (hi+lo)/2 needs the round-2 price convention.
+    * Breakout flag compares close to the PRIOR row's channel (a breakout
+    * must pierce a band built without today's bar); first rows carry NULL
+    * flags. One symbol exchange serves both frames and the lags. */
+  def w26Donchian(s: SparkSession, dir: String): DataFrame =
+    windowQuery(s, dir) { df =>
+      val f20 = w.rowsBetween(-19, 0)
+      val withC = df
+        .withColumn("dc_high", max("high").over(f20))
+        .withColumn("dc_low", min("low").over(f20))
+        .withColumn("__ph", lag("dc_high", 1).over(w))
+        .withColumn("__pl", lag("dc_low", 1).over(w))
+      withC.select(col("symbol"), col("date"),
+        Num.cround(col("dc_high"), 2).as("dc_high"),
+        Num.cround(col("dc_low"), 2).as("dc_low"),
+        Num.cround((col("dc_high") + col("dc_low")) / 2, 2).as("dc_mid"),
+        when(col("__ph").isNull, lit(null).cast("int"))
+          .otherwise(when(col("close") > col("__ph"), 1)
+            .when(col("close") < col("__pl"), -1)
+            .otherwise(0)).as("breakout"))
+    }
+
   /** On-balance volume — the signed-volume running total. The direction
     * sign compares exact doubles (identical branches in both engines) and
     * everything summed is BIGINT volume, so the cumulative sum is exact
@@ -3487,6 +3513,7 @@ object Queries {
     "ev23_markov_attribution" -> (ev23MarkovAttribution _),
     "ev24_rfm_segments" -> (ev24RfmSegments _),
     "a24_psi" -> (a24Psi _),
-    "st4_sliding_window" -> (st4SlidingWindow _)
+    "st4_sliding_window" -> (st4SlidingWindow _),
+    "w26_donchian" -> (w26Donchian _)
   )
 }
