@@ -940,7 +940,11 @@ object OracleSql {
     "sim20_recall" -> recallReportSql(Long.MaxValue),
     "sim22_recall_batch" -> recallReportSql(2000L),
     "sim21_codebook_selector" -> sim21SelectorSql,
-    "sim23_graph_ann" -> sim23GraphAnnSql())
+    "sim23_graph_ann" -> sim23GraphAnnSql(),
+    // the incremental-ingest gate IS batch equivalence: sim24's oracle is
+    // deliberately the same batch build+search unroll — a green row proves
+    // the three-fold ingest reproduces the batch index bit-exactly
+    "sim24_incremental_ann" -> sim23GraphAnnSql())
 
   // ===== projections, small filters, remaining scalars/sorts ===============
 
@@ -2086,6 +2090,35 @@ object OracleSql {
       s"""h$t AS MATERIALIZED (
          |  SELECT host, ${R("h / tt.t", 12)} AS h
          |  FROM hr$t CROSS JOIN (SELECT ${R("SUM(h)", 12)} AS t FROM hr$t) tt)""".stripMargin)
+  }
+
+  /** The t35 BPE merge-training rounds, unrolled — mirrors
+    * Queries.t35BpeTrain in lockstep: per round, weighted adjacent-pair
+    * counts over the marked-vocabulary frame (symbols re-split on '><'),
+    * the top pair by (count DESC, left, right) as a 1-row CTE, then the
+    * merge applied to every word with ONE literal replace (left-to-right
+    * non-overlapping in both engines == BPE's greedy merge order).
+    * MATERIALIZED per round — DuckDB inlines CTEs, and an unmaterialized
+    * 8-round vocab chain re-plans the whole prefix per reference (the
+    * componentIterCtes lesson). */
+  private def bpeIterCtes(iters: Int): Seq[String] = (1 to iters).flatMap { t =>
+    Seq(
+      s"""p$t AS (
+         |  SELECT sy[CAST(r.i AS INTEGER)] AS left_sym,
+         |         sy[CAST(r.i AS INTEGER) + 1] AS right_sym,
+         |         SUM(wc) AS pair_count
+         |  FROM (SELECT string_split(substring(sw, 2, length(sw) - 2), '><') AS sy,
+         |               wc
+         |        FROM v${t - 1}) s,
+         |       UNNEST(range(1, len(sy))) r(i)
+         |  GROUP BY 1, 2)""".stripMargin,
+      s"""t$t AS MATERIALIZED (
+         |  SELECT $t AS round, left_sym, right_sym, pair_count
+         |  FROM p$t ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1)""".stripMargin,
+      s"""v$t AS MATERIALIZED (
+         |  SELECT replace(sw, '<' || m.left_sym || '><' || m.right_sym || '>',
+         |                 '<' || m.left_sym || m.right_sym || '>') AS sw, wc
+         |  FROM v${t - 1} CROSS JOIN t$t m)""".stripMargin)
   }
 
   private def embUnnestCte(pred: String): String =
@@ -4478,7 +4511,8 @@ object OracleSql {
         |  FROM tot)""".stripMargin)(
       """SELECT CAST(np.n_a AS BIGINT) AS n_a, CAST(np.n_b AS BIGINT) AS n_b,
         |  ps.psi,
-        |  CASE WHEN ps.psi < 0.1 THEN 'stable'
+        |  CASE WHEN ps.psi IS NULL THEN NULL
+        |       WHEN ps.psi < 0.1 THEN 'stable'
         |       WHEN ps.psi < 0.2 THEN 'moderate'
         |       ELSE 'shifted' END AS drift_level
         |FROM ps CROSS JOIN np""".stripMargin),
@@ -4784,7 +4818,7 @@ object OracleSql {
         |  SELECT 'h' || CAST(doc_id % 13 AS VARCHAR) || '.example.com' AS src,
         |         'h' || CAST(u.dk AS VARCHAR) || '.example.com' AS dst
         |  FROM documents,
-        |       UNNEST([(doc_id * 7 + 3) % 13, (doc_id * doc_id + 1) % 13]) u(dk)
+        |       UNNEST([(doc_id * 7 + 3) % 13, ((doc_id % 13) * (doc_id % 13) + 1) % 13]) u(dk)
         |  WHERE doc_id % 13 <> u.dk),
         |und AS (
         |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
@@ -4834,7 +4868,7 @@ object OracleSql {
         |  SELECT 'h' || CAST(doc_id % 13 AS VARCHAR) || '.example.com' AS src,
         |         'h' || CAST(u.dk AS VARCHAR) || '.example.com' AS dst
         |  FROM documents,
-        |       UNNEST([(doc_id * 7 + 3) % 13, (doc_id * doc_id + 1) % 13]) u(dk)
+        |       UNNEST([(doc_id * 7 + 3) % 13, ((doc_id % 13) * (doc_id % 13) + 1) % 13]) u(dk)
         |  WHERE doc_id % 13 <> u.dk)""".stripMargin,
       "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM lk)",
       "nodes AS MATERIALIZED (SELECT src AS host FROM e UNION SELECT dst FROM e)",
@@ -4870,6 +4904,26 @@ object OracleSql {
         |FROM pc JOIN df ON df.pair = pc.pair
         |ORDER BY pair_count DESC, pc.pair
         |LIMIT 30""".stripMargin),
+
+    // BPE merge-training twin: one corpus word-count aggregate, then
+    // bpeIterCtes unrolls the 8 merge rounds over the marked vocabulary
+    // (regexp_replace wraps each char in '<'/'>' — pure-[a-z] corpus,
+    // markers collision-free). Exact integers; merged = left || right.
+    "t35_bpe_train" -> withCtes(Seq(
+      """wc AS (
+        |  SELECT w, COUNT(*) AS wc FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS w
+        |    FROM documents) t
+        |  WHERE length(w) >= 2 GROUP BY 1)""".stripMargin,
+      """v0 AS MATERIALIZED (
+        |  SELECT regexp_replace(w, '(.)', '<\1>', 'g') AS sw, wc
+        |  FROM wc)""".stripMargin) ++
+      bpeIterCtes(graft.Queries.BpeRounds): _*)(
+      (1 to graft.Queries.BpeRounds).map { t =>
+        s"""SELECT CAST(round AS INTEGER) AS round, left_sym, right_sym,
+           |  left_sym || right_sym AS merged,
+           |  CAST(pair_count AS BIGINT) AS pair_count FROM t$t""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY round")),
 
     // Inter-arrival twin: per-(user, type) LAG with the event_id
     // same-instant tiebreak, FLOOR-epoch integer seconds (the ev19

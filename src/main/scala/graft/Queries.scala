@@ -2864,7 +2864,9 @@ object Queries {
     * Shape: two corpus aggregates (global extents; per-(period, bucket)
     * counts, map-side combined to ≤ 20 rows) — everything downstream is
     * the 20-row grid. Degenerate single-day corpora put every row in
-    * period 'a' and the report carries NULLs (both engines identically). */
+    * period 'a' and the report carries NULLs (n_b, psi, AND drift_level —
+    * the label CASE guards NULL psi explicitly so neither engine's falsy
+    * NULL-comparison chain can mislabel it 'shifted'). */
   def a24Psi(s: SparkSession, dir: String): DataFrame = {
     val d = cleanedStock(s, dir).select(col("date"), col("close"))
     val ext = d.agg(min("date").as("dmn"), max("date").as("dmx"),
@@ -2895,7 +2897,8 @@ object Queries {
       max(when(col("period") === "b", col("t"))).as("n_b"))
     psi.crossJoin(broadcast(nPer))
       .select(col("n_a"), col("n_b"), col("psi"),
-        when(col("psi") < 0.1, lit("stable"))
+        when(col("psi").isNull, lit(null).cast("string"))
+          .when(col("psi") < 0.1, lit("stable"))
           .when(col("psi") < 0.2, lit("moderate"))
           .otherwise(lit("shifted")).as("drift_level"))
   }
@@ -2971,11 +2974,14 @@ object Queries {
   def g2Triangles(s: SparkSession, dir: String): DataFrame = {
     // two link targets per doc (affine + quadratic residue): g1's single
     // functional target yields a triangle-free cycle — this graph has 23
-    // undirected edges and exactly 4 triangles over the 13 hosts
+    // undirected edges and exactly 4 triangles over the 13 hosts.
+    // residue reduces mod 13 BEFORE squaring (overflow-free at any
+    // doc_id; identical mod 13 — the StreamingGraph.toHitsEdgeEvents
+    // contract, both engines)
     val links = Sources.documents(s, dir)
       .select(col("doc_id"), explode(array(
         (col("doc_id") * 7 + 3) % 13,
-        (col("doc_id") * col("doc_id") + 1) % 13)).as("dk"))
+        ((col("doc_id") % 13) * (col("doc_id") % 13) + 1) % 13)).as("dk"))
       .select(
         concat(lit("h"), (col("doc_id") % 13).cast("string"),
           lit(".example.com")).as("src"),
@@ -3061,6 +3067,77 @@ object Queries {
       .orderBy(col("pair_count").desc, col("pair").asc)
       .limit(30)
   }
+
+  /** Number of merge rounds the t35 BPE trainer runs — shared with the
+    * oracle's unrolled CTEs so both engines train the same vocabulary. */
+  val BpeRounds = 8
+
+  /** Iterated BPE merge TRAINING — t34 gave merge 0's candidate table;
+    * this runs Sennrich et al. 2016's actual loop for [[BpeRounds]]
+    * rounds: count corpus-weighted adjacent symbol pairs, merge the most
+    * frequent pair everywhere, re-pair, repeat. The output is the learned
+    * merge list in order — the artifact a tokenizer trainer ships.
+    *
+    * Shape at 100 TB (the sim21/ev24 training-as-relational-dataflow
+    * contract): the CORPUS pays exactly one word-count aggregate before
+    * round 1; every round after that runs on the DISTINCT word VOCABULARY
+    * (Heaps-law sublinear in the corpus), materialized per round so the
+    * 8-round lineage stays flat (the g4 half-round lesson). A word's
+    * symbol sequence is kept as a marked string — each symbol wrapped in
+    * '<'/'>' (safe: the corpus is pure [a-z ]) — so applying a merge is
+    * ONE literal `replace('<a><b>' -> '<ab>')`: string replace scans
+    * left-to-right non-overlapping in both engines, which IS BPE's greedy
+    * merge order ('<a><a><a>' -> '<aa><a>', never '<a><aa>'), and the
+    * markers make cross-symbol false matches impossible ('<xa><b>' never
+    * contains '<a><b>'). Pair counting re-splits the marked string on
+    * '><' and explodes adjacent index pairs, weighted by word count —
+    * partial-combined into a table bounded by the live symbol alphabet².
+    * Top pair per round is a 1-row TakeOrderedAndProject (count desc,
+    * then (left, right) ascending — ASCII-deterministic in both engines),
+    * broadcast into the merge projection. Exact integers end to end;
+    * the oracle unrolls identical rounds as CTEs (bpeIterCtes). */
+  def t35BpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val words = Sources.documents(s, dir)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    var vocab = Materialize(words.select(
+      regexp_replace(col("w"), "(.)", "<$1>").as("sw"), col("wc")))
+    val steps = (1 to BpeRounds).map { r =>
+      val top = Materialize(bpePairCounts(vocab)
+        .orderBy(col("pair_count").desc,
+          col("left_sym").asc, col("right_sym").asc)
+        .limit(1)
+        .select(lit(r).as("round"), col("left_sym"), col("right_sym"),
+          col("pair_count")))
+      vocab = Materialize(vocab.crossJoin(broadcast(top))
+        .select(expr(
+          """replace(sw, concat('<', left_sym, '><', right_sym, '>'),
+            |        concat('<', left_sym, right_sym, '>'))""".stripMargin)
+          .as("sw"), col("wc")))
+      top
+    }
+    steps.reduce(_ union _)
+      .withColumn("merged", concat(col("left_sym"), col("right_sym")))
+      .select("round", "left_sym", "right_sym", "merged", "pair_count")
+      .orderBy("round")
+  }
+
+  /** One round's pair-count table over the marked-vocabulary frame —
+    * the per-round work t35 repeats (exposed for the PlanSpec pin: no
+    * documents scan, one pair-aggregate exchange). `size >= 2` guards the
+    * fully-merged single-symbol words BEFORE sequence(1, n-1) — Spark's
+    * sequence(1, 0) descends, it does not return empty. */
+  def bpePairCounts(vocab: DataFrame): DataFrame =
+    vocab.select(col("wc"),
+        split(expr("substring(sw, 2, length(sw) - 2)"), "><").as("syms"))
+      .filter(size(col("syms")) >= 2)
+      .select(col("wc"), explode(expr(
+        """transform(sequence(1, size(syms) - 1),
+          |  i -> struct(element_at(syms, i) AS l,
+          |              element_at(syms, i + 1) AS r))""".stripMargin)).as("p"))
+      .groupBy(col("p.l").as("left_sym"), col("p.r").as("right_sym"))
+      .agg(sum("wc").as("pair_count"))
 
   /** Inter-arrival cadence per event type — per-user gaps between
     * consecutive events of the SAME type, reduced to p50/p90/mean
@@ -3283,6 +3360,42 @@ object Queries {
       ext.Similarity.planes(s))
       .orderBy("query_id", "rank")
 
+  /** Ingest-then-search over the INCREMENTALLY-maintained k-NN-graph
+    * index — the production path a vector platform actually runs
+    * ([[graft.ext.IncrementalAnnIndex]]): the corpus arrives as three
+    * vec_id-ordered value-range batches (tercile split on a broadcast
+    * max — fully in-plan, no driver-side slicing), each folded into the
+    * capped memberships and the mergeable top-m edge table, and the
+    * report is the beam search over the resulting SNAPSHOT.
+    *
+    * The cross-engine gate is the equivalence contract itself: the
+    * oracle is sim23's BATCH build+search unroll, so a green row proves
+    * the three-fold ingest reproduces the batch index bit-exactly —
+    * top-m's mergeability, the order-independent smallest-vec_id bucket
+    * election, and the cross-batch pair dedup all land in one hash
+    * (IncrementalAnnIndexSpec proves the same equality per stage,
+    * including with bucketCap = 2 engaged). Per batch the work is
+    * delta × capped co-occupants pair scorings plus one bounded top-m
+    * merge — never a corpus rebuild. */
+  def sim24IncrementalAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = Sources.embeddings(s, dir)
+    // tercile width floor(max/3)+1 keeps vec_id/width <= 2 for every
+    // vec_id <= max — no multiplication of vec_id, so no overflow at any
+    // id scale (the g2 residue lesson)
+    val mx = Materialize(emb.agg(
+      (floor(max("vec_id") / 3) + 1).as("__w")))
+    def slice(i: Int): DataFrame =
+      emb.crossJoin(broadcast(mx))
+        .filter(floor(col("vec_id") / col("__w")) === i)
+        .drop("__w")
+    var state = ext.IncrementalAnnIndex.init(s, emb)
+    for (i <- 0 until 3)
+      state = ext.IncrementalAnnIndex.ingestBatch(state, slice(i),
+        ext.Similarity.planes(s))
+    ext.IncrementalAnnIndex.snapshotSearch(state)
+      .orderBy("query_id", "rank")
+  }
+
   /** MMR diversified top-k retrieval over the fixed query batch (see
     * [[graft.ext.Similarity.mmrTopK]]): relevance proposes, the greedy
     * marginal-relevance loop (lambda 0.7) demotes candidates redundant
@@ -3500,6 +3613,7 @@ object Queries {
     "sim22_recall_batch" -> (sim22RecallBatch _),
     "sim21_codebook_selector" -> (sim21CodebookSelector _),
     "sim23_graph_ann" -> (sim23GraphAnn _),
+    "sim24_incremental_ann" -> (sim24IncrementalAnn _),
     "ev21_growth_accounting" -> (ev21GrowthAccounting _),
     "w25_weekly_ohlc" -> (w25WeeklyOhlc _),
     "g2_triangles" -> (g2Triangles _),
@@ -3507,6 +3621,7 @@ object Queries {
     "g3_components" -> (g3Components _),
     "g4_hits" -> (g4Hits _),
     "t34_bpe_pairs" -> (t34BpePairs _),
+    "t35_bpe_train" -> (t35BpeTrain _),
     "ev22_interarrival" -> (ev22Interarrival _),
     "w23_keltner" -> (w23Keltner _),
     "a23_gini" -> (a23Gini _),

@@ -45,11 +45,16 @@ object StreamingGraph {
   }
 
   /** g2/g4's two-target host-graph projection (affine + quadratic residue
-    * links over 13 hosts), stateless per document. */
+    * links over 13 hosts), stateless per document. The residue term
+    * reduces mod 13 BEFORE squaring: (doc_id % 13)² is at most 144,
+    * whereas doc_id² silently wraps the Long above doc_id ≈ 3.04e9 in
+    * Spark while DuckDB raises on BIGINT overflow — mathematically
+    * identical mod 13 for the non-negative doc_id domain, and now
+    * overflow-free at any scale factor. */
   def toHitsEdgeEvents(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(array(
         (col("doc_id") * 7 + 3) % 13,
-        (col("doc_id") * col("doc_id") + 1) % 13)).as("dk"))
+        ((col("doc_id") % 13) * (col("doc_id") % 13) + 1) % 13)).as("dk"))
       .select(
         concat(lit("h"), (col("doc_id") % 13).cast("string"),
           lit(".example.com")).as("src"),

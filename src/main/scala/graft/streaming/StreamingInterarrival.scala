@@ -44,7 +44,13 @@ object StreamingInterarrival {
     val gaps = Materialize(withPrev.filter(col("prev_ts").isNotNull)
       .select(col("event_type"),
         (col("ts").cast("long") - col("prev_ts").cast("long")).as("gap_sec")))
-    // max-merge keeps the state correct even if a batch is a no-op replay
+    // max-merge makes ONLY the last-seen frame idempotent under a no-op
+    // batch replay; the histogram side (mergeHist) is add-only, so a
+    // replayed batch would double-count its gaps AND recompute boundary
+    // gaps against the already-advanced last_ts. The pipeline therefore
+    // requires exactly-once batch delivery (Structured Streaming's
+    // checkpointed epoch contract); at-least-once sources must dedup
+    // replayed events by event_id before batchGaps.
     val newLast = Materialize(
       batch.groupBy("user_id", "event_type").agg(max("ts").as("last_ts"))
         .union(lastSeen)

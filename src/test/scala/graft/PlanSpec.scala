@@ -482,6 +482,32 @@ class PlanSpec extends AnyFunSuite {
       s"t34 must not count-distinct via Expand:\n$p")
   }
 
+  test("BPE training rounds run on the checkpointed vocab frame — no corpus re-scan") {
+    // t35: the corpus pays its one word-count aggregate inside the first
+    // Materialize; every subsequent round's pair count builds from the
+    // checkpointed vocabulary RDD. Pin round 2's shape: its plan must not
+    // scan the documents parquet, and its only hash exchange is the pair
+    // aggregate (the top-1 is a TakeOrdered, not a full sort).
+    import org.apache.spark.sql.functions._
+    val words = graft.io.Sources.documents(spark, dir)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    val v0 = graft.ops.Materialize(words.select(
+      regexp_replace(col("w"), "(.)", "<$1>").as("sw"), col("wc")))
+    val round = Queries.bpePairCounts(v0)
+      .orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
+      .limit(1)
+    val p = round.queryExecution.executedPlan.toString
+    assert(!p.contains("Scan parquet") && !p.contains("FileScan"),
+      s"per-round BPE work must read the checkpointed vocab, not the corpus:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1,
+      s"a BPE round is one pair aggregate over the vocab (saw $exchanges):\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the per-round top pair should plan as top-1, not a full sort:\n$p")
+  }
+
   test("inter-arrival gaps: one corpus-sized exchange, then histogram-sized work") {
     // ev22: lag window on (user, type) is the only corpus exchange; the
     // histogram aggregate and the shared fold shuffle frames bounded by
