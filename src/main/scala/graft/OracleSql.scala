@@ -805,9 +805,10 @@ object OracleSql {
   /** The selector report: membership of each candidate's top-5 in the
     * brute-force truth at the same fixed batch; winner = best recall with
     * ties toward the CHEAPER config (build-cost order fixed < learned <
-    * residual). The OPQ candidate is not here by design — its rotation
-    * training is a driver-side eigendecomposition no SQL engine can
-    * express (see the Spark-side scaladoc). */
+    * residual). The OPQ candidate appears as the documented-exclusion
+    * literal row — its rotation training is a driver-side
+    * eigendecomposition no SQL engine can express, so its `gate` names
+    * the ScalaTest suite that measures it (see the Spark-side scaladoc). */
   private def sim21SelectorSql: String = {
     def sub(sql: String) = s"SELECT query_id, vec_id FROM ($sql)"
     s"""WITH truth AS (${sub(sim1BruteSqlAtCap(2000L))}),
@@ -833,8 +834,14 @@ object OracleSql {
        |    ${R("CAST(hits AS DOUBLE) / n_truth", 6)} AS recall_at_5
        |  FROM h CROSS JOIN nt)
        |SELECT config, build_cost, hits, n_truth, recall_at_5,
-       |  (ROW_NUMBER() OVER (ORDER BY recall_at_5 DESC, build_cost) = 1) AS is_winner
-       |FROM rep ORDER BY config""".stripMargin
+       |  (ROW_NUMBER() OVER (ORDER BY recall_at_5 DESC, build_cost) = 1) AS is_winner,
+       |  'oracle' AS gate
+       |FROM rep
+       |UNION ALL
+       |SELECT 'opq', CAST(3 AS INTEGER), CAST(NULL AS BIGINT),
+       |  CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), FALSE,
+       |  'ExtSpec: opq rotation trains driver-side (eigendecomposition), no SQL oracle'
+       |ORDER BY config""".stripMargin
   }
 
   /** sim23's oracle: the k-NN-graph build (sim2's LSH buckets -> capped
@@ -4375,6 +4382,45 @@ object OracleSql {
         |  CAST(length(fh) // 2 AS INTEGER) AS frame_len,
         |  md5(fh) AS frame_md5
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // Audio-header twin: byte i of the payload = hex chars 2i+1..2i+2
+    // parsed base-16 (TRY_CAST guards the short-payload rows the ok flag
+    // excludes anyway); same synthetic header layout, same exact integer
+    // WAV arithmetic. encode(text) == Spark's text-cast-to-binary.
+    "m5_audio_meta" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'wav'
+        |         WHEN 1 THEN 'flac' ELSE 'ogg' END AS format,
+        |    CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        |    hex(encode(text)) AS h
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, format, byte_len, byte_len >= 4 AS ok,
+        |    TRY_CAST(('0x' || substring(h, 1, 2)) AS INTEGER) AS b0,
+        |    TRY_CAST(('0x' || substring(h, 3, 2)) AS INTEGER) AS b1,
+        |    TRY_CAST(('0x' || substring(h, 5, 2)) AS INTEGER) AS b2
+        |  FROM m),
+        |d AS (
+        |  SELECT doc_id, format, byte_len, ok,
+        |    CASE WHEN ok THEN ([8000, 16000, 22050, 44100, 48000])[b0 % 5 + 1] END AS sample_rate,
+        |    CASE WHEN ok THEN b1 % 2 + 1 END AS channels,
+        |    CASE WHEN ok THEN (b2 % 2 + 1) * 8 END AS bits_per_sample
+        |  FROM p),
+        |n AS (
+        |  SELECT *, CASE WHEN ok THEN CAST(
+        |      ((byte_len - 4) * 8) // (bits_per_sample * channels)
+        |    AS BIGINT) END AS n_samples
+        |  FROM d)
+        |SELECT doc_id, format, byte_len,
+        |  CAST(sample_rate AS INTEGER) AS sample_rate,
+        |  CAST(channels AS INTEGER) AS channels,
+        |  CAST(bits_per_sample AS INTEGER) AS bits_per_sample,
+        |  n_samples,
+        |  CASE WHEN ok THEN CAST((n_samples * 1000) // sample_rate AS BIGINT)
+        |  END AS duration_ms,
+        |  ok
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     // ATR twin: TR is per-row arithmetic on identical doubles (round 6);
     // the 14-row frame mean rounds at 2 (the w3/w4 contract). The frame

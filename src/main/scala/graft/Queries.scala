@@ -2408,6 +2408,15 @@ object Queries {
     ext.Multimodal.frameDigests(
       ext.Multimodal.asMediaTable(Sources.documents(s, dir).orderBy("doc_id")))
 
+  /** Audio-header metadata parse over opaque payloads (see
+    * [[graft.ext.Multimodal.audioMeta]]): sample rate / channels / sample
+    * width from the synthetic 4-byte header, duration from the real WAV
+    * arithmetic — the audio sibling of m1's image decode, row-wise and
+    * codegen'd (sort-first, the m1/m3 layout). */
+  def m5AudioMeta(s: SparkSession, dir: String): DataFrame =
+    ext.Multimodal.audioMeta(
+      ext.Multimodal.asAudioTable(Sources.documents(s, dir).orderBy("doc_id")))
+
   /** Wilder's True Range + 14-row SMA Average True Range per symbol — the
     * volatility-channel primitive next to w15's Bollinger bands. TR needs
     * the previous close, so one lag over the shared symbol window, then a
@@ -3273,13 +3282,16 @@ object Queries {
     * toward the CHEAPER config in build-cost order (fixed < learned <
     * residual — the choosePqConfig discipline).
     *
-    * Scope: the three RELATIONAL codebook families. choosePqConfig's
-    * fourth candidate (OPQ) trains its rotation through a driver-side
-    * eigendecomposition — the one computation no SQL oracle can express —
-    * so its scorecard row stays ExtSpec-gated (both recall fixtures)
-    * rather than weakening this query to a rows-only check; the registered
-    * report covers every configuration whose training is itself a
-    * relational dataflow, which is what the cross-engine gate can verify.
+    * Scope: the three RELATIONAL codebook families carry measured scores
+    * (gate = 'oracle' — the cross-engine hash verifies them). The fourth
+    * choosePqConfig candidate (OPQ) trains its rotation through a
+    * driver-side eigendecomposition — the one computation no SQL oracle
+    * can express — so it appears as a DOCUMENTED-EXCLUSION row (r12
+    * verdict item #5): config 'opq' with NULL scores and gate naming the
+    * ScalaTest suite that measures it (ExtSpec, both recall fixtures).
+    * A pipeline reading this scorecard now sees all FOUR candidates with
+    * provenance explicit, and the oracle gate still verifies everything
+    * it can express.
     *
     * Shape at scale: selection is index-BUILD-time work — each candidate
     * is linear in the corpus under the fixed batch (the sim18 shape), the
@@ -3287,9 +3299,17 @@ object Queries {
     * the index build pays anyway, and the recall joins reduce
     * batch-sized frames. */
   def sim21CodebookSelector(s: SparkSession, dir: String): DataFrame = {
-    val emb = Sources.embeddings(s, dir)
+    // the three candidate stacks and the truth scan all consume the same
+    // corpus and the same IVF routing — checkpoint the corpus once and
+    // score the anchors once, so each stack starts from the shared routed
+    // frame instead of re-reading parquet and re-scoring 16 anchors
+    // (values unchanged: same data, same windows — the r12 trim item)
+    val emb = Materialize(Sources.embeddings(s, dir))
     val cap = 2000L
     val anchors = ext.Similarity.ivfAnchors(s)
+    val (assigned, probes) = ext.Similarity.ivfRoute(emb, anchors,
+      queryCap = cap)
+    val routing = Some((Materialize(assigned), Materialize(probes)))
     val truth = Materialize(
       ext.Similarity.bruteForceTopK(emb, queryCap = cap)
         .select("query_id", "vec_id"))
@@ -3303,19 +3323,48 @@ object Queries {
           lit(buildCost).as("build_cost"), col("hits"), col("n_truth"),
           Num.cround(col("hits").cast("double") / col("n_truth"), 6)
             .as("recall_at_5"))
-    val rows = report("fixed", 0,
-        ext.Similarity.ivfPqTopKRerank(emb, anchors,
-          ext.Similarity.pqCodebook(s), queryCap = cap))
-      .unionByName(report("learned", 1,
-        ext.Similarity.ivfPqTopKRerank(emb, anchors,
-          ext.Similarity.learnPqCodebook(emb), queryCap = cap)))
-      .unionByName(report("residual", 2,
-        ext.Similarity.ivfPqResidualTopKRerank(emb, anchors,
-          queryCap = cap)))
+    // the learned and residual stacks each run an EAGER k-means training
+    // (per-iteration checkpoints — unavoidable lineage control), which
+    // would otherwise serialize behind one another during plan
+    // CONSTRUCTION; building the three report frames on parallel threads
+    // lets those small training jobs interleave on the idle cores (Spark
+    // job submission is thread-safe; values are independent per stack).
+    // The UNION itself stays lazy — one final job still schedules the
+    // three stacks' remaining stages concurrently.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fFixed = Future(report("fixed", 0,
+      ext.Similarity.ivfPqTopKRerank(emb, anchors,
+        ext.Similarity.pqCodebook(s), queryCap = cap,
+        routingOpt = routing)))
+    val fLearned = Future(report("learned", 1,
+      ext.Similarity.ivfPqTopKRerank(emb, anchors,
+        ext.Similarity.learnPqCodebook(emb), queryCap = cap,
+        routingOpt = routing)))
+    val fResidual = Future(report("residual", 2,
+      ext.Similarity.ivfPqResidualTopKRerank(emb, anchors,
+        queryCap = cap, routingOpt = routing)))
+    val rows = Await.result(fFixed, Duration.Inf)
+      .unionByName(Await.result(fLearned, Duration.Inf))
+      .unionByName(Await.result(fResidual, Duration.Inf))
     // 3-row frame: the single-partition window is the point, not a smell
     val wAll = Window.orderBy(desc("recall_at_5"), col("build_cost"))
-    rows.withColumn("is_winner", row_number().over(wAll) === 1)
-      .orderBy("config")
+    val scored = rows.withColumn("is_winner", row_number().over(wAll) === 1)
+      .withColumn("gate", lit("oracle"))
+    // the documented-exclusion row: OPQ is evaluated, but its rotation
+    // trains driver-side (eigendecomposition) — gate names the spec that
+    // measures it instead of the SQL oracle, and it never contends for
+    // is_winner here (choosePqConfig, which CAN run it, does that)
+    val opqRow = s.range(1).select(
+      lit("opq").as("config"), lit(3).as("build_cost"),
+      lit(null).cast("long").as("hits"),
+      lit(null).cast("long").as("n_truth"),
+      lit(null).cast("double").as("recall_at_5"),
+      lit(false).as("is_winner"),
+      lit("ExtSpec: opq rotation trains driver-side (eigendecomposition), no SQL oracle")
+        .as("gate"))
+    scored.unionByName(opqRow).orderBy("config")
   }
 
   private def recallReport(s: SparkSession, dir: String,
@@ -3572,6 +3621,7 @@ object Queries {
     "m1_multimodal_meta" -> (m1MultimodalMeta _),
     "m2_phash_pairs" -> (m2PhashPairs _),
     "m3_frame_sample" -> (m3FrameSample _),
+    "m5_audio_meta" -> (m5AudioMeta _),
     "p1_rename" -> (p1Rename _),
     "p2_cast" -> (p2Cast _),
     "p3_literals" -> (p3Literals _),

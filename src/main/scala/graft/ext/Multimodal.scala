@@ -257,6 +257,56 @@ object Multimodal {
     s"(CASE WHEN doc_id % 23 = 0 THEN CAST(1234567 AS BIGINT) ELSE $noisy END)"
   }
 
+  /** documents.text re-cast as an opaque AUDIO payload column — the m5
+    * sibling of [[asMediaTable]] with container-format tags. */
+  def asAudioTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      element_at(array(lit("wav"), lit("flac"), lit("ogg")),
+        (col("doc_id") % 3 + 1).cast("int")).as("format"))
+
+  /** WAV-header-style audio metadata parse over an opaque binary payload
+    * — the audio analog of [[decodeMeta]]'s image dimensions, and the
+    * header-parse stage an audio curation pipeline runs before any
+    * resample/transcribe stage. The 4-byte "header" layout is synthetic
+    * (byte 0 selects the sample rate from the five standard rates, byte 1
+    * the channel count, byte 2 the sample width; the remaining bytes are
+    * "sample data"), but the derived fields are the real WAV arithmetic:
+    * n_samples = data_bytes·8 / (bits·channels), duration = samples/rate
+    * — exact integer division end to end, so the report hashes
+    * identically cross-engine. A payload under 4 bytes (or NULL) reports
+    * ok = false with NULL fields — the total-stage discipline of
+    * [[resizeImage]].
+    *
+    * Like [[frameDigests]], the parse is DECLARATIVE and codegen'd — byte
+    * access rides the payload's hex rendering (byte i = hex chars
+    * 2i+1..2i+2, parsed base-16), the route that keeps the identical
+    * arithmetic expressible in engines without blob indexing. A real
+    * container demuxer replaces only the header layout; the bounded
+    * row-wise shape (no shuffle, no UDF) is the part that matters at
+    * 100 TB. */
+  def audioMeta(media: DataFrame): DataFrame = {
+    def byteAt(i: Int) =
+      conv(substring(col("__h"), i * 2 + 1, 2), 16, 10).cast("int")
+    media
+      .select(col("doc_id"), col("format"),
+        octet_length(col("payload")).as("byte_len"),
+        hex(col("payload")).as("__h"))
+      .withColumn("ok", col("byte_len") >= 4)
+      .withColumn("sample_rate", when(col("ok"),
+        element_at(array(lit(8000), lit(16000), lit(22050), lit(44100),
+          lit(48000)), byteAt(0) % 5 + 1)))
+      .withColumn("channels", when(col("ok"), byteAt(1) % 2 + 1))
+      .withColumn("bits_per_sample", when(col("ok"), (byteAt(2) % 2 + 1) * 8))
+      .withColumn("n_samples", when(col("ok"),
+        expr("((byte_len - 4) * 8) div (bits_per_sample * channels)")))
+      .withColumn("duration_ms", when(col("ok"),
+        expr("(n_samples * 1000) div sample_rate")))
+      .select("doc_id", "format", "byte_len", "sample_rate", "channels",
+        "bits_per_sample", "n_samples", "duration_ms", "ok")
+  }
+
   case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
   /** Frame sampling: treat the payload as a sequence of fixed-size frame

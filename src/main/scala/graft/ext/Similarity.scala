@@ -1108,11 +1108,33 @@ object Similarity {
                       codebook: DataFrame, queryMod: Int = 100, k: Int = 5,
                       nprobe: Int = 2, shortlist: Int = 50,
                       subDim: Int = 8,
-                      queryCap: Long = Long.MaxValue): DataFrame =
+                      queryCap: Long = Long.MaxValue,
+                      routingOpt: Option[(DataFrame, DataFrame)] = None)
+      : DataFrame =
     rerankShortlist(emb,
       ivfPqTopK(emb, anchors, codebook, queryMod, shortlist, nprobe, subDim,
-        queryCap),
+        queryCap, routingOpt),
       queryMod, k, queryCap)
+
+  /** The IVF routing pair every PQ stack starts from — (assigned: corpus
+    * vector -> its nearest list; probes: query -> its nprobe nearest
+    * lists). Identical across codebook configurations at fixed anchors,
+    * so a selector comparing several stacks computes it ONCE, materializes
+    * both frames, and passes them via `routingOpt` (the sim21
+    * shared-routing trim — same windows, same values, fewer stages). */
+  def ivfRoute(emb: DataFrame, anchors: DataFrame, queryMod: Int = 100,
+               nprobe: Int = 2, queryCap: Long = Long.MaxValue)
+      : (DataFrame, DataFrame) = {
+    val scores = anchorScores(emb, anchors)
+    val wBest = Window.partitionBy("vec_id").orderBy(desc("score"), col("c"))
+    val assigned = scores.withColumn("rnk", row_number().over(wBest))
+      .filter(col("rnk") === 1).select(col("vec_id"), col("c").as("list_id"))
+    val probes = scores.filter(queryPred(queryMod, queryCap))
+      .withColumn("rnk", row_number().over(wBest))
+      .filter(col("rnk") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("c").as("list_id"))
+    (assigned, probes)
+  }
 
   /** IVF-PQ search — the production billion-vector configuration, end to
     * end (Jegou et al. 2011, the FAISS IVFADC index): the IVF coarse
@@ -1134,19 +1156,14 @@ object Similarity {
   def ivfPqTopK(emb: DataFrame, anchors: DataFrame, codebook: DataFrame,
                 queryMod: Int = 100, k: Int = 5, nprobe: Int = 2,
                 subDim: Int = 8,
-                queryCap: Long = Long.MaxValue): DataFrame = {
+                queryCap: Long = Long.MaxValue,
+                routingOpt: Option[(DataFrame, DataFrame)] = None)
+      : DataFrame = {
     graft.functions.GraftFunctions.register(
       org.apache.spark.sql.SparkSession.active)
-    val scores = anchorScores(emb, anchors)
-    val wBest = Window.partitionBy("vec_id").orderBy(desc("score"), col("c"))
-    val assigned = scores.withColumn("rnk", row_number().over(wBest))
-      .filter(col("rnk") === 1).select(col("vec_id"), col("c").as("list_id"))
+    val (assigned, probes) = routingOpt.getOrElse(
+      ivfRoute(emb, anchors, queryMod, nprobe, queryCap))
     val codes = pqEncode(emb, codebook, subDim).join(assigned, "vec_id")
-
-    val probes = scores.filter(queryPred(queryMod, queryCap))
-      .withColumn("rnk", row_number().over(wBest))
-      .filter(col("rnk") <= nprobe)
-      .select(col("vec_id").as("query_id"), col("c").as("list_id"))
     val qel = emb.filter(queryPred(queryMod, queryCap))
       .select(col("vec_id").as("query_id"),
         posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -1207,14 +1224,14 @@ object Similarity {
                         subDim: Int = 8, nSub: Int = 8, nCentroids: Int = 16,
                         learnedCodebook: Boolean = true,
                         iters: Int = 3,
-                        queryCap: Long = Long.MaxValue): DataFrame = {
+                        queryCap: Long = Long.MaxValue,
+                        routingOpt: Option[(DataFrame, DataFrame)] = None)
+      : DataFrame = {
     graft.functions.GraftFunctions.register(
       org.apache.spark.sql.SparkSession.active)
     val spark = emb.sparkSession
-    val scores = anchorScores(emb, anchors)
-    val wBest = Window.partitionBy("vec_id").orderBy(desc("score"), col("c"))
-    val assigned = scores.withColumn("rnk", row_number().over(wBest))
-      .filter(col("rnk") === 1).select(col("vec_id"), col("c").as("list_id"))
+    val (assigned, probes) = routingOpt.getOrElse(
+      ivfRoute(emb, anchors, queryMod, nprobe, queryCap))
     val centroidsByPos = anchors.select(col("c").as("list_id"),
       (col("d") - 1).as("pos"), col("w").as("cw"))
     // corpus residuals, checkpointed once: reused by codebook training AND
@@ -1241,10 +1258,6 @@ object Similarity {
       .agg(min_by(col("c"),
         struct(graft.ops.Num.cround(col("dist2"), 6), col("c"))).as("code"))
 
-    val probes = scores.filter(queryPred(queryMod, queryCap))
-      .withColumn("rnk", row_number().over(wBest))
-      .filter(col("rnk") <= nprobe)
-      .select(col("vec_id").as("query_id"), col("c").as("list_id"))
     // per-(query, probed list) residual -> per-list ADC table
     val qresid = emb.filter(queryPred(queryMod, queryCap))
       .select(col("vec_id").as("query_id"),
@@ -1283,10 +1296,13 @@ object Similarity {
                               queryMod: Int = 100, k: Int = 5,
                               nprobe: Int = 2, shortlist: Int = 50,
                               subDim: Int = 8, learnedCodebook: Boolean = true,
-                              queryCap: Long = Long.MaxValue): DataFrame =
+                              queryCap: Long = Long.MaxValue,
+                              routingOpt: Option[(DataFrame, DataFrame)] = None)
+      : DataFrame =
     rerankShortlist(emb,
       ivfPqResidualTopK(emb, anchors, queryMod, shortlist, nprobe, subDim,
-        learnedCodebook = learnedCodebook, queryCap = queryCap),
+        learnedCodebook = learnedCodebook, queryCap = queryCap,
+        routingOpt = routingOpt),
       queryMod, k, queryCap)
 
   /** Measured PQ-configuration selector (r10 verdict item #2): the engine

@@ -715,6 +715,34 @@ class ExtSpec extends AnyFunSuite {
       "fixture should exercise a short tail frame")
   }
 
+  test("multimodal: audio header parse — WAV arithmetic exact, short payloads total") {
+    val media = Multimodal.asAudioTable(Seq(
+      (0L, "abcdefgh", "en"),  // 8 bytes: b0=97 b1=98 b2=99
+      (1L, "abc", "en"),       // 3 bytes: under the 4-byte header -> not ok
+      (2L, null, "en")         // NULL payload propagates
+    ).toDF("doc_id", "text", "lang"))
+    val rows = Multimodal.audioMeta(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r0 = rows(0L)
+    // 97%5+1=3 -> 22050 Hz; 98%2+1=1 channel; (99%2+1)*8=16 bits;
+    // 4 data bytes -> 4*8/(16*1)=2 samples -> 2*1000/22050 = 0 ms
+    assert(r0.getAs[String]("format") == "wav") // doc_id 0 % 3 -> first tag
+    assert(r0.getAs[Boolean]("ok"))
+    assert(r0.getAs[Int]("sample_rate") == 22050)
+    assert(r0.getAs[Int]("channels") == 1)
+    assert(r0.getAs[Int]("bits_per_sample") == 16)
+    assert(r0.getAs[Long]("n_samples") == 2L)
+    assert(r0.getAs[Long]("duration_ms") == 0L)
+    val r1 = rows(1L)
+    assert(!r1.getAs[Boolean]("ok") && r1.isNullAt(r1.fieldIndex("sample_rate"))
+      && r1.isNullAt(r1.fieldIndex("duration_ms")),
+      "short payload must report ok=false with NULL fields, not fail")
+    val r2 = rows(2L)
+    assert(r2.isNullAt(r2.fieldIndex("byte_len")) &&
+      r2.isNullAt(r2.fieldIndex("ok")),
+      "NULL payload propagates NULL byte_len/ok")
+  }
+
   test("multimodal: stub decode is deterministic; image tags attempt real decode") {
     val meta = Multimodal.decodeMeta(spark, Multimodal.asMediaTable(docs)).collect()
     // doc 0 is jpeg-tagged (doc_id % 3 == 0): real ImageIO decode of text
