@@ -2457,6 +2457,57 @@ object OracleSql {
           |FROM sel WHERE rn = 1 ORDER BY cluster_rep""".stripMargin
     },
 
+    // Incremental-curation gate: like sim24, the oracle is deliberately
+    // the BATCH formulation — keep-first digests over the whole corpus,
+    // then the d2/d8/d6 chain (signatures, banded candidates under the
+    // cap, exact-Jaccard verification, recursive-closure clusters) rooted
+    // at that subset, survivors = docs that are their own cluster rep or
+    // unclustered. A green row proves the three-batch ingest fold
+    // reproduces batch curation's dedup front end bit-exactly.
+    "d15_incremental_curation" -> ("WITH RECURSIVE " + Seq(
+      """ku AS (
+        |  SELECT * FROM documents WHERE doc_id IN (
+        |    SELECT MIN(doc_id) FROM documents GROUP BY md5(text)))""".stripMargin,
+      "toks AS (SELECT doc_id, lang, text, string_split(text, ' ') AS tok FROM ku)",
+      shCte, shxCte, sigCte, bandsCte, cappedCte,
+      """cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM capped a JOIN capped b
+        |    ON a.band = b.band AND a.band_value = b.band_value AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)""".stripMargin,
+      "dsh AS (SELECT DISTINCT doc_id, shingle FROM shx)",
+      "sz AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id)",
+      """iv AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        |  FROM cand c JOIN dsh a ON a.doc_id = c.doc_a
+        |               JOIN dsh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        |  GROUP BY 1, 2)""".stripMargin,
+      """ver AS (
+        |  SELECT c.doc_a, c.doc_b
+        |  FROM cand c
+        |  LEFT JOIN iv ON iv.doc_a = c.doc_a AND iv.doc_b = c.doc_b
+        |  JOIN sz za ON za.doc_id = c.doc_a
+        |  JOIN sz zb ON zb.doc_id = c.doc_b
+        |  WHERE CAST(coalesce(iv.n_common, 0) AS DOUBLE)
+        |        / (za.n + zb.n - coalesce(iv.n_common, 0)) >= 0.5)""".stripMargin,
+      """edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM ver
+        |  UNION ALL
+        |  SELECT doc_b AS src, doc_a AS dst FROM ver)""".stripMargin,
+      """reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)""".stripMargin,
+      """memb AS (
+        |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_rep
+        |  FROM reach GROUP BY src)""".stripMargin)
+      .mkString(",\n") +
+      """
+        |SELECT k.doc_id, k.source, k.n_chars
+        |FROM ku k LEFT JOIN memb m ON m.doc_id = k.doc_id
+        |WHERE m.doc_id IS NULL OR m.cluster_rep = k.doc_id
+        |ORDER BY k.doc_id""".stripMargin),
+
     "d3_simhash" -> {
       val votes = (0 until 16).map(i =>
         s"SUM(CASE WHEN (h // ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END) AS s_$i")
@@ -4969,6 +5020,30 @@ object OracleSql {
         s"""SELECT CAST(round AS INTEGER) AS round, left_sym, right_sym,
            |  left_sym || right_sym AS merged,
            |  CAST(pair_count AS BIGINT) AS pair_count FROM t$t""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY round")),
+
+    // BPE compression-curve twin: the same unrolled merge rounds
+    // (bpeIterCtes), with per-round scalar stats over each vocab state —
+    // corpus tokens (wc-weighted symbols per word) and the live alphabet.
+    "t36_bpe_compression" -> withCtes(Seq(
+      """wc AS (
+        |  SELECT w, COUNT(*) AS wc FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS w
+        |    FROM documents) t
+        |  WHERE length(w) >= 2 GROUP BY 1)""".stripMargin,
+      """v0 AS MATERIALIZED (
+        |  SELECT regexp_replace(w, '(.)', '<\1>', 'g') AS sw, wc
+        |  FROM wc)""".stripMargin) ++
+      bpeIterCtes(graft.Queries.BpeRounds): _*)(
+      (0 to graft.Queries.BpeRounds).map { t =>
+        s"""SELECT CAST($t AS INTEGER) AS round,
+           |  (SELECT CAST(SUM(wc * len(string_split(
+           |       substring(sw, 2, length(sw) - 2), '><'))) AS BIGINT)
+           |   FROM v$t) AS corpus_tokens,
+           |  (SELECT CAST(COUNT(DISTINCT u.sym) AS BIGINT) FROM (
+           |     SELECT unnest(string_split(
+           |       substring(sw, 2, length(sw) - 2), '><')) AS sym
+           |     FROM v$t) u) AS distinct_symbols""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY round")),
 
     // Inter-arrival twin: per-(user, type) LAG with the event_id

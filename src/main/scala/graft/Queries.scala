@@ -3132,6 +3132,54 @@ object Queries {
       .orderBy("round")
   }
 
+  /** BPE compression curve — the metric a tokenizer trainer actually
+    * watches while t35 learns its merges: after each merge round, how
+    * many symbols does the corpus tokenize into, and how large has the
+    * symbol alphabet grown? (Vocab-size selection reads exactly this
+    * curve — train until the marginal merge stops buying compression.)
+    * Rounds are the SAME t35 loop (same tops, same vocab states — the
+    * two queries must agree or one of them lies); per round the stats are
+    * two aggregates over the marked-vocabulary frame: corpus_tokens =
+    * SUM(wc x symbols-per-word) — exact, counts every word occurrence —
+    * and distinct_symbols = the live alphabet size. Round 0 is the
+    * pre-merge character baseline. Corpus cost: the one word-count
+    * aggregate t35 pays; everything else is vocab-frame work
+    * (Heaps-sublinear), and the oracle unrolls identical stats CTEs over
+    * bpeIterCtes' vocab states. */
+  def t36BpeCompression(s: SparkSession, dir: String): DataFrame = {
+    val words = Sources.documents(s, dir)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    var vocab = Materialize(words.select(
+      regexp_replace(col("w"), "(.)", "<$1>").as("sw"), col("wc")))
+    def stats(round: Int, v: DataFrame): DataFrame = {
+      val syms = v.select(col("wc"),
+        split(expr("substring(sw, 2, length(sw) - 2)"), "><").as("syms"))
+      val tok = syms.agg(
+        sum(col("wc") * size(col("syms"))).as("corpus_tokens"))
+      val alpha = syms.select(explode(col("syms")).as("sym"))
+        .agg(countDistinct(col("sym")).as("distinct_symbols"))
+      tok.crossJoin(broadcast(alpha))
+        .select(lit(round).as("round"), col("corpus_tokens"),
+          col("distinct_symbols"))
+    }
+    val curve = (1 to BpeRounds).foldLeft(Vector(stats(0, vocab))) { (acc, r) =>
+      val top = Materialize(bpePairCounts(vocab)
+        .orderBy(col("pair_count").desc,
+          col("left_sym").asc, col("right_sym").asc)
+        .limit(1)
+        .select(col("left_sym"), col("right_sym")))
+      vocab = Materialize(vocab.crossJoin(broadcast(top))
+        .select(expr(
+          """replace(sw, concat('<', left_sym, '><', right_sym, '>'),
+            |        concat('<', left_sym, right_sym, '>'))""".stripMargin)
+          .as("sw"), col("wc")))
+      acc :+ stats(r, vocab)
+    }
+    curve.reduce(_ union _).orderBy("round")
+  }
+
   /** One round's pair-count table over the marked-vocabulary frame —
     * the per-round work t35 repeats (exposed for the PlanSpec pin: no
     * documents scan, one pair-aggregate exchange). `size >= 2` guards the
@@ -3445,6 +3493,45 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** Ingest-then-snapshot over the INCREMENTAL curation state — the
+    * [[graft.ext.IncrementalCuration]] sibling of sim24, closing the
+    * last unregistered ingest path: documents arrive as three
+    * doc_id-ordered tercile batches, each folded through the per-batch
+    * exact-dedup (digest vs history) + fresh-vs-all banded LSH + exact-
+    * Jaccard verify + union-find merge, and the report is the NEAR-DEDUP
+    * SURVIVOR SET of the snapshot (accepted docs minus demoted cluster
+    * members) — the front end a continuous curator maintains between
+    * nightly tail materializations.
+    *
+    * The oracle is the BATCH formulation (keep-first digests over the
+    * whole corpus, signature banding, capped candidates, verified pairs,
+    * recursive-closure clusters, min-rep survivors), so a green row
+    * proves ingest == batch end to end — keep-first-arrival == global
+    * min-doc_id under ordered batches, the cross-batch transitive chain
+    * folding, and the per-batch candidate union. Validity domain: bucket
+    * caps must not engage (an engaged cap elects per-batch, not globally
+    * — IncrementalCurationSpec documents this); measured occupancy on
+    * the keep-first population is ≤ 5 per (band, value) at sf0.1 vs the
+    * 128 cap, 25× headroom. redact=false keeps the digest/shingle
+    * material oracle-expressible (t20's redaction is its own gated
+    * query). */
+  def d15IncrementalCuration(s: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(s, dir)
+    val cfg = ext.CorpusPipeline.CurationConfig(redact = false)
+    val mx = Materialize(docs.agg(
+      (floor(max("doc_id") / 3) + 1).as("__w")))
+    def slice(i: Int): DataFrame =
+      docs.crossJoin(broadcast(mx))
+        .filter(floor(col("doc_id") / col("__w")) === i)
+        .drop("__w")
+    var st = ext.IncrementalCuration.init(s, docs, cfg.nHashes)
+    for (i <- 0 until 3)
+      st = ext.IncrementalCuration.ingestBatch(st, slice(i), cfg)
+    ext.Dedup.dedupByClusters(st.docs, st.labels)
+      .select("doc_id", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** MMR diversified top-k retrieval over the fixed query batch (see
     * [[graft.ext.Similarity.mmrTopK]]): relevance proposes, the greedy
     * marginal-relevance loop (lambda 0.7) demotes candidates redundant
@@ -3664,6 +3751,7 @@ object Queries {
     "sim21_codebook_selector" -> (sim21CodebookSelector _),
     "sim23_graph_ann" -> (sim23GraphAnn _),
     "sim24_incremental_ann" -> (sim24IncrementalAnn _),
+    "d15_incremental_curation" -> (d15IncrementalCuration _),
     "ev21_growth_accounting" -> (ev21GrowthAccounting _),
     "w25_weekly_ohlc" -> (w25WeeklyOhlc _),
     "g2_triangles" -> (g2Triangles _),
@@ -3672,6 +3760,7 @@ object Queries {
     "g4_hits" -> (g4Hits _),
     "t34_bpe_pairs" -> (t34BpePairs _),
     "t35_bpe_train" -> (t35BpeTrain _),
+    "t36_bpe_compression" -> (t36BpeCompression _),
     "ev22_interarrival" -> (ev22Interarrival _),
     "w23_keltner" -> (w23Keltner _),
     "a23_gini" -> (a23Gini _),

@@ -508,6 +508,26 @@ class PlanSpec extends AnyFunSuite {
       s"the per-round top pair should plan as top-1, not a full sort:\n$p")
   }
 
+  test("audio header parse is a codegen'd row-wise scan — no hash exchange, no UDF") {
+    // m5: the only exchange is the sort-first range partitioning; the
+    // header parse itself is hex+conv projection work inside codegen —
+    // a mapPartitions or hash exchange here means the declarative parse
+    // regressed to an imperative one.
+    val p = plan("m5_audio_meta")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"m5 must not shuffle on any key:\n$p")
+    assert(!p.contains("MapPartitions") && !p.contains("BatchEvalPython"),
+      s"m5's parse must stay declarative:\n$p")
+    // everything above the one range exchange must be Project nodes (pure
+    // row-wise, codegen-eligible) — the pre-execution AQE plan string has
+    // no WholeStageCodegen spans to assert on, but a Filter/Aggregate/
+    // SerializeFromObject here would mean the parse stopped being a scan
+    assert(!p.contains("SerializeFromObject") && !p.contains("HashAggregate"),
+      s"m5 must stay a pure projection over the scan:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"m5 should prune the documents read to (doc_id, text):\n$p")
+  }
+
   test("inter-arrival gaps: one corpus-sized exchange, then histogram-sized work") {
     // ev22: lag window on (user, type) is the only corpus exchange; the
     // histogram aggregate and the shared fold shuffle frames bounded by
