@@ -243,13 +243,18 @@ object Multimodal {
     */
   def syntheticPhashSql(intDiv: String, xor: (String, String) => String,
                         shiftLeft1: String => String): String = {
+    // every group term reduces mod its modulus BEFORE the large-constant
+    // multiply (the g2/g4 residue lesson): (g % m) * c ≡ g * c (mod m)
+    // for non-negative g, and the reduced operand keeps the product under
+    // 2^63 at ANY doc_id — the unreduced form silently wraps in Spark and
+    // raises in DuckDB once doc_id passes ~9e13
     val g = s"(doc_id $intDiv 10)"
     val r = "(doc_id % 10)"
     val base = (0 to 6).map { k =>
-      s"((($g * ${1000003 + 4241 * k} + ${77 + k}) % 251) * ${1L << (8 * k)})"
+      s"(((($g % 251) * ${1000003 + 4241 * k} + ${77 + k}) % 251) * ${1L << (8 * k)})"
     }.mkString("(", " + ", ")")
     val noisy = (0 to 3).foldLeft(base) { (acc, j) =>
-      val pos = s"CAST((($g * 13 + $r * 17 + ${j * 29}) % 56) AS INTEGER)"
+      val pos = s"CAST(((($g % 56) * 13 + $r * 17 + ${j * 29}) % 56) AS INTEGER)"
       val term = s"(CASE WHEN least($r, 4) > $j THEN ${shiftLeft1(pos)} " +
         "ELSE CAST(0 AS BIGINT) END)"
       xor(acc, term)
