@@ -2128,6 +2128,42 @@ object OracleSql {
          |  FROM v${t - 1} CROSS JOIN t$t m)""".stripMargin)
   }
 
+  /** The e7 batch-perceptron epochs, unrolled — mirrors
+    * Queries.e7PerceptronQuality in lockstep: margins on the previous
+    * epoch's 9-dp weights with identical left-associated arithmetic
+    * (bit-exact per row, so the miss predicate needs no rounding), the
+    * corpus-mean gradients rounded 9, the weight update rounded 9. */
+  private def perceptronIterCtes(epochs: Int): Seq[String] =
+    Seq("w0 AS (SELECT 0.0 AS wb, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)") ++
+      (1 to epochs).flatMap { t =>
+        // MATERIALIZED per step — DuckDB inlines CTEs, and the chained
+        // w/e/s references otherwise re-plan the whole prefix per epoch
+        // (the componentIterCtes lesson: ~2^epochs plan blowup)
+        Seq(
+          s"""e$t AS MATERIALIZED (
+             |  SELECT COUNT(*) AS n,
+             |    SUM(CASE WHEN miss THEN 1 ELSE 0 END) AS n_miss,
+             |    ${R("AVG(CASE WHEN miss THEN y ELSE 0.0 END)", 9)} AS gb,
+             |    ${R("AVG(CASE WHEN miss THEN y * f1 ELSE 0.0 END)", 9)} AS g1,
+             |    ${R("AVG(CASE WHEN miss THEN y * f2 ELSE 0.0 END)", 9)} AS g2,
+             |    ${R("AVG(CASE WHEN miss THEN y * f3 ELSE 0.0 END)", 9)} AS g3
+             |  FROM (
+             |    SELECT f.*, (f.y * (w.wb + w.w1 * f.f1 + w.w2 * f.f2
+             |      + w.w3 * f.f3) <= 0.0) AS miss
+             |    FROM ft f CROSS JOIN w${t - 1} w))""".stripMargin,
+          s"""s$t AS MATERIALIZED (
+             |  SELECT $t AS epoch,
+             |    ${R("w.wb + e.gb", 9)} AS bias,
+             |    ${R("w.w1 + e.g1", 9)} AS w_len,
+             |    ${R("w.w2 + e.g2", 9)} AS w_punct,
+             |    ${R("w.w3 + e.g3", 9)} AS w_stop,
+             |    e.n_miss, e.n
+             |  FROM e$t e CROSS JOIN w${t - 1} w)""".stripMargin,
+          s"""w$t AS MATERIALIZED (
+             |  SELECT bias AS wb, w_len AS w1, w_punct AS w2, w_stop AS w3
+             |  FROM s$t)""".stripMargin)
+      }
+
   private def embUnnestCte(pred: String): String =
     s"""u AS (
        |  SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
@@ -5021,6 +5057,45 @@ object OracleSql {
            |  left_sym || right_sym AS merged,
            |  CAST(pair_count AS BIGINT) AS pair_count FROM t$t""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY round")),
+
+    // Perceptron-trainer twin: t2's rounded feature components, corpus-
+    // mean centered (the oscillation fix), perceptronIterCtes unrolls the
+    // batch epochs, pocket = running best over the epoch frame.
+    "e7_perceptron_quality" -> {
+      val punct = "CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / nullif(length(text), 0)"
+      val stop = s"CAST(len(list_filter(tok, t -> t IN ($enList))) AS DOUBLE) / len(tok)"
+      val ep = graft.Queries.PerceptronEpochs
+      withCtes(Seq(
+        """toks AS (
+          |  SELECT doc_id, text, string_split(text, ' ') AS tok
+          |  FROM documents WHERE text IS NOT NULL AND length(text) > 0)""".stripMargin,
+        s"""rawf AS (
+           |  SELECT
+           |    ${R("LEAST(CAST(len(tok) AS DOUBLE) / 100, 1.0)", 6)} AS r1,
+           |    ${R(s"1.0 - $punct", 6)} AS r2,
+           |    ${R(s"LEAST($stop * 5, 1.0)", 6)} AS r3,
+           |    CASE WHEN ${R(s"0.4 * LEAST(CAST(len(tok) AS DOUBLE) / 100, 1.0) + 0.3 * (1.0 - $punct) + 0.3 * LEAST($stop * 5, 1.0)", 6)} >= 0.5
+           |         THEN 1.0 ELSE -1.0 END AS y
+           |  FROM toks)""".stripMargin,
+        s"""mns AS (
+           |  SELECT ${R("AVG(r1)", 6)} AS m1, ${R("AVG(r2)", 6)} AS m2,
+           |         ${R("AVG(r3)", 6)} AS m3 FROM rawf)""".stripMargin,
+        s"""ft AS MATERIALIZED (
+           |  SELECT ${R("r1 - m1", 6)} AS f1, ${R("r2 - m2", 6)} AS f2,
+           |         ${R("r3 - m3", 6)} AS f3, y
+           |  FROM rawf CROSS JOIN mns)""".stripMargin) ++
+        perceptronIterCtes(ep): _*)(
+        "SELECT epoch, w_len, w_punct, w_stop, bias, n_miss, accuracy,\n" +
+        "  MIN(n_miss) OVER (ORDER BY epoch ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pocket_n_miss,\n" +
+        "  MAX(accuracy) OVER (ORDER BY epoch ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pocket_accuracy\n" +
+        "FROM (\n" +
+        (1 to ep).map { t =>
+          s"""SELECT CAST(epoch AS INTEGER) AS epoch, w_len, w_punct, w_stop,
+             |  bias, CAST(n_miss AS BIGINT) AS n_miss,
+             |  ${R("1.0 - CAST(n_miss AS DOUBLE) / n", 6)} AS accuracy
+             |FROM s$t""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\n)\nORDER BY epoch"))
+    },
 
     // BPE compression-curve twin: the same unrolled merge rounds
     // (bpeIterCtes), with per-round scalar stats over each vocab state —

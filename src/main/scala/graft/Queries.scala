@@ -3493,6 +3493,108 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** Epochs the e7 perceptron trainer runs — shared with the oracle's
+    * unrolled CTEs (the BpeRounds convention). */
+  val PerceptronEpochs = 12
+
+  /** Perceptron quality-classifier TRAINING as relational dataflow — the
+    * fourth trained model next to sim21/ev24's k-means and t35's BPE:
+    * an LLM data pipeline distills its hand-written quality rule into a
+    * learned filter (the fastText-classifier pattern), and this runs that
+    * training loop relationally. Features are t2's three quality
+    * components (length score, 1 - punct ratio, stopword score), rounded
+    * at 6 and then CENTERED on their corpus means (one extra aggregate —
+    * without it the near-constant punctuation feature dominates every
+    * gradient and the loop oscillates for dozens of epochs; centered, it
+    * reaches 0.994 accuracy by epoch 12 on the sf0.001 fixture). The
+    * label is the hand rule itself (quality >= 0.5 → +1) — the classic
+    * distillation setup. [[PerceptronEpochs]] Rosenblatt batch epochs,
+    * unrolled: margin = b + w·x on the previous epoch's weights, miss =
+    * y·margin <= 0 (zero-margin counts as miss — epoch 1 updates on
+    * every row from w = 0, the class-mean direction), gradient = the
+    * corpus MEAN of y·x over misses (zeros elsewhere — no empty-set NULL
+    * edge), weights += gradient. Batch-perceptron accuracy is NOT
+    * monotone (the loop overshoots and recovers — visible in the curve),
+    * so the report also carries the POCKET read (Gallant 1990): the best
+    * miss count seen so far, the weights a pocket trainer would ship.
+    *
+    * Determinism (the g4 per-step lockstep contract): per-row margins
+    * are IEEE-identical cross-engine (same rounded inputs, same textual
+    * association), so the miss predicate needs no rounding; only the
+    * corpus-mean aggregates round (9 — absorbs summation-order ulps),
+    * and the updated weights round at 9 per epoch. n_miss is an exact
+    * integer per epoch — the strongest hash signal. Shape at 100 TB:
+    * the centered feature frame materializes once (two corpus passes:
+    * features, means); each epoch is ONE map-side-combined aggregate
+    * over it with the 1-row weight frame broadcast — the ev24
+    * Lloyd-pass shape; the pocket window runs on the epochs-sized frame
+    * (bounded, the annotated-unpartitioned-window convention). Reported
+    * weights are POST-update; n_miss/accuracy are measured with the
+    * PRE-update weights (the curve a trainer actually logs). */
+  def e7PerceptronQuality(s: SparkSession, dir: String): DataFrame = {
+    val raw = ext.TextOps.withQualityScore(Sources.documents(s, dir))
+      .filter(col("text").isNotNull && col("text_len") > 0)
+      .select(
+        Num.cround(least(col("n_tokens").cast("double") / 100, lit(1.0)), 6)
+          .as("r1"),
+        Num.cround(lit(1.0) - col("punct_ratio"), 6).as("r2"),
+        Num.cround(least(col("stopword_ratio") * 5, lit(1.0)), 6).as("r3"),
+        when(Num.cround(col("quality_score"), 6) >= 0.5, lit(1.0))
+          .otherwise(lit(-1.0)).as("y"))
+    val means = raw.agg(
+      Num.cround(avg("r1"), 6).as("m1"),
+      Num.cround(avg("r2"), 6).as("m2"),
+      Num.cround(avg("r3"), 6).as("m3"))
+    val feats = Materialize(raw.crossJoin(broadcast(means)).select(
+      Num.cround(col("r1") - col("m1"), 6).as("f1"),
+      Num.cround(col("r2") - col("m2"), 6).as("f2"),
+      Num.cround(col("r3") - col("m3"), 6).as("f3"),
+      col("y")))
+    var w = Materialize(s.range(1).select(
+      lit(0.0).as("wb"), lit(0.0).as("w1"),
+      lit(0.0).as("w2"), lit(0.0).as("w3")))
+    val epochs = (1 to PerceptronEpochs).map { t =>
+      val m = feats.crossJoin(broadcast(w))
+        .withColumn("margin", col("wb") + col("w1") * col("f1")
+          + col("w2") * col("f2") + col("w3") * col("f3"))
+        .withColumn("miss", col("y") * col("margin") <= 0.0)
+      val agg = m.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("miss"), lit(1L)).otherwise(lit(0L))).as("n_miss"),
+        Num.cround(avg(when(col("miss"), col("y"))
+          .otherwise(lit(0.0))), 9).as("gb"),
+        Num.cround(avg(when(col("miss"), col("y") * col("f1"))
+          .otherwise(lit(0.0))), 9).as("g1"),
+        Num.cround(avg(when(col("miss"), col("y") * col("f2"))
+          .otherwise(lit(0.0))), 9).as("g2"),
+        Num.cround(avg(when(col("miss"), col("y") * col("f3"))
+          .otherwise(lit(0.0))), 9).as("g3"))
+      val stats = Materialize(agg.crossJoin(broadcast(w)).select(
+        lit(t).as("epoch"),
+        Num.cround(col("wb") + col("gb"), 9).as("bias"),
+        Num.cround(col("w1") + col("g1"), 9).as("w_len"),
+        Num.cround(col("w2") + col("g2"), 9).as("w_punct"),
+        Num.cround(col("w3") + col("g3"), 9).as("w_stop"),
+        col("n_miss"),
+        Num.cround(lit(1.0) - col("n_miss").cast("double") / col("n"), 6)
+          .as("accuracy")))
+      w = Materialize(stats.select(col("bias").as("wb"),
+        col("w_len").as("w1"), col("w_punct").as("w2"),
+        col("w_stop").as("w3")))
+      stats
+    }
+    // epochs-sized frame: the unpartitioned running-min window is the
+    // point, not a smell (the sim21 annotation convention)
+    val wP = Window.orderBy("epoch")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    epochs.reduce(_ union _)
+      .withColumn("pocket_n_miss", min("n_miss").over(wP))
+      .withColumn("pocket_accuracy", max("accuracy").over(wP))
+      .select("epoch", "w_len", "w_punct", "w_stop", "bias",
+        "n_miss", "accuracy", "pocket_n_miss", "pocket_accuracy")
+      .orderBy("epoch")
+  }
+
   /** Ingest-then-snapshot over the INCREMENTAL curation state — the
     * [[graft.ext.IncrementalCuration]] sibling of sim24, closing the
     * last unregistered ingest path: documents arrive as three
@@ -3752,6 +3854,7 @@ object Queries {
     "sim23_graph_ann" -> (sim23GraphAnn _),
     "sim24_incremental_ann" -> (sim24IncrementalAnn _),
     "d15_incremental_curation" -> (d15IncrementalCuration _),
+    "e7_perceptron_quality" -> (e7PerceptronQuality _),
     "ev21_growth_accounting" -> (ev21GrowthAccounting _),
     "w25_weekly_ohlc" -> (w25WeeklyOhlc _),
     "g2_triangles" -> (g2Triangles _),

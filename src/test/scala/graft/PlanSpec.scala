@@ -537,6 +537,44 @@ class PlanSpec extends AnyFunSuite {
       s"m5 should prune its scan to (doc_id, text) — saw [$scanCols]:\n$p")
   }
 
+  test("perceptron epoch is one map-side-combined aggregate over the feature frame") {
+    // e7: per epoch the corpus-sized work is ONE hash aggregate (partial
+    // + final = one exchange) over the checkpointed centered features
+    // with the 1-row weight frame broadcast — no corpus window, no join
+    // shuffle, no documents re-scan.
+    import org.apache.spark.sql.functions._
+    val feats = graft.ops.Materialize(
+      graft.ext.TextOps.withQualityScore(
+          graft.io.Sources.documents(spark, dir))
+        .filter(col("text").isNotNull && col("text_len") > 0)
+        .select(
+          graft.ops.Num.cround(least(col("n_tokens").cast("double") / 100,
+            lit(1.0)), 6).as("f1"),
+          graft.ops.Num.cround(lit(1.0) - col("punct_ratio"), 6).as("f2"),
+          graft.ops.Num.cround(least(col("stopword_ratio") * 5, lit(1.0)), 6)
+            .as("f3"),
+          when(graft.ops.Num.cround(col("quality_score"), 6) >= 0.5, lit(1.0))
+            .otherwise(lit(-1.0)).as("y")))
+    val w = graft.ops.Materialize(spark.range(1).select(
+      lit(0.0).as("wb"), lit(0.0).as("w1"), lit(0.0).as("w2"),
+      lit(0.0).as("w3")))
+    val epoch = feats.crossJoin(broadcast(w))
+      .withColumn("margin", col("wb") + col("w1") * col("f1")
+        + col("w2") * col("f2") + col("w3") * col("f3"))
+      .withColumn("miss", col("y") * col("margin") <= 0.0)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("miss"), lit(1L)).otherwise(lit(0L))).as("n_miss"))
+    val p = epoch.queryExecution.executedPlan.toString
+    assert(!p.contains("Scan parquet") && !p.contains("FileScan"),
+      s"an epoch must read the checkpointed features, not the corpus:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 0,
+      s"an epoch's aggregate reduces to one row — partial+final over the " +
+        s"single-stage frame, no hash exchange needed (saw $exchanges):\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"the weight frame should broadcast into the epoch scan:\n$p")
+  }
+
   test("inter-arrival gaps: one corpus-sized exchange, then histogram-sized work") {
     // ev22: lag window on (user, type) is the only corpus exchange; the
     // histogram aggregate and the shared fold shuffle frames bounded by
