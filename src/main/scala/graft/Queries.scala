@@ -641,9 +641,12 @@ object Queries {
     * aggregate. */
   def t30DupRateBySource(s: SparkSession, dir: String): DataFrame = {
     val docs = Sources.documents(s, dir)
-    val verified = ext.Dedup.jaccardVerifyPairs(docs,
+    // the dup-doc projection references the verified pair table twice —
+    // checkpoint it (bounded by the capped candidate set) so the verify
+    // tail join-chain runs once, not per branch
+    val verified = Materialize(ext.Dedup.jaccardVerifyPairs(docs,
       ext.Dedup.lshCandidatePairs(
-        Materialize(ext.Dedup.minhashSignatures(docs))))
+        Materialize(ext.Dedup.minhashSignatures(docs)))))
     val dupDocs = verified.select(col("doc_a").as("doc_id"))
       .unionAll(verified.select(col("doc_b").as("doc_id")))
       .distinct().withColumn("is_dup", lit(1L))
@@ -667,7 +670,9 @@ object Queries {
   def d13MinhashCalibration(s: SparkSession, dir: String): DataFrame = {
     val docs = Sources.documents(s, dir)
     val sigs = Materialize(ext.Dedup.minhashSignatures(docs))
-    val pairs = ext.Dedup.lshCandidatePairs(sigs)
+    // pairs feed the signature-agreement estimate AND the exact-Jaccard
+    // side — one checkpoint, or the banded self-join runs per consumer
+    val pairs = Materialize(ext.Dedup.lshCandidatePairs(sigs))
     val sa = sigs.select(col("doc_id").as("doc_a") +:
       (0 until 16).map(b => col(s"mh_$b").as(s"a_mh_$b")): _*)
     val sb = sigs.select(col("doc_id").as("doc_b") +:
@@ -3578,9 +3583,11 @@ object Queries {
         col("n_miss"),
         Num.cround(lit(1.0) - col("n_miss").cast("double") / col("n"), 6)
           .as("accuracy")))
-      w = Materialize(stats.select(col("bias").as("wb"),
+      // the next epoch's weights are a projection of the checkpointed
+      // stats frame — a second per-epoch checkpoint bought nothing
+      w = stats.select(col("bias").as("wb"),
         col("w_len").as("w1"), col("w_punct").as("w2"),
-        col("w_stop").as("w3")))
+        col("w_stop").as("w3"))
       stats
     }
     // epochs-sized frame: the unpartitioned running-min window is the

@@ -91,10 +91,14 @@ object Graph {
     * min-label clustering over LSH candidate pairs. */
   def connectedComponents(links: DataFrame, iters: Int = 10): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
-    val und = links.select(col("src").as("a"), col("dst").as("b"))
-      .union(links.select(col("dst"), col("src")))
-      .filter(col("a") =!= col("b"))
-      .distinct()
+    // und feeds TWO materializations (nodes, undSelf) and references the
+    // corpus-sized links twice itself — checkpoint it once so the corpus
+    // pays one distill pass, not four scans across the two jobs
+    val und = Materialize(
+      links.select(col("src").as("a"), col("dst").as("b"))
+        .union(links.select(col("dst"), col("src")))
+        .filter(col("a") =!= col("b"))
+        .distinct())
     val nodes = Materialize(und.select(col("a").as("host")).distinct())
     // self-loops fold the keep-own-label branch into the same MIN as the
     // neighbor labels, so every round references the label frame exactly
@@ -154,12 +158,14 @@ object Graph {
         .join(broadcast(hub.withColumnRenamed("host", "src")), "src")
         .groupBy(col("dst").as("host"))
         .agg(Num.cround(sum("h"), 12).as("a"))
-      // materialize each normalized half-round: 2*iters shallow two-stage
-      // jobs beat one 4*iters-deep lineage (measured 13 s -> the g1 band
-      // at sf0.1 — the optimizer and scheduler pay per plan depth)
-      auth = Materialize(l1Normalize(
+      // one materialization per FULL round, not per half: the auth half is
+      // referenced exactly once by the hub half (broadcast build side), so
+      // it rides the hub job lazily — plan depth per job stays one round
+      // (shallow, the property the half-round split bought at 13 s -> 2.8 s)
+      // with HALF the blocking jobs
+      auth = l1Normalize(
         nodes.join(broadcast(aRaw), Seq("host"), "left")
-          .select(col("host"), coalesce(col("a"), lit(0.0)).as("a")), "a"))
+          .select(col("host"), coalesce(col("a"), lit(0.0)).as("a")), "a")
       val hRaw = edges
         .join(broadcast(auth.withColumnRenamed("host", "dst")), "dst")
         .groupBy(col("src").as("host"))
@@ -168,6 +174,9 @@ object Graph {
         nodes.join(broadcast(hRaw), Seq("host"), "left")
           .select(col("host"), coalesce(col("h"), lit(0.0)).as("h")), "h"))
     }
+    // the final report reads the last auth half-round; checkpoint it once
+    // so the output join doesn't recompute it from the hub checkpoint
+    auth = Materialize(auth)
     hub.join(broadcast(auth), "host")
       .select(col("host"), Num.cround(col("h"), 6).as("hub"),
         Num.cround(col("a"), 6).as("authority"))

@@ -169,8 +169,16 @@ object Dedup {
     * appended. */
   def jaccardVerifyPairs(docs: DataFrame, pairs: DataFrame,
                          minJaccard: Double = 0.5): DataFrame = {
-    val candDocs = pairs.select(col("doc_a").as("doc_id"))
-      .unionAll(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    // the pair table feeds FOUR subtrees (candidate-doc projection twice,
+    // the intersect join, the final report join) and the shingle table
+    // THREE (sizes, both sides of the intersect) — materialized once, or
+    // every consumer re-runs the candidate generation / the semi-join +
+    // shingle explode + distinct from scratch (measured 3x the verify
+    // cost at sf0.1 before the cut; exchange reuse does not fire across
+    // the differently-keyed consumers)
+    val p = pairs.materialized
+    val candDocs = p.select(col("doc_a").as("doc_id"))
+      .unionAll(p.select(col("doc_b").as("doc_id"))).distinct()
     val sh = docs.join(candDocs, Seq("doc_id"), "left_semi")
       .withColumn("toks", TextOps.tokens(col("text")))
       .select(col("doc_id"), col("toks"), explode(expr(
@@ -178,12 +186,13 @@ object Dedup {
       .select(col("doc_id"), xxhash64(expr(
         "concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2), ' ', element_at(toks, i + 3))")).as("sh"))
       .distinct()
+      .materialized
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = pairs.select("doc_a", "doc_b")
+    val inter = p.select("doc_a", "doc_b")
       .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
-    pairs
+    p
       .join(inter, Seq("doc_a", "doc_b"), "left")
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("__na")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("__nb")), Seq("doc_b"))
@@ -210,8 +219,11 @@ object Dedup {
     * tie-safe at 6. */
   def containmentVerifyPairs(docs: DataFrame, pairs: DataFrame,
                              minContainment: Double = 0.8): DataFrame = {
-    val candDocs = pairs.select(col("doc_a").as("doc_id"))
-      .unionAll(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    // same reuse points as [[jaccardVerifyPairs]]: pairs feeds four
+    // subtrees, the shingle table three — one materialization each
+    val p = pairs.materialized
+    val candDocs = p.select(col("doc_a").as("doc_id"))
+      .unionAll(p.select(col("doc_b").as("doc_id"))).distinct()
     val sh = docs.join(candDocs, Seq("doc_id"), "left_semi")
       .withColumn("toks", TextOps.tokens(col("text")))
       .select(col("doc_id"), col("toks"), explode(expr(
@@ -219,13 +231,14 @@ object Dedup {
       .select(col("doc_id"), xxhash64(expr(
         "concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2), ' ', element_at(toks, i + 3))")).as("sh"))
       .distinct()
+      .materialized
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = pairs.select("doc_a", "doc_b")
+    val inter = p.select("doc_a", "doc_b")
       .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
     val nc = coalesce(col("n_common"), lit(0L)).cast("double")
-    pairs
+    p
       .join(inter, Seq("doc_a", "doc_b"), "left")
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("__na")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("__nb")), Seq("doc_b"))
@@ -253,9 +266,14 @@ object Dedup {
     * standard Pregel-style DataFrame loop — driver coordinates, data never
     * leaves the cluster). */
   def duplicateClusters(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .materialized
+    // the symmetrized edge view references pairs TWICE — materialize the
+    // pair table first or the caller's whole candidate-generation chain
+    // (LSH banding, within-list cosine pairs) runs twice inside the edge
+    // job; the union of two projections over the checkpoint then needs no
+    // second materialization of its own
+    val p = pairs.materialized
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_rep", col("doc_id"))
       .materialized
@@ -267,7 +285,7 @@ object Dedup {
         .groupBy(col("src")).agg(min("cluster_rep").as("nbr_rep"))
       val propagated = labels
         .join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("cluster_rep").as("__old"),
           least(col("cluster_rep"), coalesce(col("nbr_rep"), col("cluster_rep")))
             .as("cluster_rep"))
       // path compression (pointer doubling): follow rep -> rep-of-rep, so a
@@ -280,12 +298,14 @@ object Dedup {
         .select(col("doc_id").as("rep_id"), col("cluster_rep").as("rep_rep"))
       val updated = propagated
         .join(reps, propagated("cluster_rep") === reps("rep_id"))
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("__old"),
           least(col("cluster_rep"), col("rep_rep")).as("cluster_rep"))
         .materialized
-      converged = updated.join(labels.withColumnRenamed("cluster_rep", "old_rep"), "doc_id")
-        .filter(col("cluster_rep") =!= col("old_rep")).isEmpty
-      labels = updated
+      // the pre-round label rides the materialized frame as __old, so the
+      // convergence read is a filter over the checkpoint — the former
+      // re-join of two checkpointed tables per round was pure overhead
+      converged = updated.filter(col("cluster_rep") =!= col("__old")).isEmpty
+      labels = updated.select("doc_id", "cluster_rep")
       round += 1
     }
     // an unconverged label table silently under-dedups (and diverges from

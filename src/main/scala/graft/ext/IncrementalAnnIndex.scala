@@ -49,10 +49,20 @@ import graft.ops.Materialize.MaterializeOps
 object IncrementalAnnIndex {
 
   /** Accumulated index state: accepted vectors, the two capped
-    * partitioning memberships, and the folded top-m seed edges. */
+    * partitioning memberships, and the folded top-m seed edges.
+    * `nBatches` drives [[CompactEvery]]. */
   case class GraphState(
       vectors: DataFrame, lshCapped: DataFrame, ivfCapped: DataFrame,
-      edges: DataFrame, nIngested: Long)
+      edges: DataFrame, nIngested: Long, nBatches: Int = 0)
+
+  /** Accumulated frames are LAZY unions of per-batch materialized deltas
+    * (the [[IncrementalCuration.CompactEvery]] discipline): only the
+    * delta and the re-folded edge table pay eager work per batch —
+    * re-checkpointing the whole vector corpus (and a second full
+    * double-cast copy of it) per batch was the dominant sim24 ingest
+    * cost. Unions compact every `CompactEvery` batches so plan depth
+    * stays bounded under long ingest streams. */
+  val CompactEvery: Int = 8
 
   def init(spark: SparkSession, template: DataFrame): GraphState = {
     val empty = spark.createDataFrame(
@@ -83,13 +93,22 @@ object IncrementalAnnIndex {
       .select("vec_id", "bucket")
   }
 
-  /** Fold one arriving vector batch into the index state. Every returned
-    * frame is eagerly materialized — state lineage must not grow with
-    * batch count (the [[IncrementalCuration.ingestBatch]] discipline). */
+  /** Fold one arriving vector batch into the index state. Per-batch
+    * DELTAS and the re-folded edge table are eagerly materialized;
+    * accumulated frames stay lazy unions of those deltas, compacted every
+    * [[CompactEvery]] batches (the [[IncrementalCuration.ingestBatch]]
+    * discipline) — eager work per batch is delta-proportional. */
   def ingestBatch(state: GraphState, batch: DataFrame,
                   planesDf: DataFrame, m: Int = 8, nPlanes: Int = 8,
                   bucketCap: Int = 64): GraphState = {
-    val n = batch.count()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // the raw-arrival count and the admission chain are independent small
+    // jobs, as are the two per-partitioning admissions — submit them from
+    // futures so their stages interleave instead of serializing (the
+    // sim21 concurrent-jobs pattern; Spark job submission is thread-safe)
+    val fN = Future(batch.count())
     val fresh = batch
       .join(state.vectors.select("vec_id"), Seq("vec_id"), "left_anti")
       .materialized
@@ -104,8 +123,11 @@ object IncrementalAnnIndex {
       .filter(col("__rnk") === 1)
       .select(col("vec_id"), col("c").as("bucket"))
 
-    val newLsh = admit(state.lshCapped, freshLsh, bucketCap).materialized
-    val newIvf = admit(state.ivfCapped, freshIvf, bucketCap).materialized
+    val fLsh = Future(admit(state.lshCapped, freshLsh, bucketCap).materialized)
+    val fIvf = Future(admit(state.ivfCapped, freshIvf, bucketCap).materialized)
+    val newLsh = Await.result(fLsh, Duration.Inf)
+    val newIvf = Await.result(fIvf, Duration.Inf)
+    val n = Await.result(fN, Duration.Inf)
 
     // fresh-vs-all co-occupant pairs, BOTH directions, per partitioning —
     // the batch that admits a pair's later endpoint generates it
@@ -125,20 +147,29 @@ object IncrementalAnnIndex {
       .unionByName(newPairs(state.ivfCapped, newIvf))
       .distinct()
 
-    val allVectors = state.vectors.unionByName(fresh).materialized
+    // lazy union of checkpointed deltas — the scoring join below only
+    // pulls the pair endpoints out of it, so double-casting and
+    // checkpointing the WHOLE corpus here per batch bought nothing
+    val allVectors = state.vectors.unionByName(fresh)
     val scored = Similarity.scorePairs(
-      Similarity.withDoubles(allVectors).materialized, pairs)
+      Similarity.withDoubles(allVectors), pairs)
     // dedupe on the exact triple: a pair regenerated via the other
     // partitioning in a later batch must not double-fill a rank slot
     val edges = Similarity.topMEdges(
       state.edges.unionByName(scored).distinct(), m).materialized
 
-    GraphState(
+    val next = GraphState(
       vectors = allVectors,
-      lshCapped = state.lshCapped.unionByName(newLsh).materialized,
-      ivfCapped = state.ivfCapped.unionByName(newIvf).materialized,
+      lshCapped = state.lshCapped.unionByName(newLsh),
+      ivfCapped = state.ivfCapped.unionByName(newIvf),
       edges = edges,
-      nIngested = state.nIngested + n)
+      nIngested = state.nIngested + n,
+      nBatches = state.nBatches + 1)
+    if (next.nBatches % CompactEvery == 0)
+      next.copy(vectors = next.vectors.materialized,
+        lshCapped = next.lshCapped.materialized,
+        ivfCapped = next.ivfCapped.materialized)
+    else next
   }
 
   /** Snapshot graph: the shared NN-descent refinement over the maintained

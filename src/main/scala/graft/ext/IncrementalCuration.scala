@@ -54,10 +54,20 @@ object IncrementalCuration {
     * `docs`: exact-unique accepted docs (input columns). `digests`:
     * md5(text) of accepted docs. `signatures`: their MinHash signatures.
     * `labels`: union-find table (doc_id, cluster_rep) for every doc that
-    * ever verified into a duplicate pair. `nIngested`: raw rows seen. */
+    * ever verified into a duplicate pair. `nIngested`: raw rows seen.
+    * `nBatches`: batches folded so far (drives [[CompactEvery]]). */
   case class CurationState(
       docs: DataFrame, digests: DataFrame, signatures: DataFrame,
-      labels: DataFrame, nIngested: Long)
+      labels: DataFrame, nIngested: Long, nBatches: Int = 0)
+
+  /** Accumulated frames are LAZY unions of per-batch materialized deltas
+    * (each batch adds one cheap union node over checkpointed inputs —
+    * re-checkpointing the whole corpus per batch was the dominant d15
+    * ingest cost, O(corpus) eager work × batches for frames whose rows a
+    * batch never changes). Every `CompactEvery` batches the unions are
+    * collapsed into one materialization so plan depth stays bounded for
+    * long-running [[Curator]] streams; a 3-batch ingest never compacts. */
+  val CompactEvery: Int = 8
 
   def init(spark: SparkSession, template: DataFrame,
            nHashes: Int = 16): CurationState = {
@@ -85,12 +95,20 @@ object IncrementalCuration {
 
   /** Fold one arriving batch into the state: exact dedup (within batch +
     * against history), fresh-vs-all LSH candidates, exact-Jaccard
-    * verification, union-find merge. Every returned frame is eagerly
-    * materialized (Materialize: localCheckpoint by default, persist on
-    * clusters) — state lineage must not grow with batch count. */
+    * verification, union-find merge. Only the per-batch DELTAS are
+    * eagerly materialized (Materialize: localCheckpoint by default,
+    * persist on clusters); accumulated frames stay lazy unions of those
+    * deltas, compacted every [[CompactEvery]] batches — so per-batch
+    * eager work is proportional to the delta, not the corpus, and state
+    * lineage stays bounded. */
   def ingestBatch(state: CurationState, batch: DataFrame,
                   cfg: CurationConfig = CurationConfig()): CurationState = {
-    val n = batch.count()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // the raw-arrival count is independent of the dedup chain — let its
+    // job interleave with the fresh materialization (the sim21 pattern)
+    val fN = Future(batch.count())
     val scrubbed = if (cfg.redact) TextOps.redact(batch) else batch
 
     // exact dedup: keep-first within the batch, drop anything history has
@@ -98,7 +116,8 @@ object IncrementalCuration {
       .withColumn("__digest", md5(col("text")))
       .join(state.digests, Seq("__digest"), "left_anti")
       .materialized
-    val freshDocs = fresh.drop("__digest").materialized
+    // projection of an already-checkpointed frame — nothing to re-checkpoint
+    val freshDocs = fresh.drop("__digest")
 
     // fresh-vs-all banded candidate join. The accumulated side is capped
     // per bucket (smallest doc_ids) exactly like the batch self-join; the
@@ -106,13 +125,21 @@ object IncrementalCuration {
     // match. a < b normalization keeps pair ids ordered for the verifier.
     val freshSigs = Dedup.minhashSignatures(freshDocs, cfg.nHashes)
       .materialized
-    val allSigs = state.signatures.unionByName(freshSigs).materialized
+    val allSigs = state.signatures.unionByName(freshSigs)
+    val freshBands = bands(freshSigs, cfg.nBands)
+    // cap election is per (band, band_value) and the candidate join is an
+    // inner join on that key — so only buckets the fresh probe actually
+    // touches can produce candidates, and capping just those buckets is
+    // row-identical while keeping the row_number window delta-sized
+    // instead of corpus-sized
+    val probedBuckets = freshBands.select("band", "band_value").distinct()
     val cappedAll = bands(allSigs, cfg.nBands)
+      .join(probedBuckets, Seq("band", "band_value"), "left_semi")
       .withColumn("__bn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("band", "band_value").orderBy("doc_id")))
       .filter(col("__bn") <= Dedup.DefaultMaxPerBucket).drop("__bn")
-    val candidates = bands(freshSigs, cfg.nBands).as("a")
+    val candidates = freshBands.as("a")
       .join(cappedAll.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_value") === col("b.band_value") &&
@@ -122,10 +149,13 @@ object IncrementalCuration {
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
 
-    // verification needs both pair sides' text: history ∪ fresh
+    // verification needs both pair sides' text: history ∪ fresh.
+    // Materialized ONCE — the isEmpty gate and duplicateClusters both
+    // read it (unmaterialized, the verify join ran twice per batch).
     val allDocs = state.docs.unionByName(freshDocs)
     val newEdges = Dedup.jaccardVerifyPairs(allDocs, candidates, cfg.minJaccard)
       .select("doc_a", "doc_b")
+      .materialized
 
     // union-find merge: the accumulated labels, re-expressed as edges, plus
     // the new verified edges — duplicateClusters' min-label propagation
@@ -137,13 +167,20 @@ object IncrementalCuration {
       if (newEdges.isEmpty) state.labels
       else Dedup.duplicateClusters(labelEdges.unionByName(newEdges))
 
-    CurationState(
-      docs = allDocs.materialized,
-      digests = state.digests.unionByName(fresh.select("__digest"))
-        .materialized,
+    val next = CurationState(
+      docs = allDocs,
+      digests = state.digests.unionByName(fresh.select("__digest")),
       signatures = allSigs,
-      labels = merged.materialized,
-      nIngested = state.nIngested + n)
+      // duplicateClusters returns a materialized table; the empty-edge
+      // branch reuses the already-materialized previous labels
+      labels = merged,
+      nIngested = state.nIngested + Await.result(fN, Duration.Inf),
+      nBatches = state.nBatches + 1)
+    if (next.nBatches % CompactEvery == 0)
+      next.copy(docs = next.docs.materialized,
+        digests = next.digests.materialized,
+        signatures = next.signatures.materialized)
+    else next
   }
 
   /** Materialize the curated corpus from the accumulated state: survivors

@@ -577,9 +577,16 @@ object Similarity {
     * Output: (src, dst, cosine), directed, top-m per src. */
   def knnGraph(emb: DataFrame, planesDf: DataFrame, m: Int = 8,
                nPlanes: Int = 8, bucketCap: Int = 64,
-               descentRounds: Int = 1): DataFrame =
-    descend(emb, seedEdges(emb, planesDf, m, nPlanes, bucketCap),
+               descentRounds: Int = 1): DataFrame = {
+    // ONE double-cast checkpoint shared by the seed scoring and every
+    // descent round — seedEdges and descend each built their own full
+    // copy when called back-to-back
+    import graft.ops.Materialize.MaterializeOps
+    val withNorm = withDoubles(emb).materialized
+    descendFrom(withNorm,
+      seedEdgesFrom(withNorm, emb, planesDf, m, nPlanes, bucketCap),
       m, descentRounds)
+  }
 
   /** Exact-cosine scoring of a bounded (src, dst) pair table against the
     * double-cast corpus — shared by the seed, descent, and incremental
@@ -635,7 +642,13 @@ object Similarity {
   def seedEdges(emb: DataFrame, planesDf: DataFrame, m: Int = 8,
                 nPlanes: Int = 8, bucketCap: Int = 64): DataFrame = {
     import graft.ops.Materialize.MaterializeOps
-    val withNorm = withDoubles(emb).materialized
+    seedEdgesFrom(withDoubles(emb).materialized, emb, planesDf, m,
+      nPlanes, bucketCap)
+  }
+
+  private def seedEdgesFrom(withNorm: DataFrame, emb: DataFrame,
+                            planesDf: DataFrame, m: Int,
+                            nPlanes: Int, bucketCap: Int): DataFrame = {
     val (capped, listCapped) =
       seedMemberships(emb, planesDf, nPlanes, bucketCap)
     def coPairs(part: DataFrame): DataFrame =
@@ -654,7 +667,12 @@ object Similarity {
   def descend(emb: DataFrame, g0: DataFrame, m: Int = 8,
               rounds: Int = 1): DataFrame = {
     import graft.ops.Materialize.MaterializeOps
-    val withNorm = withDoubles(emb).materialized
+    descendFrom(withDoubles(emb).materialized, g0, m, rounds)
+  }
+
+  private def descendFrom(withNorm: DataFrame, g0: DataFrame, m: Int,
+                          rounds: Int): DataFrame = {
+    import graft.ops.Materialize.MaterializeOps
     var g = g0.materialized
     for (_ <- 1 to rounds) {
       val twoHop = g.select(col("src"), col("dst").as("__mid"))
@@ -712,10 +730,16 @@ object Similarity {
       df.withColumn("__rn", row_number().over(wQ))
         .filter(col("__rn") <= beam)
         .select("query_id", "vec_id", "cosine")
+    // each hop references the previous beam TWICE (expansion probe +
+    // keep-union), so a lazy loop DOUBLES the plan per hop — 2^hops
+    // copies of the hop-0 subtree by the final action (the g3
+    // single-reference iteration lesson). Materialize the bounded
+    // (queries × beam)-row frame per hop instead.
     var beamDf = topBeam(
       g.join(queries.select(col("query_id")),
           g("src") === col("query_id"))
         .select(col("query_id"), col("dst").as("vec_id"), col("cosine")))
+      .materialized
     for (_ <- 1 to hops) {
       val expanded = beamDf.select("query_id", "vec_id")
         .join(g.select(col("src").as("vec_id"), col("dst")), Seq("vec_id"))
@@ -728,6 +752,7 @@ object Similarity {
           nativeCosine(col("emb_d"), col("q_emb")), 6).as("cosine"))
       beamDf = topBeam(
         beamDf.unionByName(expanded).distinct())
+        .materialized
     }
     beamDf.withColumn("rank", row_number().over(wQ))
       .filter(col("rank") <= k)

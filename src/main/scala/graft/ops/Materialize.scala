@@ -32,6 +32,13 @@ object Materialize {
   def apply(df: DataFrame): DataFrame =
     df.sparkSession.conf.getOption(ConfKey).getOrElse("localCheckpoint") match {
       case "persist" => df.persist(StorageLevel.MEMORY_AND_DISK)
+      // a frame that IS a bare checkpoint scan (no transformations on
+      // top) gains nothing from a second checkpoint — the copy costs a
+      // full pass and doubles the block-manager footprint. Seen when a
+      // shared kernel materializes an input its caller already
+      // materialized (descend over the incremental index's edge state).
+      case _ if df.queryExecution.analyzed
+        .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD] => df
       case _         => df.localCheckpoint(true)
     }
 
