@@ -3116,20 +3116,29 @@ object Queries {
       .filter(length(col("w")) >= 2)
       .groupBy("w").agg(count(lit(1)).as("wc"))
     var vocab = Materialize(words.select(
-      regexp_replace(col("w"), "(.)", "<$1>").as("sw"), col("wc")))
+      regexp_replace(col("w"), "(.)", "<$1>").as("sw"), col("wc"))
+      .withColumn("left_sym", lit(null).cast("string"))
+      .withColumn("right_sym", lit(null).cast("string"))
+      .withColumn("pair_count", lit(null).cast("long")))
     val steps = (1 to BpeRounds).map { r =>
-      val top = Materialize(bpePairCounts(vocab)
+      // ONE materialization per round (was two — the top pair, then the
+      // merged vocabulary): the winning pair rides the merged-vocab
+      // checkpoint as three constant columns, so the round's output row
+      // is a limit(1) read of the checkpoint, not a second blocking job
+      val top = bpePairCounts(vocab)
         .orderBy(col("pair_count").desc,
           col("left_sym").asc, col("right_sym").asc)
         .limit(1)
-        .select(lit(r).as("round"), col("left_sym"), col("right_sym"),
-          col("pair_count")))
-      vocab = Materialize(vocab.crossJoin(broadcast(top))
+        .select(col("left_sym"), col("right_sym"), col("pair_count"))
+      vocab = Materialize(vocab.select("sw", "wc").crossJoin(broadcast(top))
         .select(expr(
           """replace(sw, concat('<', left_sym, '><', right_sym, '>'),
             |        concat('<', left_sym, right_sym, '>'))""".stripMargin)
-          .as("sw"), col("wc")))
-      top
+          .as("sw"), col("wc"),
+          col("left_sym"), col("right_sym"), col("pair_count")))
+      vocab.limit(1)
+        .select(lit(r).as("round"), col("left_sym"), col("right_sym"),
+          col("pair_count"))
     }
     steps.reduce(_ union _)
       .withColumn("merged", concat(col("left_sym"), col("right_sym")))
@@ -3170,11 +3179,15 @@ object Queries {
           col("distinct_symbols"))
     }
     val curve = (1 to BpeRounds).foldLeft(Vector(stats(0, vocab))) { (acc, r) =>
-      val top = Materialize(bpePairCounts(vocab)
+      // one materialization per round (the t35 fusion): the winning pair
+      // rides the merged-vocab job as the broadcast build side — a
+      // separate top checkpoint bought nothing, the stats read the vocab
+      // checkpoint anyway
+      val top = bpePairCounts(vocab)
         .orderBy(col("pair_count").desc,
           col("left_sym").asc, col("right_sym").asc)
         .limit(1)
-        .select(col("left_sym"), col("right_sym")))
+        .select(col("left_sym"), col("right_sym"))
       vocab = Materialize(vocab.crossJoin(broadcast(top))
         .select(expr(
           """replace(sw, concat('<', left_sym, '><', right_sym, '>'),
