@@ -92,6 +92,9 @@ object Bench {
     /** elapsed seconds, or -1.0 if the query failed — a failure must not
       * masquerade as a (fast) success in the benchmark totals. */
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // label every job with its query (guide §1.5) so UI/event-log reads
+      // attribute stages correctly; timing is unchanged
+      spark.sparkContext.setJobDescription(name)
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -99,7 +102,7 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         -1.0
-      }
+      } finally spark.sparkContext.setJobDescription(null)
     }
 
     run("warmup", (s, d) => Queries.a1Count(s, d))
